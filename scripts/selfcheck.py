@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's t2 correctness gate.
+
+Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
+corresponding oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB over
+the same sf tables, and compares values exactly (columns sorted by name,
+row order as produced). Exit code 1 if any query mismatches.
+"""
+import json, math, sys, glob, os
+import duckdb
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return repr(v)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    con.execute("SET TimeZone='UTC'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures, passed, skipped = [], 0, 0
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(f"{out_dir}/{d}"))
+    for name in names:
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            failures.append((name, "no spark output parquet"))
+            continue
+        got = con.sql(f"SELECT * FROM '{files[0]}'")
+        gcols = list(got.columns)
+        grows = got.fetchall()
+        if name not in oracle:
+            skipped += 1
+            if not grows:
+                failures.append((name, "rows-only check: 0 rows"))
+            continue
+        try:
+            exp = con.sql(oracle[name])
+        except Exception as e:
+            failures.append((name, f"oracle SQL error: {e}"))
+            continue
+        ecols = list(exp.columns)
+        erows = exp.fetchall()
+        if sorted(gcols) != sorted(ecols):
+            failures.append((name, f"columns differ: spark={sorted(gcols)} oracle={sorted(ecols)}"))
+            continue
+        gidx = [gcols.index(c) for c in sorted(gcols)]
+        eidx = [ecols.index(c) for c in sorted(ecols)]
+        if len(grows) != len(erows):
+            failures.append((name, f"row count differs: spark={len(grows)} oracle={len(erows)}"))
+            continue
+        bad = None
+        for i, (gr, er) in enumerate(zip(grows, erows)):
+            gv = [norm(gr[j]) for j in gidx]
+            ev = [norm(er[j]) for j in eidx]
+            if gv != ev:
+                bad = (i, gv, ev)
+                break
+        if bad:
+            failures.append((name, f"row {bad[0]}: spark={bad[1]} oracle={bad[2]}"))
+        else:
+            passed += 1
+            if not grows:
+                print(f"  note: {name} matches but returns 0 rows")
+    print(f"PASS={passed} SKIP(no-oracle)={skipped} FAIL={len(failures)}")
+    for n, msg in failures:
+        print(f"FAIL {n}: {msg}")
+    return 1 if failures else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided read-only parquet tables
+  * (`/root/testdata/sf*`; see TESTDATA.md / FIXTURES.md §B).
+  *
+  * All engine queries take the scale-factor dir as a parameter so the same
+  * plan runs at any SF — on a real cluster the dir would be an object-store
+  * prefix and these reads become distributed parquet scans with pushdown.
+  */
+object Tables {
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects. Read it as a nanos Long (legacy conf, set here so the loader
+    * works under ANY session the driver hands us) and truncate to a µs
+    * TimestampType — exactly what DuckDB does when it casts ns→TIMESTAMP,
+    * so oracle parity holds. */
+  private def events0(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts DIV 1000)"))
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = events0(s, d)
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}
+
+/** One judged query: a Spark DataFrame builder plus (when SQL-expressible)
+  * the equivalent DuckDB SQL the driver hash-compares against.
+  *
+  * Parity rules (SURVEY.md §5, FIXTURES.md cautions):
+  *  - deterministic total ORDER BY in both engines;
+  *  - identical result column names (driver sorts columns by name);
+  *  - float sums go through DECIMAL(18,2) so they are order-independent;
+  *  - no random()/now(); session TZ pinned UTC on both engines.
+  */
+final case class QDef(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String])

@@ -1,0 +1,493 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.{QDef, Tables => T}
+
+/** SURVEY.md §2.1–§2.8 operator inventory, one judged query per operator,
+  * re-expressed Spark-first over the driver test tables.
+  *
+  * Reference semantics (DuckDB SQL driven from Python/bash) cited per query;
+  * the Spark side is the declarative DataFrame API so Catalyst gets full
+  * pushdown/pruning/join-strategy freedom — verified via .explain in
+  * PlanSpec (filters reach the parquet scan, small dims broadcast).
+  */
+object Relational {
+
+  /** Order-independent exact sum of a 2-decimal money double:
+    * route through DECIMAL(18,2) then back to double. Needed because float
+    * addition is not associative — partial aggregation order differs between
+    * Spark partitions and the single-node DuckDB oracle. */
+  private def moneySum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  private val moneySumSql = (x: String) =>
+    s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+
+  val defs: Seq[QDef] = Seq(
+    // ---------------------------------------------------------------- §2.1
+    // S2 table scan + P1/P2 projection — ref demos/01_transaction_rollback/demo.py:74
+    QDef("s2_scan_project",
+      (s, d) => T.region(s, d)
+        .select(col("r_regionkey"), col("r_name"))
+        .orderBy("r_regionkey"),
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
+    // S4 range source — ref utils/ducklake_utils.py:109, exploration/benchmark_ducklake.sh:76
+    // also exercises F2 string concat ('user_' || i — ref utils/ducklake_utils.py:106)
+    QDef("s4_range_source",
+      (s, _) => s.range(1000)
+        .select(col("id"),
+          (col("id") * 2 + 1).as("odd"),
+          concat(lit("user_"), col("id")).as("uname"))
+        .orderBy("id"),
+      Some("SELECT range AS id, range*2+1 AS odd, 'user_' || range AS uname " +
+        "FROM range(1000) ORDER BY id")),
+
+    // S5 VALUES literal relation — ref demos/01_transaction_rollback/demo.py:58-66
+    QDef("s5_values_literal",
+      (s, _) => {
+        import s.implicits._
+        Seq((1, "widget", 9.99), (2, "gadget", 19.5), (3, "gizmo", 0.01))
+          .toDF("id", "name", "price").orderBy("id")
+      },
+      Some("SELECT id, name, CAST(price AS DOUBLE) AS price FROM (VALUES " +
+        "(1,'widget',9.99),(2,'gadget',19.5),(3,'gizmo',0.01)) t(id,name,price) " +
+        "ORDER BY id")),
+
+    // ---------------------------------------------------------------- §2.2
+    // P1 projection with aliases — ref exploration/ducklake_analysis.sh:109-117
+    QDef("p1_projection",
+      (s, d) => T.customer(s, d)
+        .select(col("c_custkey"), col("c_name").as("customer"),
+          col("c_acctbal").as("balance"))
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, c_name AS customer, c_acctbal AS balance " +
+        "FROM customer ORDER BY c_custkey")),
+
+    // P3 comparison filters — ref demos/01_transaction_rollback/demo.py:100,
+    // exploration/ducklake_analysis.sh:124,145
+    QDef("p3_filter_compare",
+      (s, d) => T.lineitem(s, d)
+        .filter(col("l_quantity") >= 45 &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
+        "WHERE l_quantity >= 45 AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "ORDER BY l_orderkey, l_linenumber")),
+
+    // P4 IN-list filter — ref demos/01_transaction_rollback/demo.py:168
+    QDef("p4_filter_in",
+      (s, d) => T.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, o_orderpriority FROM orders " +
+        "WHERE o_orderpriority IN ('1-URGENT','2-HIGH') ORDER BY o_orderkey")),
+
+    // P5 LIKE filter — ref demos/03_schema_evolution/demo.py:150-151
+    QDef("p5_filter_like",
+      (s, d) => T.part(s, d)
+        .filter(col("p_name").like("%idge%"))
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy("p_partkey"),
+      Some("SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%idge%' " +
+        "ORDER BY p_partkey")),
+
+    // P6 boolean conjunctions — ref exploration/ducklake_analysis.sh:124,145
+    QDef("p6_filter_bool",
+      (s, d) => T.orders(s, d)
+        .filter((col("o_orderstatus") === "F" && col("o_totalprice") > 300000.0)
+          || col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders " +
+        "WHERE (o_orderstatus = 'F' AND o_totalprice > 300000.0) " +
+        "OR o_orderpriority = '1-URGENT' ORDER BY o_orderkey")),
+
+    // P7 arithmetic predicate — ref exploration/benchmark_ducklake.sh:127,148
+    QDef("p7_filter_arith",
+      (s, d) => T.lineitem(s, d)
+        .filter(col("l_orderkey") % 10 === 0 && col("l_linenumber") % 2 === 1)
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("SELECT l_orderkey, l_linenumber FROM lineitem " +
+        "WHERE l_orderkey % 10 = 0 AND l_linenumber % 2 = 1 " +
+        "ORDER BY l_orderkey, l_linenumber")),
+
+    // P8 IS NULL guard (nulls induced by outer join) — ref demos/03_schema_evolution/demo.py:187-189
+    QDef("p8_null_check",
+      (s, d) => {
+        val p = T.part(s, d)
+        val li = T.lineitem(s, d).filter(col("l_quantity") >= 48)
+          .select(col("l_partkey"), col("l_orderkey"))
+        p.join(li, p("p_partkey") === li("l_partkey"), "left_outer")
+          .filter(col("l_orderkey").isNull)
+          .select(col("p_partkey"))
+          .orderBy("p_partkey")
+      },
+      Some("SELECT p_partkey FROM part LEFT JOIN " +
+        "(SELECT l_partkey, l_orderkey FROM lineitem WHERE l_quantity >= 48) li " +
+        "ON p_partkey = l_partkey " +
+        "WHERE l_orderkey IS NULL ORDER BY p_partkey")),
+
+    // P9 multi-arm CASE WHEN — ref exploration/ducklake_analysis.sh:92-97
+    QDef("p9_case_multiarm",
+      (s, d) => T.customer(s, d)
+        .select(when(col("c_acctbal") < 0, "debt")
+          .when(col("c_acctbal") < 5000, "low")
+          .otherwise("high").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+      Some("SELECT CASE WHEN c_acctbal < 0 THEN 'debt' " +
+        "WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bucket, " +
+        "count(*) AS n FROM customer GROUP BY 1 ORDER BY bucket")),
+
+    // P10 casts — ref exploration/benchmark_ducklake.sh:75,100-102.
+    // DuckDB double::INT rounds half-even while Spark ANSI cast truncates,
+    // so both sides floor() explicitly (SURVEY.md §2.2 P10 caution).
+    QDef("p10_cast",
+      (s, d) => T.lineitem(s, d)
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_extendedprice")).cast(LongType).as("price_floor"),
+          col("l_shipdate").cast(DateType).as("ship_day"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("SELECT l_orderkey, l_linenumber, " +
+        "CAST(floor(l_extendedprice) AS BIGINT) AS price_floor, " +
+        "CAST(l_shipdate AS DATE) AS ship_day FROM lineitem " +
+        "WHERE l_orderkey % 100 = 0 ORDER BY l_orderkey, l_linenumber")),
+
+    // ---------------------------------------------------------------- §2.3
+    // J1 inner equi-join chain — ref demos/02_time_travel/demo.py:273-290.
+    // nation/region are tiny dims: Catalyst broadcasts both (no shuffle of
+    // customer), which is exactly the 100TB-scale plan we want.
+    QDef("j1_join_inner",
+      (s, d) => {
+        val c = T.customer(s, d)
+        val n = T.nation(s, d)
+        val r = T.region(s, d)
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .filter(col("c_acctbal") > 9000.0)
+          .select(col("c_custkey"), col("n_name"), col("r_name"))
+          .orderBy("c_custkey")
+      },
+      Some("SELECT c_custkey, n_name, r_name FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE c_acctbal > 9000.0 ORDER BY c_custkey")),
+
+    // J2 left outer join + downstream agg — ref demos/05_catalog_portability/demo.py:155-163
+    QDef("j2_join_left_agg",
+      (s, d) => {
+        val p = T.part(s, d)
+        val li = T.lineitem(s, d)
+        p.join(li, p("p_partkey") === li("l_partkey"), "left_outer")
+          .groupBy(col("p_partkey"))
+          .agg(count(col("l_orderkey")).as("n_li"),
+            coalesce(sum(col("l_quantity")), lit(0).cast(DoubleType)).as("total_qty"))
+          .orderBy("p_partkey")
+      },
+      Some("SELECT p_partkey, count(l_orderkey) AS n_li, " +
+        "CAST(coalesce(sum(l_quantity), 0) AS DOUBLE) AS total_qty " +
+        "FROM part LEFT JOIN lineitem ON p_partkey = l_partkey " +
+        "GROUP BY p_partkey ORDER BY p_partkey")),
+
+    // J3a left-semi (EXISTS) — ref demos/01_transaction_rollback/demo.py:186-212
+    QDef("j3_semi_join",
+      (s, d) => {
+        val o = T.orders(s, d)
+        val li = T.lineitem(s, d).filter(col("l_quantity") >= 49)
+        o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_totalprice FROM orders WHERE EXISTS " +
+        "(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49) " +
+        "ORDER BY o_orderkey")),
+
+    // J3b left-anti (NOT EXISTS) — inventory-check complement
+    QDef("j3_anti_join",
+      (s, d) => {
+        val p = T.part(s, d)
+        val li = T.lineitem(s, d).filter(col("l_quantity") >= 48)
+        p.join(li, p("p_partkey") === li("l_partkey"), "left_anti")
+          .select(col("p_partkey"), col("p_name"))
+          .orderBy("p_partkey")
+      },
+      Some("SELECT p_partkey, p_name FROM part WHERE NOT EXISTS " +
+        "(SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity >= 48) " +
+        "ORDER BY p_partkey")),
+
+    // ---------------------------------------------------------------- §2.4
+    // A1 global COUNT(*) — ref demos/02_time_travel/demo.py:118
+    QDef("a1_count_global",
+      (s, d) => T.lineitem(s, d).agg(count(lit(1)).as("n")),
+      Some("SELECT count(*) AS n FROM lineitem")),
+
+    // A2 group-by count — ref demos/03_schema_evolution/demo.py:164-169
+    QDef("a2_groupby_count",
+      (s, d) => T.events(s, d)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("SELECT event_type, count(*) AS n FROM events GROUP BY event_type " +
+        "ORDER BY event_type")),
+
+    // A3 multi-aggregate per group — ref exploration/ducklake_analysis.sh:109-117.
+    // avg(l_quantity) is exact: quantities are integral doubles, so partial
+    // sums are order-independent; money sums use the DECIMAL route.
+    QDef("a3_multi_agg",
+      (s, d) => T.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          avg(col("l_quantity")).as("avg_qty"),
+          min(col("l_shipdate")).as("first_ship"),
+          max(col("l_shipdate")).as("last_ship"),
+          moneySum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "avg(l_quantity) AS avg_qty, min(l_shipdate) AS first_ship, " +
+        s"max(l_shipdate) AS last_ship, ${moneySumSql("l_extendedprice")} AS sum_price " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus")),
+
+    // A4 COALESCE(SUM) null-safe over left join — ref demos/05_catalog_portability/demo.py:159
+    QDef("a4_coalesce_sum",
+      (s, d) => {
+        val c = T.customer(s, d)
+        val o = T.orders(s, d)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(coalesce(sum(col("o_totalprice").cast(DecimalType(18, 2))),
+            lit(0)).cast(DoubleType).as("spent"))
+          .orderBy("c_custkey")
+      },
+      Some("SELECT c_custkey, CAST(coalesce(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) " +
+        "AS DOUBLE) AS spent FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY c_custkey ORDER BY c_custkey")),
+
+    // A5 conditional aggregation — ref demos/05_catalog_portability/demo.py:344-353
+    QDef("a5_conditional_agg",
+      (s, d) => T.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+      Some("SELECT o_orderpriority, " +
+        "CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f, " +
+        "CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o, " +
+        "count(*) AS n FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+
+    // A6 COUNT(DISTINCT) — ref demos/05_catalog_portability/demo.py:356-365
+    QDef("a6_count_distinct",
+      (s, d) => T.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderpriority"),
+      Some("SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+
+    // A7 scalar agg id-allocation — ref demos/03_schema_evolution/demo.py:45-47
+    QDef("a7_scalar_max_alloc",
+      (s, d) => T.orders(s, d)
+        .agg((coalesce(max(col("o_orderkey")), lit(0L)) + 1).as("next_id")),
+      Some("SELECT coalesce(max(o_orderkey), 0) + 1 AS next_id FROM orders")),
+
+    // ---------------------------------------------------------------- §2.5
+    // W1 row_number window — ref exploration/ducklake_analysis.sh:87.
+    // Deterministic tie-break on c_custkey (DuckDB's bare OVER () is
+    // nondeterministic; both sides order explicitly).
+    QDef("w1_row_number",
+      (s, d) => {
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        T.customer(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("c_nationkey"), col("rn"), col("c_custkey"), col("c_acctbal"))
+          .orderBy("c_nationkey", "rn")
+      },
+      Some("SELECT c_nationkey, rn, c_custkey, c_acctbal FROM (" +
+        "SELECT c_nationkey, c_custkey, c_acctbal, row_number() OVER " +
+        "(PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn " +
+        "FROM customer) WHERE rn <= 3 ORDER BY c_nationkey, rn")),
+
+    // ---------------------------------------------------------------- §2.6
+    // O1 single-key sort — ref demos/01_transaction_rollback/demo.py:74
+    QDef("o1_order_single",
+      (s, d) => T.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy("s_suppkey"),
+      Some("SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey")),
+
+    // O2 multi-key sort — ref exploration/ducklake_analysis.sh:183
+    QDef("o2_order_multi",
+      (s, d) => T.lineitem(s, d)
+        .filter(col("l_orderkey") % 500 === 0)
+        .select(col("l_returnflag"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"))
+        .orderBy("l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber"),
+      Some("SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber FROM lineitem " +
+        "WHERE l_orderkey % 500 = 0 " +
+        "ORDER BY l_returnflag, l_shipdate, l_orderkey, l_linenumber")),
+
+    // O3 top-k (ORDER BY DESC LIMIT) — ref demos/02_time_travel/demo.py:132-137.
+    // Spark plans TakeOrderedAndProject: no global sort, per-partition heaps.
+    QDef("o3_topk_desc",
+      (s, d) => T.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+      Some("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10")),
+
+    // O4 LIMIT — ref demos/03_schema_evolution/demo.py:253 (ordered here for determinism)
+    QDef("o4_limit",
+      (s, d) => T.customer(s, d)
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+        .limit(5),
+      Some("SELECT c_custkey, c_name FROM customer ORDER BY c_custkey LIMIT 5")),
+
+    // O5 order by aggregate output — ref demos/03_schema_evolution/demo.py:167-168
+    QDef("o5_order_by_agg",
+      (s, d) => T.events(s, d)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type")),
+      Some("SELECT event_type, count(*) AS n FROM events GROUP BY event_type " +
+        "ORDER BY n DESC, event_type")),
+
+    // ---------------------------------------------------------------- §2.7
+    // U1 UNION ALL — ref exploration/ducklake_analysis.sh:167-183
+    QDef("u1_union_all",
+      (s, d) => {
+        val hi = T.customer(s, d).filter(col("c_acctbal") > 9500.0)
+          .select(lit("high").as("src"), col("c_custkey"), col("c_acctbal"))
+        val lo = T.customer(s, d).filter(col("c_acctbal") < -900.0)
+          .select(lit("low").as("src"), col("c_custkey"), col("c_acctbal"))
+        hi.unionByName(lo).orderBy("src", "c_custkey")
+      },
+      Some("SELECT 'high' AS src, c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9500.0 " +
+        "UNION ALL SELECT 'low' AS src, c_custkey, c_acctbal FROM customer " +
+        "WHERE c_acctbal < -900.0 ORDER BY src, c_custkey")),
+
+    // U2 CTE pipeline — ref demos/02_time_travel/demo.py:273-290
+    QDef("u2_cte_pipeline",
+      (s, d) => {
+        val spend = T.orders(s, d).groupBy(col("o_custkey"))
+          .agg(moneySum(col("o_totalprice")).as("spent"),
+            count(lit(1)).as("n_orders"))
+        val c = T.customer(s, d)
+        c.join(spend, c("c_custkey") === spend("o_custkey"))
+          .filter(col("n_orders") >= 3)
+          .select(col("c_custkey"), col("c_mktsegment"), col("spent"), col("n_orders"))
+          .orderBy("c_custkey")
+      },
+      Some("WITH spend AS (SELECT o_custkey, " +
+        s"${moneySumSql("o_totalprice")} AS spent, count(*) AS n_orders " +
+        "FROM orders GROUP BY o_custkey) " +
+        "SELECT c_custkey, c_mktsegment, spent, n_orders FROM customer " +
+        "JOIN spend ON c_custkey = o_custkey WHERE n_orders >= 3 ORDER BY c_custkey")),
+
+    // ---------------------------------------------------------------- §2.8
+    // F2 string concat — ref utils/ducklake_utils.py:106
+    QDef("f2_concat",
+      (s, d) => T.nation(s, d)
+        .select(col("n_nationkey"), concat(lit("nation_"), col("n_name")).as("tag"))
+        .orderBy("n_nationkey"),
+      Some("SELECT n_nationkey, 'nation_' || n_name AS tag FROM nation " +
+        "ORDER BY n_nationkey")),
+
+    // F4 date arithmetic — ref exploration/benchmark_ducklake.sh:102,
+    // exploration/ducklake_analysis.sh:90
+    QDef("f4_date_arith",
+      (s, d) => T.orders(s, d)
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"),
+          date_add(col("o_orderdate").cast(DateType), 30).as("due_date"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("followup_ts"))
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, CAST(o_orderdate AS DATE) + 30 AS due_date, " +
+        "o_orderdate + INTERVAL 7 DAY AS followup_ts FROM orders " +
+        "WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey")),
+
+    // F6 CASE + LIKE classification — ref demos/03_schema_evolution/demo.py:148-154
+    QDef("f6_case_like",
+      (s, d) => T.part(s, d)
+        .select(when(col("p_type").like("ECO%"), "economy")
+          .when(col("p_type").like("SM%"), "small")
+          .otherwise("other").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket"),
+      Some("SELECT CASE WHEN p_type LIKE 'ECO%' THEN 'economy' " +
+        "WHEN p_type LIKE 'SM%' THEN 'small' ELSE 'other' END AS bucket, " +
+        "count(*) AS n FROM part GROUP BY 1 ORDER BY bucket")),
+
+    // F7 json_valid — ref demos/03_schema_evolution/demo.py:283
+    QDef("f7_json_valid",
+      (s, d) => T.events(s, d)
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(get_json_object(col("props"), "$").isNotNull, 1)
+            .otherwise(0)).as("n_valid")),
+      Some("SELECT count(*) AS n_total, " +
+        "CAST(SUM(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT) AS n_valid " +
+        "FROM events")),
+
+    // F8 json_extract_string — ref demos/03_schema_evolution/demo.py:284
+    QDef("f8_json_extract",
+      (s, d) => T.events(s, d)
+        .filter(col("event_id") % 97 === 0)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, json_extract_string(props, '$.k') AS k_str " +
+        "FROM events WHERE event_id % 97 = 0 ORDER BY event_id")),
+
+    // F10 row-level arithmetic — ref demos/01_transaction_rollback/demo.py:98-100.
+    // Pure per-row IEEE double expressions are deterministic across engines
+    // as long as the association order matches (it does: left-assoc).
+    QDef("f10_arithmetic",
+      (s, d) => T.lineitem(s, d)
+        .filter(col("l_orderkey") % 200 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))).as("net"),
+          (col("l_quantity") - 5).as("qty_less"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("SELECT l_orderkey, l_linenumber, " +
+        "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS net, " +
+        "l_quantity - 5 AS qty_less FROM lineitem " +
+        "WHERE l_orderkey % 200 = 0 ORDER BY l_orderkey, l_linenumber")),
+
+    // Headline composite: TPC-H Q1-shaped pricing summary (bench workhorse;
+    // exercises scan→filter→hash-agg→sort in one whole-stage-codegen span).
+    QDef("q1_pricing_summary",
+      (s, d) => T.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          // disc price in EXACT decimal arithmetic: casting each 2-decimal
+          // operand to DECIMAL recovers its intended value exactly in both
+          // engines; double-product-then-round differs between engines.
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+            .cast(DoubleType).as("sum_disc_price"),
+          avg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("SELECT l_returnflag, l_linestatus, " +
+        "CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, " +
+        s"${moneySumSql("l_extendedprice")} AS sum_base_price, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) " +
+        "AS sum_disc_price, avg(l_quantity) AS avg_qty, count(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"))
+  )
+}
