@@ -1,0 +1,238 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Spark-native lakehouse catalog with DuckLake's capability set
+  * (ref README.md:13-31): numbered catalog-level snapshots, atomic
+  * multi-table transactions with rollback, time travel by version or
+  * timestamp, transactional schema evolution, copy-on-write UPDATE/DELETE,
+  * and metadata exposed as DataFrames.
+  *
+  * Architecture (SURVEY.md §7): a thin coordination layer ABOVE the public
+  * DataFrame API — all data movement is declarative Spark (scans, unions,
+  * rewrites), so Catalyst keeps pushdown/pruning/codegen; only the
+  * manifest bookkeeping is custom. Snapshot-scoped file pruning happens
+  * before plan construction: `readAt` hands Spark the exact parquet file
+  * list for that version, so no listing and no stale files are ever
+  * scanned (ref exploration/benchmark_ducklake.sh:194-197).
+  */
+final class ConstraintViolation(msg: String) extends RuntimeException(msg)
+
+class LakeCatalog(val spark: SparkSession, val root: String) {
+  private val conf = spark.sessionState.newHadoopConf()
+  private[lake] def hadoopConf = conf
+  private[lake] val fs = Manifest.fs(root, conf)
+
+  def currentVersion: Long = Manifest.currentVersion(root, conf)
+  def snapshot(v: Long): Snapshot = Manifest.load(root, v, conf)
+  def current: Snapshot = snapshot(currentVersion)
+
+  // ------------------------------------------------------------------ reads
+
+  /** Schema (all nullable on read; NOT NULL is enforced on write). */
+  private[lake] def structOf(cols: Seq[ColumnDef]): StructType =
+    StructType(cols.map(c =>
+      StructField(c.name, DataType.fromJson(c.typeJson), nullable = true)))
+
+  private[lake] def absPath(rel: String): Path =
+    fs.makeQualified(new Path(new Path(root), rel))
+
+  /** Read a table state: per-schema-version file groups are each scanned
+    * with their OWN written schema, then aligned to the current schema by
+    * stable column id — add-with-default / drop / rename are pure metadata
+    * (no file rewrites), exactly DuckLake's evolution semantics
+    * (ref demos/03_schema_evolution/demo.py:112-198). */
+  private[lake] def readState(st: TableState): DataFrame = {
+    val cur = st.columns
+    val curSchema = structOf(cur)
+    if (st.files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], curSchema)
+    val groups = st.files.groupBy(_.schemaVersion)
+    groups.map { case (v, entries) =>
+      val written = st.columnsAt(v)
+      val byId = written.map(c => c.id -> c).toMap
+      val df = spark.read.schema(structOf(written))
+        .parquet(entries.map(e => absPath(e.path).toString): _*)
+      df.select(cur.map { c =>
+        byId.get(c.id) match {
+          case Some(old) =>
+            col(old.name).cast(DataType.fromJson(c.typeJson)).as(c.name)
+          case None =>
+            expr(c.default.getOrElse("NULL"))
+              .cast(DataType.fromJson(c.typeJson)).as(c.name)
+        }
+      }: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  private def stateOf(s: Snapshot, table: String): TableState =
+    s.tables.getOrElse(table,
+      throw new NoSuchElementException(s"table not found: $table"))
+
+  /** Current-snapshot scan (S2). */
+  def read(table: String): DataFrame = readState(stateOf(current, table))
+
+  /** Time-travel scan by version (S3, `AT (VERSION => v)`). */
+  def readAt(table: String, version: Long): DataFrame =
+    readState(stateOf(snapshot(version), table))
+
+  /** Time-travel scan by timestamp: newest snapshot at or before `tsMs`
+    * (S3, `AT (TIMESTAMP => ts)` — ref demos/02_time_travel/demo.py:196). */
+  def readAsOf(table: String, tsMs: Long): DataFrame =
+    readAt(table, versionAsOf(tsMs))
+
+  def versionAsOf(tsMs: Long): Long = {
+    val cur = currentVersion
+    val live = (1L to cur).filter(v => snapshot(v).timestampMs <= tsMs)
+    if (live.isEmpty)
+      throw new NoSuchElementException(s"no snapshot at or before $tsMs")
+    live.max
+  }
+
+  /** Materialize a stored view (D3): tables become temp views, the stored
+    * SQL runs against them (ref demos/03_schema_evolution/demo.py:273-288). */
+  def readView(name: String): DataFrame = {
+    val s = current
+    val sql = s.views.getOrElse(name,
+      throw new NoSuchElementException(s"view not found: $name"))
+    s.tables.keys.foreach(t => readState(s.tables(t)).createOrReplaceTempView(t))
+    spark.sql(sql)
+  }
+
+  // ------------------------------------------------- metadata as DataFrames
+
+  /** `ducklake_snapshots()` analog (T1 — ref utils/ducklake_utils.py:58-62):
+    * (snapshot_id, snapshot_time, schema_version, changes). */
+  def snapshots(): DataFrame = {
+    import spark.implicits._
+    (1L to currentVersion).map { v =>
+      val s = snapshot(v)
+      (s.snapshotId, new java.sql.Timestamp(s.timestampMs), s.schemaVersion,
+        s.changes.map { case (k, vs) => k -> vs.mkString(",") })
+    }.toDF("snapshot_id", "snapshot_time", "schema_version", "changes")
+  }
+
+  /** `ducklake_table_info()` analog (T2 — ref exploration/benchmark_ducklake.sh:164-168). */
+  def tableInfo(): DataFrame = {
+    import spark.implicits._
+    current.tables.toSeq.sortBy(_._1).map { case (name, st) =>
+      (name, st.files.size.toLong, st.files.map(_.sizeBytes).sum,
+        st.files.map(_.rowCount).sum, st.schemaVersion)
+    }.toDF("table_name", "file_count", "total_size_bytes", "row_count",
+      "schema_version")
+  }
+
+  /** `ducklake_table_changes()` analog (T3 — ref utils/ducklake_utils.py:65-78):
+    * row-level diff between two versions, tagged insert/delete. Multiset
+    * semantics via exceptAll so duplicate rows diff correctly. */
+  def tableChanges(table: String, fromV: Long, toV: Long): DataFrame = {
+    val before = readAt(table, fromV)
+    val after = readAt(table, toV)
+    val common = before.columns.intersect(after.columns).toSeq
+    val b = before.select(common.map(col): _*)
+    val a = after.select(common.map(col): _*)
+    a.exceptAll(b).withColumn("change_type", lit("insert"))
+      .unionByName(b.exceptAll(a).withColumn("change_type", lit("delete")))
+  }
+
+  /** `information_schema.tables` analog (D11). */
+  def listTables(): DataFrame = {
+    import spark.implicits._
+    current.tables.keys.toSeq.sorted.toDF("table_name")
+  }
+
+  /** `information_schema.columns` / DESCRIBE analog (D10/D11). */
+  def listColumns(): DataFrame = {
+    import spark.implicits._
+    current.tables.toSeq.sortBy(_._1).flatMap { case (t, st) =>
+      st.columns.zipWithIndex.map { case (c, i) =>
+        (t, c.name, DataType.fromJson(c.typeJson).simpleString,
+          i + 1, !st.notNull.contains(c.name), c.default)
+      }
+    }.toDF("table_name", "column_name", "data_type", "ordinal_position",
+      "is_nullable", "column_default")
+  }
+
+  def describe(table: String): DataFrame = {
+    import spark.implicits._
+    val st = stateOf(current, table)
+    st.columns.map { c =>
+      (c.name, DataType.fromJson(c.typeJson).simpleString,
+        if (st.notNull.contains(c.name)) "NO" else "YES",
+        c.default.getOrElse(""))
+    }.toDF("column_name", "column_type", "null", "default")
+  }
+
+  // ------------------------------------------------------------ transactions
+
+  /** Atomic multi-statement, multi-table transaction (M5/M6 — ref
+    * demos/01_transaction_rollback/demo.py:177-214). The body stages
+    * parquet writes + a new manifest; COMMIT is one atomic manifest
+    * publish. On exception staged files are deleted (ROLLBACK). On a
+    * lost publish race the body re-runs against the fresh snapshot
+    * (optimistic concurrency — the DuckLake "many concurrent writers
+    * through one transactional catalog" model, ref README.md:244). */
+  def transaction[T](f: Tx => T): T = {
+    var attempts = 0
+    while (attempts < 25) {
+      val base = currentVersion
+      val tx = new Tx(this, snapshot(base))
+      val result =
+        try f(tx)
+        catch { case e: Throwable => tx.cleanupStaged(); throw e }
+      val next = tx.buildSnapshot(base + 1)
+      if (Manifest.publish(root, base + 1, next, conf)) return result
+      tx.cleanupStaged()
+      attempts += 1
+      Thread.sleep(3L * attempts)
+    }
+    throw new IllegalStateException(s"commit contention after $attempts attempts")
+  }
+
+  // --------------------------------------------- single-op convenience APIs
+
+  def createTable(name: String, schema: StructType,
+      primaryKey: Seq[String] = Nil, notNull: Seq[String] = Nil): Unit =
+    transaction(_.createTable(name, schema, primaryKey, notNull))
+
+  /** CTAS (D2 — ref utils/ducklake_utils.py:101-111). */
+  def createTableAs(name: String, df: DataFrame): Unit =
+    transaction(_.createTableAs(name, df))
+
+  def insert(table: String, df: DataFrame): Unit =
+    transaction(_.insert(table, df))
+
+  def update(table: String, where: Column, sets: Map[String, Column]): Unit =
+    transaction(_.update(table, where, sets))
+
+  def delete(table: String, where: Column): Unit =
+    transaction(_.delete(table, where))
+
+  def createView(name: String, sql: String): Unit =
+    transaction(_.createView(name, sql))
+
+  /** Compaction: fold a table's many small files into size-targeted ones —
+    * the maintenance half of the small-file story (M8 — ref
+    * demos/04_small_file_optimization/FINDINGS.md:21-27). */
+  def compact(table: String, targetFileBytes: Long = 128L << 20): Unit =
+    transaction(_.compact(table, targetFileBytes))
+
+  /** Catalog migration (S8 — ref demos/05_catalog_portability/demo.py:199-252):
+    * recreate every table (schema, constraints, rows) and view of `this`
+    * in `dst`, atomically there. */
+  def migrateTo(dst: LakeCatalog): Unit = {
+    val snap = current
+    dst.transaction { tx =>
+      snap.tables.toSeq.sortBy(_._1).foreach { case (name, st) =>
+        tx.createTable(name, structOf(st.columns), st.primaryKey, st.notNull)
+        val rows = readState(st)
+        if (st.files.nonEmpty) tx.insert(name, rows)
+      }
+      snap.views.foreach { case (n, sql) => tx.createView(n, sql) }
+    }
+  }
+}

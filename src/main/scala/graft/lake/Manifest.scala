@@ -1,0 +1,127 @@
+package graft.lake
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.Serialization
+
+import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+import java.nio.charset.StandardCharsets
+
+/** Versioned catalog metadata — the Spark-native analog of DuckLake's
+  * "metadata is just rows in a transactional store" design
+  * (ref README.md:202-209, utils/ducklake_utils.py:58-78).
+  *
+  * One immutable JSON snapshot file per committed transaction under
+  * `<root>/_manifest/v{N}.json`; current state = max N. A snapshot is
+  * CATALOG-level (covers every table), which is what makes multi-table
+  * transactions atomic (ref demos/01_transaction_rollback/demo.py:177-214,
+  * README.md:22-31) — one file publish commits changes to any number of
+  * tables at once.
+  *
+  * Scale notes (100 TB / 1000 executors):
+  *  - The manifest holds file-level metadata only (path, size, rows,
+  *    schema version) — O(files), never O(rows). Readers resolve a
+  *    snapshot with ONE metadata read instead of object-store listing.
+  *  - All data IO goes through the Hadoop FileSystem API, so `root` can
+  *    be hdfs:// or s3a:// unchanged; publish uses create-exclusive
+  *    semantics (atomic on HDFS; hard-link trick on local fs for tests).
+  */
+final case class ColumnDef(
+    id: Int,                 // stable identity — survives renames
+    name: String,
+    typeJson: String,        // Spark DataType JSON
+    default: Option[String]) // SQL literal expr, for files predating the col
+
+final case class FileEntry(
+    path: String,            // relative to lake root
+    sizeBytes: Long,
+    rowCount: Long,
+    schemaVersion: Int)      // table schema version the file was written under
+
+final case class TableState(
+    schemaVersion: Int,
+    schemas: Map[String, Seq[ColumnDef]], // version (as string for JSON) -> cols
+    files: Seq[FileEntry],
+    primaryKey: Seq[String],
+    notNull: Seq[String],
+    nextColId: Int) {
+  def columns: Seq[ColumnDef] = schemas(schemaVersion.toString)
+  def columnsAt(v: Int): Seq[ColumnDef] = schemas(v.toString)
+}
+
+final case class Snapshot(
+    snapshotId: Long,
+    timestampMs: Long,
+    schemaVersion: Long,                  // catalog-global DDL counter
+    changes: Map[String, Seq[String]],    // e.g. tables_deleted_from -> [t]
+    tables: Map[String, TableState],
+    views: Map[String, String])           // view name -> SQL text
+
+object Manifest {
+  private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
+
+  val empty: Snapshot = Snapshot(0L, 0L, 0L, Map.empty, Map.empty, Map.empty)
+
+  def toJson(s: Snapshot): String = Serialization.write(s)
+  def fromJson(j: String): Snapshot = JsonMethods.parse(j).extract[Snapshot]
+
+  def manifestDir(root: String) = new Path(root, "_manifest")
+  private def versionPath(root: String, v: Long) =
+    new Path(manifestDir(root), s"v$v.json")
+
+  def fs(root: String, conf: Configuration): FileSystem =
+    new Path(root).getFileSystem(conf)
+
+  /** Current committed version (0 = empty catalog, no manifest yet). */
+  def currentVersion(root: String, conf: Configuration): Long = {
+    val f = fs(root, conf)
+    val dir = manifestDir(root)
+    if (!f.exists(dir)) 0L
+    else {
+      val vs = f.listStatus(dir).iterator.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+          n.stripPrefix("v").stripSuffix(".json").toLong }
+      if (vs.isEmpty) 0L else vs.max
+    }
+  }
+
+  def load(root: String, v: Long, conf: Configuration): Snapshot = {
+    if (v == 0L) return empty
+    val f = fs(root, conf)
+    val in = f.open(versionPath(root, v))
+    try fromJson(new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
+  /** Atomically publish snapshot as version `v`; returns false when another
+    * writer won the race (caller retries on fresh state). Local fs uses a
+    * hard link (atomic + EEXIST); remote fs uses create-exclusive, which is
+    * atomic on HDFS. */
+  def publish(root: String, v: Long, s: Snapshot, conf: Configuration): Boolean = {
+    val f = fs(root, conf)
+    f.mkdirs(manifestDir(root))
+    val target = versionPath(root, v)
+    val bytes = toJson(s).getBytes(StandardCharsets.UTF_8)
+    if (f.getScheme == "file") {
+      val tmp = new Path(manifestDir(root), s".v$v.${java.util.UUID.randomUUID}.tmp")
+      val out = f.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      val localTmp = Paths.get(tmp.toUri.getPath)
+      val localTarget = Paths.get(target.toUri.getPath)
+      try { Files.createLink(localTarget, localTmp); Files.delete(localTmp); true }
+      catch { case _: FileAlreadyExistsException =>
+        Files.delete(localTmp); false }
+    } else {
+      if (f.exists(target)) return false
+      try {
+        val out = f.create(target, false) // create-exclusive
+        try out.write(bytes) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+}

@@ -1,0 +1,290 @@
+package graft.lake
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** One in-flight transaction: staged multi-table mutations over a base
+  * snapshot. Data files are written immediately (unreferenced until the
+  * manifest publish makes them live), metadata changes accumulate in
+  * memory; `LakeCatalog.transaction` publishes or rolls back.
+  *
+  * Every mutation is a declarative Spark job over the staged state, so the
+  * engine work (scan, filter, rewrite, constraint checks) is distributed
+  * and codegen'd; only bookkeeping runs on the driver.
+  */
+class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
+  private val spark: SparkSession = cat.spark
+  private val tables = mutable.LinkedHashMap.from(base.tables)
+  private val views = mutable.LinkedHashMap.from(base.views)
+  private val changes = mutable.LinkedHashMap.empty[String, mutable.LinkedHashSet[String]]
+  private val stagedDirs = mutable.ArrayBuffer.empty[Path]
+  private var ddlCount = 0
+
+  private def change(kind: String, table: String): Unit =
+    changes.getOrElseUpdate(kind, mutable.LinkedHashSet.empty) += table
+
+  private def state(table: String): TableState =
+    tables.getOrElse(table,
+      throw new NoSuchElementException(s"table not found: $table"))
+
+  /** Read a table as staged inside this transaction. */
+  def read(table: String): DataFrame = cat.readState(state(table))
+
+  // ------------------------------------------------------------------- DDL
+
+  /** D1 `CREATE TABLE` (ref demos/01_transaction_rollback/demo.py:33-55). */
+  def createTable(name: String, schema: StructType,
+      primaryKey: Seq[String] = Nil, notNull: Seq[String] = Nil): Unit = {
+    require(!tables.contains(name), s"table already exists: $name")
+    val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+      ColumnDef(i, f.name, f.dataType.json, None)
+    }.toSeq
+    tables(name) = TableState(1, Map("1" -> cols), Nil,
+      primaryKey, (notNull ++ primaryKey).distinct, cols.size)
+    ddlCount += 1
+    change("tables_created", name)
+  }
+
+  /** D2 CTAS (ref utils/ducklake_utils.py:101-111). */
+  def createTableAs(name: String, df: DataFrame): Unit = {
+    createTable(name, df.schema)
+    insert(name, df)
+  }
+
+  /** D4/D5 `ALTER TABLE ADD COLUMN [DEFAULT v]` — old files read the
+    * default back without rewrite (ref demos/03_schema_evolution/demo.py:118-131). */
+  def addColumn(table: String, name: String, dataType: DataType,
+      defaultSql: Option[String] = None): Unit = {
+    val st = state(table)
+    require(!st.columns.exists(_.name == name), s"column exists: $name")
+    val v2 = st.schemaVersion + 1
+    val cols = st.columns :+ ColumnDef(st.nextColId, name, dataType.json, defaultSql)
+    tables(table) = st.copy(schemaVersion = v2,
+      schemas = st.schemas + (v2.toString -> cols), nextColId = st.nextColId + 1)
+    ddlCount += 1
+    change("tables_altered", table)
+  }
+
+  /** D6 `ALTER TABLE DROP COLUMN` — metadata only. */
+  def dropColumn(table: String, name: String): Unit = {
+    val st = state(table)
+    require(st.columns.exists(_.name == name), s"no such column: $name")
+    val v2 = st.schemaVersion + 1
+    tables(table) = st.copy(schemaVersion = v2,
+      schemas = st.schemas + (v2.toString -> st.columns.filterNot(_.name == name)),
+      primaryKey = st.primaryKey.filterNot(_ == name),
+      notNull = st.notNull.filterNot(_ == name))
+    ddlCount += 1
+    change("tables_altered", table)
+  }
+
+  /** D7 `ALTER TABLE RENAME COLUMN` — metadata only; stable column ids keep
+    * old files readable. */
+  def renameColumn(table: String, from: String, to: String): Unit = {
+    val st = state(table)
+    require(st.columns.exists(_.name == from), s"no such column: $from")
+    require(!st.columns.exists(_.name == to), s"column exists: $to")
+    val v2 = st.schemaVersion + 1
+    val cols = st.columns.map(c => if (c.name == from) c.copy(name = to) else c)
+    tables(table) = st.copy(schemaVersion = v2,
+      schemas = st.schemas + (v2.toString -> cols),
+      primaryKey = st.primaryKey.map(c => if (c == from) to else c),
+      notNull = st.notNull.map(c => if (c == from) to else c))
+    ddlCount += 1
+    change("tables_altered", table)
+  }
+
+  /** D8 `ALTER COLUMN SET NOT NULL` — validates existing rows first
+    * (ref demos/03_schema_evolution/demo.py:215-221). */
+  def setNotNull(table: String, colName: String): Unit = {
+    val st = state(table)
+    require(st.columns.exists(_.name == colName), s"no such column: $colName")
+    if (!read(table).filter(col(colName).isNull).isEmpty)
+      throw new ConstraintViolation(
+        s"$table.$colName contains NULLs; cannot SET NOT NULL")
+    tables(table) = st.copy(notNull = (st.notNull :+ colName).distinct)
+    ddlCount += 1
+    change("tables_altered", table)
+  }
+
+  /** D9 type-change recipe = addColumn + update(copy) + dropColumn +
+    * renameColumn composed in ONE transaction
+    * (ref demos/03_schema_evolution/demo.py:181-198). */
+  def changeColumnType(table: String, colName: String, to: DataType): Unit = {
+    val tmp = s"__${colName}_cast"
+    addColumn(table, tmp, to, None)
+    update(table, lit(true), Map(tmp -> col(colName).cast(to)))
+    dropColumn(table, colName)
+    renameColumn(table, tmp, colName)
+  }
+
+  /** D3 `CREATE OR REPLACE VIEW` (ref demos/03_schema_evolution/demo.py:273-288). */
+  def createView(name: String, sql: String): Unit = {
+    views(name) = sql
+    ddlCount += 1
+    change("views_created", name)
+  }
+
+  def dropTable(name: String): Unit = {
+    state(name) // existence check
+    tables.remove(name)
+    ddlCount += 1
+    change("tables_dropped", name)
+  }
+
+  // ------------------------------------------------------------------- DML
+
+  /** M1/M2 `INSERT INTO` from any DataFrame (VALUES, SELECT, time-travel
+    * recovery — ref demos/02_time_travel/demo.py:228-235). Partial column
+    * lists fill from column defaults, then NULL. */
+  def insert(table: String, df: DataFrame): Unit = {
+    val st = state(table)
+    val aligned = alignToSchema(df, st)
+    validate(table, st, aligned, checkPkAgainstExisting = true)
+    val written = writeFiles(table, aligned, st.schemaVersion)
+    tables(table) = st.copy(files = st.files ++ written)
+    change("tables_inserted_into", table)
+  }
+
+  /** M3 copy-on-write `UPDATE ... SET ... WHERE` (ref
+    * demos/01_transaction_rollback/demo.py:96-102): ONLY files containing
+    * matching rows are rewritten; untouched files carry over, so prior
+    * snapshots keep their data and the write cost is proportional to the
+    * affected fraction — the property that matters at 100 TB. */
+  def update(table: String, where: Column, sets: Map[String, Column]): Unit = {
+    val st = state(table)
+    sets.keys.foreach(k =>
+      require(st.columns.exists(_.name == k), s"no such column: $k"))
+    rewriteAffected(table, where) { df =>
+      df.select(st.columns.map { c =>
+        sets.get(c.name) match {
+          case Some(newVal) =>
+            when(where, newVal.cast(DataType.fromJson(c.typeJson)))
+              .otherwise(col(c.name)).as(c.name)
+          case None => col(c.name)
+        }
+      }: _*)
+    }
+    change("tables_updated", table)
+  }
+
+  /** M4 copy-on-write `DELETE FROM ... WHERE` (ref
+    * exploration/ducklake_analysis.sh:144-145). Bare delete: where=lit(true)
+    * truncates the current snapshot while history stays queryable. */
+  def delete(table: String, where: Column): Unit = {
+    rewriteAffected(table, where)(_.filter(!where))
+    change("tables_deleted_from", table)
+  }
+
+  /** M8/compaction: rewrite all live files into ceil(bytes/target) files. */
+  def compact(table: String, targetFileBytes: Long): Unit = {
+    val st = state(table)
+    if (st.files.isEmpty) return
+    val total = st.files.map(_.sizeBytes).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
+    val df = read(table).repartition(n)
+    val written = writeFiles(table, df, st.schemaVersion)
+    tables(table) = st.copy(files = written)
+    change("tables_compacted", table)
+  }
+
+  // ------------------------------------------------------------- internals
+
+  /** Align an incoming DataFrame to the table schema: by-name matching,
+    * casts to declared types, missing columns filled from DEFAULT then NULL. */
+  private def alignToSchema(df: DataFrame, st: TableState): DataFrame = {
+    val in = df.columns.toSet
+    df.select(st.columns.map { c =>
+      val t = DataType.fromJson(c.typeJson)
+      if (in.contains(c.name)) col(c.name).cast(t).as(c.name)
+      else expr(c.default.getOrElse("NULL")).cast(t).as(c.name)
+    }: _*)
+  }
+
+  /** Write-side constraint enforcement (Spark has no declarative
+    * constraints): NOT NULL scan + PRIMARY KEY duplicate checks. The PK
+    * check is a distributed agg + left-semi join — no driver collect.
+    * Its violation is demo 1's rollback trigger
+    * (ref demos/01_transaction_rollback/demo.py:137-151). */
+  private def validate(table: String, st: TableState, df: DataFrame,
+      checkPkAgainstExisting: Boolean): Unit = {
+    st.notNull.foreach { c =>
+      if (df.columns.contains(c) && !df.filter(col(c).isNull).isEmpty)
+        throw new ConstraintViolation(s"NOT NULL violated: $table.$c")
+    }
+    if (st.primaryKey.nonEmpty) {
+      val pk = st.primaryKey.map(col)
+      if (!df.groupBy(pk: _*).count().filter(col("count") > 1).isEmpty)
+        throw new ConstraintViolation(
+          s"duplicate key in inserted rows: $table(${st.primaryKey.mkString(",")})")
+      if (checkPkAgainstExisting && st.files.nonEmpty) {
+        val existing = cat.readState(st).select(pk: _*)
+        if (!existing.join(df.select(pk: _*), st.primaryKey, "left_semi").isEmpty)
+          throw new ConstraintViolation(
+            s"duplicate key: $table(${st.primaryKey.mkString(",")}) already exists")
+      }
+    }
+  }
+
+  /** Copy-on-write core: find files with rows matching `where` via ONE
+    * file-tagged scan, rewrite only those through `transform`, keep the
+    * rest. Old files stay on disk for time travel. */
+  private def rewriteAffected(table: String, where: Column)
+      (transform: DataFrame => DataFrame): Unit = {
+    val st = state(table)
+    if (st.files.isEmpty) return
+    val pathOf = st.files.map(e => cat.absPath(e.path).toUri.toString -> e).toMap
+    val affectedPaths = cat.readState(st)
+      .withColumn("__file", input_file_name())
+      .filter(where)
+      .select("__file").distinct().collect().map(_.getString(0)).toSet
+    if (affectedPaths.isEmpty) return
+    val affected = st.files.filter(e =>
+      affectedPaths.contains(cat.absPath(e.path).toUri.toString))
+    val kept = st.files.filterNot(affected.contains)
+    // Rewrite affected files group-wise by their written schema version,
+    // aligned to the current schema (same path as readState).
+    val sub = st.copy(files = affected)
+    val rewritten = transform(cat.readState(sub))
+    validate(table, st, rewritten, checkPkAgainstExisting = false)
+    val written = writeFiles(table, rewritten, st.schemaVersion)
+    tables(table) = st.copy(files = kept ++ written)
+  }
+
+  /** Stage parquet files for `df` under `<root>/<table>/data/<uuid>/`;
+    * returns manifest entries with footer-exact row counts. */
+  private def writeFiles(table: String, df: DataFrame,
+      schemaVersion: Int): Seq[FileEntry] = {
+    val rel = s"$table/data/${java.util.UUID.randomUUID().toString.take(12)}"
+    val abs = cat.absPath(rel)
+    stagedDirs += abs
+    df.write.mode("errorifexists").parquet(abs.toString)
+    val rootQ = cat.absPath("").toUri.toString.stripSuffix("/")
+    cat.fs.globStatus(new Path(abs, "*.parquet")).toSeq.map { fst =>
+      val p = fst.getPath
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(p, cat.hadoopConf))
+      val rows = try reader.getRecordCount finally reader.close()
+      val relPath = p.toUri.toString.stripPrefix(rootQ).stripPrefix("/")
+      FileEntry(relPath, fst.getLen, rows, schemaVersion)
+    }
+  }
+
+  private[lake] def cleanupStaged(): Unit =
+    stagedDirs.foreach(d => try cat.fs.delete(d, true) catch { case _: Exception => })
+
+  private[lake] def buildSnapshot(id: Long): Snapshot =
+    Snapshot(
+      snapshotId = id,
+      timestampMs = System.currentTimeMillis(),
+      schemaVersion = base.schemaVersion + ddlCount,
+      changes = changes.map { case (k, v) => k -> v.toSeq }.toMap,
+      tables = tables.toMap,
+      views = views.toMap)
+}
