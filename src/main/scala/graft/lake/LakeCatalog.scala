@@ -45,17 +45,20 @@ class LakeCatalog(val spark: SparkSession, val root: String) {
     * stable column id — add-with-default / drop / rename are pure metadata
     * (no file rewrites), exactly DuckLake's evolution semantics
     * (ref demos/03_schema_evolution/demo.py:112-198). */
-  private[lake] def readState(st: TableState): DataFrame = {
+  private[lake] def readState(st: TableState): DataFrame =
+    readState(st, spark)
+
+  private[lake] def readState(st: TableState, sess: SparkSession): DataFrame = {
     val cur = st.columns
     val curSchema = structOf(cur)
     if (st.files.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], curSchema)
+      return sess.createDataFrame(
+        sess.sparkContext.emptyRDD[Row], curSchema)
     val groups = st.files.groupBy(_.schemaVersion)
     groups.map { case (v, entries) =>
       val written = st.columnsAt(v)
       val byId = written.map(c => c.id -> c).toMap
-      val df = spark.read.schema(structOf(written))
+      val df = sess.read.schema(structOf(written))
         .parquet(entries.map(e => absPath(e.path).toString): _*)
       df.select(cur.map { c =>
         byId.get(c.id) match {
@@ -94,13 +97,21 @@ class LakeCatalog(val spark: SparkSession, val root: String) {
   }
 
   /** Materialize a stored view (D3): tables become temp views, the stored
-    * SQL runs against them (ref demos/03_schema_evolution/demo.py:273-288). */
+    * SQL runs against them (ref demos/03_schema_evolution/demo.py:273-288).
+    *
+    * Resolution happens in an ISOLATED child session (`newSession` shares
+    * the SparkContext + cache but has its own temp-view namespace), so
+    * same-named session temp views of the caller are never clobbered and
+    * nothing leaks after materialization. */
   def readView(name: String): DataFrame = {
     val s = current
     val sql = s.views.getOrElse(name,
       throw new NoSuchElementException(s"view not found: $name"))
-    s.tables.keys.foreach(t => readState(s.tables(t)).createOrReplaceTempView(t))
-    spark.sql(sql)
+    val iso = spark.newSession()
+    s.tables.foreach { case (t, st) =>
+      readState(st, iso).createOrReplaceTempView(t)
+    }
+    iso.sql(sql)
   }
 
   // ------------------------------------------------- metadata as DataFrames

@@ -100,7 +100,15 @@ object Manifest {
   /** Atomically publish snapshot as version `v`; returns false when another
     * writer won the race (caller retries on fresh state). Local fs uses a
     * hard link (atomic + EEXIST); remote fs uses create-exclusive, which is
-    * atomic on HDFS. */
+    * atomic on HDFS.
+    *
+    * LIMITATION (concurrent writers on object stores): s3a has no
+    * create-exclusive, so exists()+create(false) is check-then-act and two
+    * concurrent committers could both publish the same version. Reads and
+    * single-writer pipelines on s3a:// are safe unchanged; CONCURRENT
+    * commits to an object-store-rooted lake need a coordination layer
+    * (conditional PUT, a DynamoDB/ZK lock, or an HDFS-/file-rooted
+    * manifest dir) — same class of fix as Delta's LogStore. */
   def publish(root: String, v: Long, s: Snapshot, conf: Configuration): Boolean = {
     val f = fs(root, conf)
     f.mkdirs(manifestDir(root))

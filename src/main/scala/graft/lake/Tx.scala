@@ -115,13 +115,33 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
 
   /** D9 type-change recipe = addColumn + update(copy) + dropColumn +
     * renameColumn composed in ONE transaction
-    * (ref demos/03_schema_evolution/demo.py:181-198). */
+    * (ref demos/03_schema_evolution/demo.py:181-198). PRIMARY KEY / NOT NULL
+    * on the changed column survive the drop+rename and are re-validated
+    * (the cast may introduce NULLs or collapse distinct values). */
   def changeColumnType(table: String, colName: String, to: DataType): Unit = {
+    val st0 = state(table)
+    val wasPk = st0.primaryKey.contains(colName)
+    val wasNotNull = st0.notNull.contains(colName)
     val tmp = s"__${colName}_cast"
     addColumn(table, tmp, to, None)
     update(table, lit(true), Map(tmp -> col(colName).cast(to)))
     dropColumn(table, colName)
     renameColumn(table, tmp, colName)
+    // restore the column's original position (the add/copy/drop/rename
+    // recipe parks it at the end; ALTER COLUMN SET DATA TYPE shouldn't)
+    locally {
+      val st = state(table)
+      val order = st0.columns.map(_.name)
+      val reordered = st.columns.sortBy(c => order.indexOf(c.name))
+      tables(table) = st.copy(
+        schemas = st.schemas + (st.schemaVersion.toString -> reordered))
+    }
+    if (wasNotNull || wasPk) setNotNull(table, colName)
+    if (wasPk) {
+      val st = state(table)
+      tables(table) = st.copy(primaryKey = st0.primaryKey)
+      validate(table, state(table), read(table), checkPkAgainstExisting = false)
+    }
   }
 
   /** D3 `CREATE OR REPLACE VIEW` (ref demos/03_schema_evolution/demo.py:273-288). */
@@ -161,7 +181,10 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     val st = state(table)
     sets.keys.foreach(k =>
       require(st.columns.exists(_.name == k), s"no such column: $k"))
-    rewriteAffected(table, where) { df =>
+    // An update touching a PK column can collide with rows in files that
+    // are NOT rewritten — check the rewritten subset against kept files.
+    val touchesPk = sets.keys.exists(st.primaryKey.contains)
+    rewriteAffected(table, where, checkPkAgainstKept = touchesPk) { df =>
       df.select(st.columns.map { c =>
         sets.get(c.name) match {
           case Some(newVal) =>
@@ -176,9 +199,13 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
 
   /** M4 copy-on-write `DELETE FROM ... WHERE` (ref
     * exploration/ducklake_analysis.sh:144-145). Bare delete: where=lit(true)
-    * truncates the current snapshot while history stays queryable. */
+    * truncates the current snapshot while history stays queryable.
+    *
+    * SQL DELETE removes only rows where the predicate is TRUE; rows where
+    * it evaluates NULL are kept — so the keep-filter is NOT(coalesce(where,
+    * false)), consistent with affected-file discovery via filter(where). */
   def delete(table: String, where: Column): Unit = {
-    rewriteAffected(table, where)(_.filter(!where))
+    rewriteAffected(table, where)(_.filter(not(coalesce(where, lit(false)))))
     change("tables_deleted_from", table)
   }
 
@@ -234,25 +261,40 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
 
   /** Copy-on-write core: find files with rows matching `where` via ONE
     * file-tagged scan, rewrite only those through `transform`, keep the
-    * rest. Old files stay on disk for time travel. */
-  private def rewriteAffected(table: String, where: Column)
+    * rest. Old files stay on disk for time travel. With
+    * `checkPkAgainstKept` the rewritten rows' keys are also checked
+    * against the kept (unrewritten) files via a distributed left-semi
+    * join — needed when an UPDATE changes a PK column. */
+  private def rewriteAffected(table: String, where: Column,
+      checkPkAgainstKept: Boolean = false)
       (transform: DataFrame => DataFrame): Unit = {
     val st = state(table)
     if (st.files.isEmpty) return
-    val pathOf = st.files.map(e => cat.absPath(e.path).toUri.toString -> e).toMap
+    // input_file_name() yields a URL (file:///…, possibly %-encoded);
+    // Hadoop Path.toUri renders file:/… — compare on the decoded path
+    // component so the two spellings always line up.
     val affectedPaths = cat.readState(st)
       .withColumn("__file", input_file_name())
       .filter(where)
-      .select("__file").distinct().collect().map(_.getString(0)).toSet
+      .select("__file").distinct().collect()
+      .map(r => new java.net.URI(r.getString(0)).getPath).toSet
     if (affectedPaths.isEmpty) return
     val affected = st.files.filter(e =>
-      affectedPaths.contains(cat.absPath(e.path).toUri.toString))
+      affectedPaths.contains(cat.absPath(e.path).toUri.getPath))
     val kept = st.files.filterNot(affected.contains)
     // Rewrite affected files group-wise by their written schema version,
     // aligned to the current schema (same path as readState).
     val sub = st.copy(files = affected)
     val rewritten = transform(cat.readState(sub))
     validate(table, st, rewritten, checkPkAgainstExisting = false)
+    if (checkPkAgainstKept && st.primaryKey.nonEmpty && kept.nonEmpty) {
+      val pk = st.primaryKey.map(col)
+      val keptKeys = cat.readState(st.copy(files = kept)).select(pk: _*)
+      if (!keptKeys.join(rewritten.select(pk: _*), st.primaryKey, "left_semi")
+          .isEmpty)
+        throw new ConstraintViolation(
+          s"duplicate key after update: $table(${st.primaryKey.mkString(",")})")
+    }
     val written = writeFiles(table, rewritten, st.schemaVersion)
     tables(table) = st.copy(files = kept ++ written)
   }
@@ -265,7 +307,8 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     val abs = cat.absPath(rel)
     stagedDirs += abs
     df.write.mode("errorifexists").parquet(abs.toString)
-    val rootQ = cat.absPath("").toUri.toString.stripSuffix("/")
+    val rootQ = cat.fs.makeQualified(new Path(cat.root)).toUri.toString
+      .stripSuffix("/")
     cat.fs.globStatus(new Path(abs, "*.parquet")).toSeq.map { fst =>
       val p = fst.getPath
       val reader = ParquetFileReader.open(
