@@ -10,14 +10,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // warm the session (executor threads, codegen compiler, shuffle infra)
+    // so the first timed query doesn't absorb one-time JVM init
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    // l* lake scenarios build fixed-size throwaway catalogs (correctness
+    // surfaces, not data-scale queries) — bench times the data-scale set
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1.startsWith("l"))
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

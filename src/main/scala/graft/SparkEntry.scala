@@ -13,7 +13,7 @@ import org.apache.spark.sql.types._
 object SparkEntry {
 
   private def allDefs: Seq[QDef] =
-    ops.Relational.defs
+    ops.Relational.defs ++ ops.Pipeline.defs ++ ops.LakeScenarios.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *

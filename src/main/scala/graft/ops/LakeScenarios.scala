@@ -1,0 +1,214 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QDef, Tables => T}
+import graft.lake.{ConstraintViolation, LakeCatalog}
+
+/** SURVEY.md §2.9–§2.11 (DDL / DML / snapshot-metadata operators) exposed
+  * through the judged `queries` surface as end-to-end scenarios: each query
+  * builds a throwaway lake under java.io.tmpdir, drives the operators the
+  * reference demos drive (transactions+rollback, time travel, schema
+  * evolution, change feeds, migration, compaction), and returns a
+  * DETERMINISTIC DataFrame of the observable outcome.
+  *
+  * No DuckDB oracle (the ops are not expressible as one SQL statement over
+  * static tables — the driver records rows-only checks); the semantics are
+  * additionally pinned by LakeSpec.
+  */
+object LakeScenarios {
+
+  private def freshLake(spark: SparkSession): LakeCatalog =
+    new LakeCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_lake_").toString)
+
+  /** Small deterministic slice of `part` as an inventory table. */
+  private def inventoryDf(s: SparkSession, d: String): DataFrame =
+    T.part(s, d).filter(col("p_partkey") <= 100)
+      .selectExpr("cast(p_partkey AS int) AS product_id", "p_name AS product_name",
+        "cast(p_size AS int) AS quantity", "p_retailprice AS price")
+
+  val defs: Seq[QDef] = Seq(
+
+    // M5/M6/M1/M3 — demo-1 re-enactment (ref demos/01_transaction_rollback/
+    // demo.py:85-220): multi-table txn commits atomically; a second txn
+    // violating the PK rolls back without a trace.
+    QDef("l1_txn_atomic_rollback",
+      (s, d) => {
+        val cat = freshLake(s)
+        cat.createTable("inventory",
+          StructType(Seq(
+            StructField("product_id", IntegerType),
+            StructField("product_name", StringType),
+            StructField("quantity", IntegerType),
+            StructField("price", DoubleType))),
+          primaryKey = Seq("product_id"))
+        cat.createTable("orders",
+          StructType(Seq(
+            StructField("order_id", IntegerType),
+            StructField("product_id", IntegerType),
+            StructField("qty", IntegerType))),
+          primaryKey = Seq("order_id"))
+        cat.insert("inventory", inventoryDf(s, d))
+        cat.transaction { tx =>
+          import s.implicits._
+          tx.insert("orders",
+            Seq((1, 5, 3), (2, 17, 2), (3, 42, 5)).toDF("order_id", "product_id", "qty"))
+          tx.update("inventory", col("product_id").isin(5, 17, 42),
+            Map("quantity" -> (col("quantity") - 2)))
+        }
+        val vGood = cat.currentVersion
+        try cat.transaction { tx =>
+          import s.implicits._
+          tx.insert("orders", Seq((4, 9, 1)).toDF("order_id", "product_id", "qty"))
+          tx.insert("orders", Seq((1, 9, 9)).toDF("order_id", "product_id", "qty")) // dup PK
+        } catch { case _: ConstraintViolation => () }
+        val o = cat.read("orders")
+        val i = cat.read("inventory")
+        o.join(i, "product_id")
+          .select(col("order_id"), col("product_id"), col("qty"),
+            col("quantity").as("stock_after"),
+            lit(cat.currentVersion == vGood).as("rollback_clean"))
+          .orderBy("order_id")
+      }, None),
+
+    // S3/A8/T1 — time travel: COUNT + key-sum at every version
+    // (ref exploration/benchmark_ducklake.sh:175-201, demos/02:196).
+    QDef("l2_time_travel_versions",
+      (s, d) => {
+        val cat = freshLake(s)
+        val src = T.orders(s, d).filter(col("o_orderkey") <= 2000)
+          .selectExpr("cast(o_orderkey AS bigint) AS id", "o_totalprice AS amount")
+        cat.createTableAs("t", src)
+        cat.insert("t", src.selectExpr("id + 100000 AS id", "amount"))
+        cat.delete("t", col("id") % 2 === 0)
+        cat.update("t", col("id") % 3 === 0, Map("amount" -> lit(0.0)))
+        val frames = (1L to cat.currentVersion).map { v =>
+          cat.readAt("t", v).agg(
+            lit(v).as("version"),
+            count(lit(1)).as("n_rows"),
+            coalesce(sum(col("id")), lit(0L)).as("sum_id"),
+            coalesce(sum(when(col("amount") === 0.0, 1).otherwise(0)), lit(0L))
+              .as("n_zeroed"))
+        }
+        frames.reduce(_ unionByName _)
+          .select("version", "n_rows", "sum_id", "n_zeroed")
+          .orderBy("version")
+      }, None),
+
+    // D4-D11 — schema evolution chain, final shape via describe()
+    // (ref demos/03_schema_evolution/demo.py:112-239).
+    QDef("l3_schema_evolution",
+      (s, d) => {
+        val cat = freshLake(s)
+        val events = T.events(s, d).filter(col("event_id") <= 500)
+          .selectExpr("event_id AS id", "event_type", "value")
+        cat.createTableAs("events", events)
+        cat.transaction(_.addColumn("events", "priority", IntegerType, Some("5")))
+        cat.update("events", col("event_type") === "click",
+          Map("priority" -> lit(1)))
+        cat.transaction(_.renameColumn("events", "event_type", "etype"))
+        cat.transaction(_.changeColumnType("events", "id", LongType))
+        cat.transaction(_.dropColumn("events", "value"))
+        cat.transaction(_.setNotNull("events", "etype"))
+        val shape = cat.describe("events")
+        val counts = cat.read("events")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("priority") === 1, 1).otherwise(0)).as("n_backfilled"))
+        shape.crossJoin(counts).orderBy("column_name")
+      }, None),
+
+    // T3/T4 — change feed between versions, aggregated by type
+    // (ref utils/ducklake_utils.py:65-78, demos/02:209-211).
+    QDef("l4_table_changes",
+      (s, d) => {
+        val cat = freshLake(s)
+        val c = T.customer(s, d).filter(col("c_custkey") <= 300)
+          .selectExpr("c_custkey AS id", "c_name AS name", "c_acctbal AS bal")
+        cat.createTableAs("c", c)
+        val v1 = cat.currentVersion
+        cat.update("c", col("id") <= 10, Map("bal" -> lit(-1.0)))
+        cat.delete("c", col("id") > 290)
+        val v2 = cat.currentVersion
+        cat.tableChanges("c", v1, v2)
+          .groupBy("change_type")
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("id")), lit(0L)).as("sum_id"))
+          .orderBy("change_type")
+      }, None),
+
+    // S8/D11 — migrate a catalog (tables + constraints + views) and report
+    // the destination's schema catalog
+    // (ref demos/05_catalog_portability/demo.py:199-252).
+    QDef("l5_migrate_catalog",
+      (s, d) => {
+        val src = freshLake(s)
+        src.createTable("products",
+          StructType(Seq(
+            StructField("id", IntegerType),
+            StructField("name", StringType),
+            StructField("price", DoubleType))),
+          primaryKey = Seq("id"))
+        src.insert("products", inventoryDf(s, d)
+          .selectExpr("product_id AS id", "product_name AS name", "price"))
+        src.createView("v_expensive",
+          "SELECT count(*) AS n FROM products WHERE price > 1000.0")
+        val dst = freshLake(s)
+        src.migrateTo(dst)
+        val cols = dst.listColumns()
+          .select("table_name", "column_name", "data_type", "ordinal_position")
+        val vrows = dst.readView("v_expensive")
+          .selectExpr("'__view_n' AS table_name", "cast(n AS string) AS column_name",
+            "'bigint' AS data_type", "cast(0 AS int) AS ordinal_position")
+        cols.unionByName(vrows).orderBy("table_name", "ordinal_position")
+      }, None),
+
+    // M8 — small-file story: high-frequency single-row appends then
+    // compaction; file/row counts before vs after
+    // (ref demos/04_small_file_optimization/demo.py:238-268, FINDINGS.md).
+    QDef("l6_compaction",
+      (s, d) => {
+        import s.implicits._
+        val cat = freshLake(s)
+        cat.createTable("iot", StructType(Seq(
+          StructField("reading_id", IntegerType),
+          StructField("temp", DoubleType))))
+        (1 to 20).foreach(i =>
+          cat.insert("iot", Seq((i, 20.0 + i)).toDF("reading_id", "temp")))
+        val before = cat.tableInfo().filter(col("table_name") === "iot")
+          .selectExpr("'before_compact' AS phase", "file_count", "row_count")
+        cat.compact("iot")
+        val after = cat.tableInfo().filter(col("table_name") === "iot")
+          .selectExpr("'after_compact' AS phase", "file_count", "row_count")
+        before.unionByName(after).orderBy("phase")
+      }, None),
+
+    // T1/M7 — snapshot metadata feed: id, schema version, change summary
+    // (stringified deterministically; timestamps excluded — wall clock).
+    QDef("l7_snapshots_meta",
+      (s, d) => {
+        val cat = freshLake(s)
+        import s.implicits._
+        cat.createTable("t", StructType(Seq(StructField("id", IntegerType))))
+        cat.insert("t", Seq(1, 2, 3).toDF("id"))
+        cat.transaction(_.addColumn("t", "tag", StringType, Some("'x'")))
+        cat.delete("t", col("id") === 2)
+        cat.transaction(_ => ()) // empty txn still cuts a snapshot (M7)
+        cat.snapshots()
+          .selectExpr("snapshot_id", "schema_version",
+            "array_join(transform(sort_array(map_entries(changes)), " +
+              "e -> concat(e.key, '=', e.value)), ';') AS changes")
+          .orderBy("snapshot_id")
+      }, None),
+
+    // MM2 — multimodal decode stub: typed mapPartitions pipeline
+    // (see graft.ops.Multimodal — schema/partitioning real, codec stubbed).
+    QDef("mm2_decode_profile",
+      (s, d) => Multimodal.decodeProfile(s, d), None),
+
+    // MM3 — frame sampling fan-out over binary payloads.
+    QDef("mm3_frame_profile",
+      (s, d) => Multimodal.frameProfile(s, d), None)
+  )
+}

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride through the
+  * pipeline as opaque `binary` columns with typed metadata beside them, and
+  * decode / feature-extraction / frame-sampling run as per-partition typed
+  * transforms.
+  *
+  * The decode step itself is a STUB — this container has no image/audio
+  * codecs, so `fakeDecode` derives deterministic pseudo-features from the
+  * payload bytes. Everything around it is the real Spark shape a production
+  * pipeline needs and is what the specs test:
+  *  - typed `Dataset[MediaItem]` with a binary column (Encoders handle the
+  *    byte arrays; payloads never materialize on the driver),
+  *  - `mapPartitions` so per-partition codec init (the expensive part of
+  *    real decoders) amortizes over a whole batch,
+  *  - stable output schema (`MediaFeatures`) that downstream DataFrame ops
+  *    aggregate/join on,
+  *  - frame sampling as a pure function of (payload, stride) — rows out
+  *    scale with frames, not with partition count.
+  */
+object Multimodal {
+
+  /** An opaque media payload + the typed metadata a catalog would carry. */
+  final case class MediaItem(
+      doc_id: Long,
+      format: String, // png | jpeg | wav — drives the (stubbed) codec choice
+      width: Int,
+      height: Int,
+      payload: Array[Byte])
+
+  /** Decoded per-item features (fixed dim, like a vision-tower embedding). */
+  final case class MediaFeatures(
+      doc_id: Long,
+      format: String,
+      n_bytes: Int,
+      feature: Array[Float], // FEATURE_DIM floats
+      checksum: Long)
+
+  /** One sampled "frame" of a payload. */
+  final case class Frame(
+      doc_id: Long,
+      frame_no: Int,
+      frame_bytes: Array[Byte])
+
+  val FeatureDim = 8
+
+  /** STUB decoder — stands in for an image/audio codec. Deterministic in
+    * the payload bytes so tests and reruns agree. */
+  private[ops] def fakeDecode(m: MediaItem): MediaFeatures = {
+    val sum = m.payload.foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
+    val feat = Array.tabulate(FeatureDim) { i =>
+      ((sum >>> (i * 8)) & 0xff).toFloat / 255f
+    }
+    MediaFeatures(m.doc_id, m.format, m.payload.length, feat, sum)
+  }
+
+  /** Batch decode: per-partition codec init + streamed item decode. */
+  def decodeFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      // real pipeline: val codec = Codec.open(...)  (ONCE per partition)
+      it.map(fakeDecode)
+    }
+  }
+
+  /** Frame sampling: every `stride`-th 4-byte block of the payload (a real
+    * video path samples every k-th decoded frame the same way). */
+  def sampleFrames(items: Dataset[MediaItem], stride: Int): Dataset[Frame] = {
+    import items.sparkSession.implicits._
+    items.flatMap { m =>
+      m.payload.grouped(4).zipWithIndex
+        .collect { case (block, i) if i % stride == 0 =>
+          Frame(m.doc_id, i, block) }
+    }
+  }
+
+  /** Deterministic MediaItems synthesized from the documents table (payload
+    * = md5 digest bytes standing in for real object-store media). */
+  def itemsFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaItem] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .selectExpr(
+        "doc_id",
+        "CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format",
+        "cast(64 + (doc_id % 8) * 32 AS int) AS width",
+        "cast(64 + (doc_id % 5) * 32 AS int) AS height",
+        "unhex(md5(text)) AS payload")
+      .as[MediaItem]
+  }
+
+  /** The rows-only judged query: decode + per-format feature profile. */
+  def decodeProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = decodeFeatures(itemsFromDocuments(spark, sfDir))
+    feats.toDF()
+      .groupBy("format")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(avg(expr("element_at(feature, 1)")), 6).as("avg_f0"),
+        sum(expr("pmod(checksum, 1000003L)")).as("checksum_fold"))
+      .orderBy("format")
+  }
+
+  /** Rows-only judged query: frame sampling fan-out profile. */
+  def frameProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val frames = sampleFrames(itemsFromDocuments(spark, sfDir), stride = 2)
+    frames.toDF()
+      .groupBy("frame_no")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(length(frame_bytes) AS bigint)")).as("bytes"))
+      .orderBy("frame_no")
+  }
+}
