@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.lake.LakeCatalog
+
+/** Lake-operation benchmark mirroring the reference's harness
+  * (ref exploration/benchmark_ducklake.sh:46-201 — table creation,
+  * insert 1k, insert 50k, update with `id % 10 = 0`, delete with
+  * `id % 5 = 0`, 5 metadata queries, 4 time-travel counts), plus the
+  * inlined-write comparison (ref README.md:243 "sub-millisecond writes").
+  * Prints ONE JSON line of seconds per op. */
+object LakeBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect() // session warmup
+
+    val cat = new LakeCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_lakebench_").toString)
+    val results = collection.mutable.LinkedHashMap.empty[String, Double]
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      results(name) = (System.nanoTime() - t0) / 1e9
+      r
+    }
+
+    // 1. table creation (benchmark_ducklake.sh:46-61)
+    timed("table_creation") {
+      cat.createTable("bench_small", StructType(Seq(
+        StructField("id", IntegerType), StructField("value", StringType))))
+      cat.createTable("bench_large", StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType),
+        StructField("amount", DoubleType), StructField("created_date", DateType),
+        StructField("category", StringType)))) // :83-93 shape
+    }
+    // 2. insert 1k generated rows (:64-80)
+    timed("insert_1k") {
+      cat.insert("bench_small", spark.range(1000).selectExpr(
+        "cast(id AS int) AS id", "concat('value_', id) AS value"))
+    }
+    // 3. insert 50k rows, 5 columns (:83-107)
+    timed("insert_50k") {
+      cat.insert("bench_large", spark.range(50000).selectExpr(
+        "id", "concat('name_', id) AS name",
+        "cast(id % 1000 AS double) / 10.0 AS amount",
+        "date_add(date'2024-01-01', cast(id % 365 AS int)) AS created_date",
+        "concat('cat_', id % 20) AS category"))
+    }
+    // 4. update 10% (id % 10 = 0) (:110-131)
+    timed("update_10pct") {
+      cat.update("bench_large", col("id") % 10 === 0,
+        Map("amount" -> (col("amount") * 1.1)))
+    }
+    // 5. delete 20% (id % 5 = 0) (:134-152)
+    timed("delete_20pct") {
+      cat.delete("bench_large", col("id") % 5 === 0)
+    }
+    // 6. metadata queries x5 (:155-172)
+    timed("metadata_5x") {
+      (1 to 5).foreach { _ =>
+        cat.snapshots().count(); cat.tableInfo().count()
+      }
+    }
+    // 7. time-travel counts across 4 versions (:175-201)
+    timed("time_travel_4x") {
+      val cur = cat.currentVersion
+      (cur - 3 to cur).foreach(v => cat.readAt("bench_large", v).count())
+    }
+    // 8. write-path comparison: 20 single-row appends, files vs inlined
+    timed("append_20_files") {
+      (0 until 20).foreach(i => cat.insert("bench_small",
+        spark.range(1).selectExpr(s"cast(10000 + $i AS int) AS id",
+          "'x' AS value")))
+    }
+    timed("append_20_inlined") {
+      (0 until 20).foreach(i => cat.insertInlined("bench_small",
+        spark.range(1).selectExpr(s"cast(20000 + $i AS int) AS id",
+          "'x' AS value")))
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"lake_ops_total","value":${results.values.sum},"unit":"sec","ops":$qs}""")
+    spark.stop()
+  }
+}

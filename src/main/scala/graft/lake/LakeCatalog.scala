@@ -51,15 +51,11 @@ class LakeCatalog(val spark: SparkSession, val root: String) {
   private[lake] def readState(st: TableState, sess: SparkSession): DataFrame = {
     val cur = st.columns
     val curSchema = structOf(cur)
-    if (st.files.isEmpty)
-      return sess.createDataFrame(
-        sess.sparkContext.emptyRDD[Row], curSchema)
-    val groups = st.files.groupBy(_.schemaVersion)
-    groups.map { case (v, entries) =>
-      val written = st.columnsAt(v)
-      val byId = written.map(c => c.id -> c).toMap
-      val df = sess.read.schema(structOf(written))
-        .parquet(entries.map(e => absPath(e.path).toString): _*)
+    /** Align a frame written under schema version v to the current schema
+      * by stable column id (renames follow, drops vanish, adds read their
+      * DEFAULT). */
+    def align(df: DataFrame, v: Int): DataFrame = {
+      val byId = st.columnsAt(v).map(c => c.id -> c).toMap
       df.select(cur.map { c =>
         byId.get(c.id) match {
           case Some(old) =>
@@ -69,7 +65,20 @@ class LakeCatalog(val spark: SparkSession, val root: String) {
               .cast(DataType.fromJson(c.typeJson)).as(c.name)
         }
       }: _*)
-    }.reduce(_ unionByName _)
+    }
+    val fileParts = st.files.groupBy(_.schemaVersion).toSeq.map { case (v, entries) =>
+      align(sess.read.schema(structOf(st.columnsAt(v)))
+        .parquet(entries.map(e => absPath(e.path).toString): _*), v)
+    }
+    val inlineParts = st.inlined.groupBy(_.schemaVersion).toSeq.map { case (v, batches) =>
+      import sess.implicits._
+      align(sess.read.schema(structOf(st.columnsAt(v)))
+        .json(sess.createDataset(batches.flatMap(_.rows))), v)
+    }
+    val parts = fileParts ++ inlineParts
+    if (parts.isEmpty)
+      sess.createDataFrame(sess.sparkContext.emptyRDD[Row], curSchema)
+    else parts.reduce(_ unionByName _)
   }
 
   private def stateOf(s: Snapshot, table: String): TableState =
@@ -132,9 +141,10 @@ class LakeCatalog(val spark: SparkSession, val root: String) {
     import spark.implicits._
     current.tables.toSeq.sortBy(_._1).map { case (name, st) =>
       (name, st.files.size.toLong, st.files.map(_.sizeBytes).sum,
-        st.files.map(_.rowCount).sum, st.schemaVersion)
+        st.files.map(_.rowCount).sum + st.inlinedRowCount, st.schemaVersion,
+        st.inlinedRowCount)
     }.toDF("table_name", "file_count", "total_size_bytes", "row_count",
-      "schema_version")
+      "schema_version", "inlined_rows")
   }
 
   /** `ducklake_table_changes()` analog (T3 — ref utils/ducklake_utils.py:65-78):
@@ -216,6 +226,10 @@ class LakeCatalog(val spark: SparkSession, val root: String) {
 
   def insert(table: String, df: DataFrame): Unit =
     transaction(_.insert(table, df))
+
+  /** M8 inlined small-batch insert (rows live in the manifest). */
+  def insertInlined(table: String, df: DataFrame): Unit =
+    transaction(_.insertInlined(table, df))
 
   def update(table: String, where: Column, sets: Map[String, Column]): Unit =
     transaction(_.update(table, where, sets))

@@ -40,15 +40,27 @@ final case class FileEntry(
     rowCount: Long,
     schemaVersion: Int)      // table schema version the file was written under
 
+/** Rows stored INSIDE the manifest instead of parquet — DuckLake's
+  * "optional inlining" for high-frequency small writes (ref README.md:58-63,
+  * demos/04_small_file_optimization/demo.py:314-368): a 1-row insert costs
+  * one metadata publish, zero data files. Compaction (and any DDL or
+  * copy-on-write DML) flushes them to parquet. Rows are JSON objects in
+  * the schema version they were written under. */
+final case class InlineBatch(
+    schemaVersion: Int,
+    rows: Seq[String])
+
 final case class TableState(
     schemaVersion: Int,
     schemas: Map[String, Seq[ColumnDef]], // version (as string for JSON) -> cols
     files: Seq[FileEntry],
     primaryKey: Seq[String],
     notNull: Seq[String],
-    nextColId: Int) {
+    nextColId: Int,
+    inlined: Seq[InlineBatch] = Nil) {
   def columns: Seq[ColumnDef] = schemas(schemaVersion.toString)
   def columnsAt(v: Int): Seq[ColumnDef] = schemas(v.toString)
+  def inlinedRowCount: Long = inlined.map(_.rows.size.toLong).sum
 }
 
 final case class Snapshot(

@@ -61,6 +61,7 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     * default back without rewrite (ref demos/03_schema_evolution/demo.py:118-131). */
   def addColumn(table: String, name: String, dataType: DataType,
       defaultSql: Option[String] = None): Unit = {
+    flushInlined(table)
     val st = state(table)
     require(!st.columns.exists(_.name == name), s"column exists: $name")
     val v2 = st.schemaVersion + 1
@@ -73,6 +74,7 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
 
   /** D6 `ALTER TABLE DROP COLUMN` — metadata only. */
   def dropColumn(table: String, name: String): Unit = {
+    flushInlined(table)
     val st = state(table)
     require(st.columns.exists(_.name == name), s"no such column: $name")
     val v2 = st.schemaVersion + 1
@@ -87,6 +89,7 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
   /** D7 `ALTER TABLE RENAME COLUMN` — metadata only; stable column ids keep
     * old files readable. */
   def renameColumn(table: String, from: String, to: String): Unit = {
+    flushInlined(table)
     val st = state(table)
     require(st.columns.exists(_.name == from), s"no such column: $from")
     require(!st.columns.exists(_.name == to), s"column exists: $to")
@@ -172,6 +175,35 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     change("tables_inserted_into", table)
   }
 
+  /** M8 inlined insert — DuckLake's "optional inlining" (ref
+    * README.md:58-63, demos/04_small_file_optimization/demo.py:314-368):
+    * the rows are validated like any insert, then stored INSIDE the
+    * manifest as a JSON batch — a single-row append costs one metadata
+    * publish and zero data files (the small-file story's write half;
+    * compaction is the fold half). Driver-side by design: inlining is for
+    * small batches, so a hard cap guards against misuse. */
+  def insertInlined(table: String, df: DataFrame, maxRows: Int = 1024): Unit = {
+    val st = state(table)
+    val aligned = alignToSchema(df, st)
+    validate(table, st, aligned, checkPkAgainstExisting = true)
+    val rows = aligned.toJSON.collect()
+    require(rows.length <= maxRows,
+      s"insertInlined is for small batches (${rows.length} > $maxRows rows); use insert")
+    tables(table) = st.copy(
+      inlined = st.inlined :+ InlineBatch(st.schemaVersion, rows.toSeq))
+    change("tables_inserted_into", table)
+  }
+
+  /** Fold any inlined batches into parquet files (same table state). DDL
+    * and copy-on-write DML flush first so they only reason about files. */
+  private def flushInlined(table: String): Unit = {
+    val st = state(table)
+    if (st.inlined.isEmpty) return
+    val df = cat.readState(st.copy(files = Nil))
+    val written = writeFiles(table, df, st.schemaVersion)
+    tables(table) = st.copy(files = st.files ++ written, inlined = Nil)
+  }
+
   /** M3 copy-on-write `UPDATE ... SET ... WHERE` (ref
     * demos/01_transaction_rollback/demo.py:96-102): ONLY files containing
     * matching rows are rewritten; untouched files carry over, so prior
@@ -211,6 +243,7 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
 
   /** M8/compaction: rewrite all live files into ceil(bytes/target) files. */
   def compact(table: String, targetFileBytes: Long): Unit = {
+    flushInlined(table)
     val st = state(table)
     if (st.files.isEmpty) return
     val total = st.files.map(_.sizeBytes).sum
@@ -268,6 +301,7 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
   private def rewriteAffected(table: String, where: Column,
       checkPkAgainstKept: Boolean = false)
       (transform: DataFrame => DataFrame): Unit = {
+    flushInlined(table)
     val st = state(table)
     if (st.files.isEmpty) return
     // input_file_name() yields a URL (file:///…, possibly %-encoded);

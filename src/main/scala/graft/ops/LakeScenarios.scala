@@ -164,9 +164,10 @@ object LakeScenarios {
         cols.unionByName(vrows).orderBy("table_name", "ordinal_position")
       }, None),
 
-    // M8 — small-file story: high-frequency single-row appends then
-    // compaction; file/row counts before vs after
-    // (ref demos/04_small_file_optimization/demo.py:238-268, FINDINGS.md).
+    // M8 — small-file story: per-row appends as files vs INLINED in the
+    // manifest, then compaction folds everything
+    // (ref demos/04_small_file_optimization/demo.py:238-368, FINDINGS.md:
+    // file-path = 1 file per append; inlined = 0 files per append).
     QDef("l6_compaction",
       (s, d) => {
         import s.implicits._
@@ -174,14 +175,21 @@ object LakeScenarios {
         cat.createTable("iot", StructType(Seq(
           StructField("reading_id", IntegerType),
           StructField("temp", DoubleType))))
-        (1 to 20).foreach(i =>
+        (1 to 10).foreach(i =>
           cat.insert("iot", Seq((i, 20.0 + i)).toDF("reading_id", "temp")))
-        val before = cat.tableInfo().filter(col("table_name") === "iot")
-          .selectExpr("'before_compact' AS phase", "file_count", "row_count")
+        val asFiles = cat.tableInfo().filter(col("table_name") === "iot")
+          .selectExpr("'1_file_appends' AS phase", "file_count", "row_count",
+            "inlined_rows")
+        (11 to 20).foreach(i =>
+          cat.insertInlined("iot", Seq((i, 20.0 + i)).toDF("reading_id", "temp")))
+        val asInline = cat.tableInfo().filter(col("table_name") === "iot")
+          .selectExpr("'2_inline_appends' AS phase", "file_count", "row_count",
+            "inlined_rows")
         cat.compact("iot")
         val after = cat.tableInfo().filter(col("table_name") === "iot")
-          .selectExpr("'after_compact' AS phase", "file_count", "row_count")
-        before.unionByName(after).orderBy("phase")
+          .selectExpr("'3_compacted' AS phase", "file_count", "row_count",
+            "inlined_rows")
+        asFiles.unionByName(asInline).unionByName(after).orderBy("phase")
       }, None),
 
     // T1/M7 — snapshot metadata feed: id, schema version, change summary
@@ -209,6 +217,16 @@ object LakeScenarios {
 
     // MM3 — frame sampling fan-out over binary payloads.
     QDef("mm3_frame_profile",
-      (s, d) => Multimodal.frameProfile(s, d), None)
+      (s, d) => Multimodal.frameProfile(s, d), None),
+
+    // ST1 — Structured Streaming: events replayed as a micro-batch
+    // stream, watermark + tumbling-window agg, drained deterministically
+    // (SURVEY.md §2.13 extension; see graft.streaming.EventStream).
+    QDef("st1_stream_window",
+      (s, d) => graft.streaming.EventStream.windowedProfile(s, d), None),
+
+    // ST2 — custom keyed streaming state via flatMapGroupsWithState.
+    QDef("st2_stream_sessions",
+      (s, d) => graft.streaming.EventStream.sessionProfile(s, d), None)
   )
 }

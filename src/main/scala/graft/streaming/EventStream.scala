@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.13): the reference's closest
+  * analogs are a concurrent per-row writer thread
+  * (ref demos/03_schema_evolution/demo.py:32-72) and an IoT append feed
+  * (ref demos/04_small_file_optimization/demo.py:238-249) — batch tables
+  * cover the demonstrated semantics, and this module adds the genuinely
+  * streaming half a large-scale pipeline needs: replay the events table as
+  * a micro-batch stream, event-time watermark + tumbling-window
+  * aggregation, and custom keyed state via flatMapGroupsWithState.
+  *
+  * Everything runs with Trigger.AvailableNow into a memory sink for
+  * deterministic verification; swapping the source to kafka/file-tail and
+  * the sink to the LakeCatalog writer changes no transform code — that is
+  * the point of the unified Dataset API.
+  */
+object EventStream {
+
+  /** events.parquet schema, with ts read as ns-long (the raw file is
+    * TIMESTAMP(NANOS) which the vectorized reader refuses natively). */
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Replay the driver events table as a file-source stream. */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Watermarked tumbling-window aggregation (1-hour windows, 2-hour
+    * lateness bound): counts + value sums per (window, event_type). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class UserSession(
+      user_id: Long, n_events: Long, n_types: Int,
+      first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
+
+  final case class SessAcc(
+      n: Long, types: Seq[String], firstUs: Long, lastUs: Long)
+
+  /** Custom keyed state: per-user running session stats via
+    * flatMapGroupsWithState (the mapGroupsWithState family — the Spark
+    * primitive for reference-free stateful operators). */
+  def userSessions(events: DataFrame): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
+      .as[(Long, String, Long)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessAcc, UserSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, String, Long)], st: GroupState[SessAcc]) =>
+          val acc0 = st.getOption.getOrElse(SessAcc(0L, Nil, Long.MaxValue, Long.MinValue))
+          val acc = it.foldLeft(acc0) { case (a, (_, tpe, us)) =>
+            SessAcc(a.n + 1,
+              if (a.types.contains(tpe)) a.types else a.types :+ tpe,
+              math.min(a.firstUs, us), math.max(a.lastUs, us))
+          }
+          st.update(acc)
+          Iterator.single(UserSession(uid, acc.n, acc.types.size,
+            new java.sql.Timestamp(acc.firstUs / 1000),
+            new java.sql.Timestamp(acc.lastUs / 1000)))
+      }
+  }
+
+  /** Drain a streaming DataFrame through a memory sink with AvailableNow
+    * (process-everything-then-stop) and return the materialized result. */
+  def drainToTable(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** Judged query ST1: streaming windowed aggregation, drained and
+    * totally ordered. Watermark semantics make "complete" unavailable —
+    * append mode emits only windows the watermark has closed; with
+    * AvailableNow over a finite replay the final watermark closes all but
+    * the trailing 2h of windows, deterministically. */
+  def windowedProfile(spark: SparkSession, sfDir: String): DataFrame =
+    drainToTable(
+      windowedCounts(readEvents(spark, sfDir)),
+      s"st1_win_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      OutputMode.Append())
+      .orderBy("win_start", "event_type")
+
+  /** Judged query ST2: stateful per-user sessions (top users by events). */
+  def sessionProfile(spark: SparkSession, sfDir: String): DataFrame =
+    drainToTable(
+      userSessions(readEvents(spark, sfDir)).toDF(),
+      s"st2_sess_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      OutputMode.Append())
+      .selectExpr("user_id", "n_events", "n_types",
+        "unix_micros(first_ts) AS first_us", "unix_micros(last_ts) AS last_us")
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(50)
+}

@@ -191,6 +191,42 @@ class LakeSpec extends SparkSpec {
     assert(cat.readAt("iot", vPre).count() === 10)
   }
 
+  test("inlined inserts: zero files, full visibility, constraints, flush") {
+    val cat = newLake()
+    cat.createTable("t", StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType))),
+      primaryKey = Seq("id"))
+    cat.insert("t", Seq((1, "a")).toDF("id", "v"))
+    cat.insertInlined("t", Seq((2, "b"), (3, "c")).toDF("id", "v"))
+    // zero new data files, but rows fully visible to reads and diffs
+    assert(cat.tableInfo().filter($"table_name" === "t")
+      .select("file_count").as[Long].head() === 1)
+    assert(cat.read("t").count() === 3)
+    // PK enforced across files AND inline rows
+    intercept[ConstraintViolation] {
+      cat.insertInlined("t", Seq((1, "dup")).toDF("id", "v"))
+    }
+    intercept[ConstraintViolation] {
+      cat.insert("t", Seq((3, "dup")).toDF("id", "v"))
+    }
+    // UPDATE flushes inline rows then rewrites: result correct
+    cat.update("t", $"id" === 3, Map("v" -> lit("c2")))
+    assert(cat.read("t").orderBy("id").as[(Int, String)].collect()
+      === Array((1, "a"), (2, "b"), (3, "c2")))
+    // time travel still sees the inline-rows snapshot
+    assert(cat.readAt("t", 3).count() === 3)
+    // schema evolution over inline rows: flushed, default applies
+    cat.insertInlined("t", Seq((4, "d")).toDF("id", "v"))
+    cat.transaction(_.addColumn("t", "tag", StringType, Some("'x'")))
+    assert(cat.read("t").filter($"id" === 4).select("tag").as[String].head() === "x")
+    // compaction clears any remaining inline batches
+    cat.insertInlined("t", Seq((5, "e"), (6, "f")).toDF("id", "v"))
+    cat.compact("t")
+    val info = cat.tableInfo().filter($"table_name" === "t")
+      .select("inlined_rows", "row_count").as[(Long, Long)].head()
+    assert(info === ((0L, 6L)))
+  }
+
   test("migrate recreates tables, constraints and views in a second catalog") {
     val src = newLake()
     src.createTable("t", StructType(Seq(
