@@ -1,0 +1,73 @@
+package graft
+
+/** Physical-plan audits: the properties that decide whether these plans
+  * survive a 100TB / 1000-executor scale-up. A query that is correct but
+  * scans all columns, shuffles a broadcastable dim, or goes cartesian is
+  * a bug here even when its result matches the oracle. */
+class PlanSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  private def planString(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString()
+
+  test("filters push down to the parquet scan") {
+    val s = planString("p3_filter_compare")
+    assert(s.contains("PushedFilters: ["), s)
+    assert(s.contains("GreaterThanOrEqual(l_quantity"), s)
+  }
+
+  test("projection prunes the read schema to selected columns") {
+    val s = planString("s2_scan_project")
+    // region has 2 cols; both referenced — but lineitem projections must
+    // not read all 11 columns
+    val s2 = planString("p10_cast")
+    assert(s2.contains("ReadSchema"), s2)
+    assert(!s2.contains("l_comment") && !s2.contains("l_discount"),
+      "p10 must not read unprojected lineitem columns\n" + s2)
+    assert(s.contains("ReadSchema"), s)
+  }
+
+  test("small dimension joins broadcast (no shuffle of the fact side)") {
+    val s = planString("j1_join_inner")
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), "dims must broadcast, not SMJ\n" + s)
+  }
+
+  test("top-k plans TakeOrderedAndProject, not a global sort") {
+    val s = planString("o3_topk_desc")
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+
+  test("aggregations are partial+final hash aggregates") {
+    val s = planString("q1_pricing_summary")
+    assert(s.contains("HashAggregate"), s)
+    assert(!s.contains("SortAggregate"), s)
+  }
+
+  test("no dedup/similarity query degenerates to a cartesian product") {
+    Seq("dd2_ngram_jaccard", "dd3_minhash_lsh", "dd4_simhash",
+      "dd5_embed_neardup", "ss2_ann_lsh").foreach { q =>
+      val s = planString(q)
+      assert(!s.contains("CartesianProduct"),
+        s"$q must stay band/bucket-local\n" + s.take(2000))
+      assert(!s.contains("BroadcastNestedLoopJoin"),
+        s"$q must use hash joins on band keys\n" + s.take(2000))
+    }
+  }
+
+  test("brute-force topk is the ONLY intentional nested-loop pair join") {
+    // ss1 compares a tiny query set against the table — BNLJ with a
+    // broadcast side is the right plan there
+    val s = planString("ss1_cosine_topk")
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("CartesianProduct"))
+  }
+
+  test("whole-stage codegen covers the relational hot paths") {
+    Seq("q1_pricing_summary", "a3_multi_agg", "j2_join_left_agg").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, d)
+      df.collect() // finalize the adaptive plan so codegen spans materialize
+      val s = df.queryExecution.executedPlan.toString()
+      assert(s.contains("*("), s"$q should have WholeStageCodegen spans\n" + s.take(1000))
+    }
+  }
+}
