@@ -210,6 +210,53 @@ object LakeScenarios {
           .orderBy("snapshot_id")
       }, None),
 
+    // T5 — audit-log reconstruction: pairwise joins of consecutive
+    // snapshots extract the field-change history of a row
+    // (ref demos/02_time_travel/demo.py:264-301 — the flagship composite).
+    QDef("l8_audit_log",
+      (s, d) => {
+        val cat = freshLake(s)
+        val c = T.customer(s, d).filter(col("c_custkey") <= 50)
+          .selectExpr("c_custkey AS id", "c_name AS name", "c_acctbal AS bal")
+        cat.createTableAs("cust", c)
+        cat.update("cust", col("id") === 7, Map("bal" -> lit(111.0)))
+        cat.update("cust", col("id") <= 3, Map("bal" -> (col("bal") + 10.0)))
+        cat.update("cust", col("id") === 7, Map("name" -> lit("renamed_7")))
+        val cur = cat.currentVersion
+        val audits = (2L until cur).map { v =>
+          val prev = cat.readAt("cust", v).as("p")
+          val next = cat.readAt("cust", v + 1).as("n")
+          prev.join(next, col("p.id") === col("n.id"))
+            .filter(col("p.bal") =!= col("n.bal") || col("p.name") =!= col("n.name"))
+            .select(lit(v + 1).as("version"), col("p.id").as("id"),
+              when(col("p.name") =!= col("n.name"),
+                concat(col("p.name"), lit(" -> "), col("n.name")))
+                .otherwise("").as("name_change"),
+              when(col("p.bal") =!= col("n.bal"),
+                concat(col("p.bal"), lit(" -> "), col("n.bal")))
+                .otherwise("").as("bal_change"))
+        }
+        audits.reduce(_ unionByName _).orderBy("version", "id")
+      }, None),
+
+    // T6 — engine introspection as DataFrames (ref exploration/
+    // ducklake_analysis.sh:186-191: duckdb_functions()/duckdb_settings()).
+    QDef("l9_introspection",
+      (s, d) => {
+        import s.implicits._
+        val fns = s.catalog.listFunctions()
+          .filter(col("name").isin("sum", "avg", "min", "max", "count",
+            "row_number", "concat", "coalesce"))
+          .select(col("name")).as[String].collect().sorted.toSeq
+          .toDF("name").withColumn("kind", lit("function"))
+        val confs = Seq(
+          "spark.sql.shuffle.partitions" -> s.conf.get("spark.sql.shuffle.partitions"))
+          .toDF("name", "value")
+          .select(concat(col("name"), lit("="), col("value")).as("name"))
+          .withColumn("kind", lit("setting"))
+        fns.unionByName(confs).orderBy("kind", "name")
+      }, None),
+
     // MM2 — multimodal decode stub: typed mapPartitions pipeline
     // (see graft.ops.Multimodal — schema/partitioning real, codec stubbed).
     QDef("mm2_decode_profile",

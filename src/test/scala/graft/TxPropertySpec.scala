@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.lake.LakeCatalog
+
+/** Property tests for transactional invariants (SURVEY.md §5): under any
+  * random interleaving of commits, failed transactions and concurrent
+  * writers, the demo-1 invariant holds — every committed order has
+  * decremented inventory exactly once, and failed transactions leave no
+  * partial state. */
+class TxPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshCat(): LakeCatalog = {
+    val cat = new LakeCatalog(spark, tmpDir("lakeprop"))
+    cat.createTable("inv", StructType(Seq(
+      StructField("pid", IntegerType), StructField("qty", IntegerType))),
+      primaryKey = Seq("pid"))
+    cat.createTable("ord", StructType(Seq(
+      StructField("oid", IntegerType), StructField("pid", IntegerType),
+      StructField("n", IntegerType))), primaryKey = Seq("oid"))
+    cat.insert("inv", Seq((1, 100), (2, 100), (3, 100)).toDF("pid", "qty"))
+    cat
+  }
+
+  // an op: (orderId, productId, amount, failAfterInsert)
+  private val opGen: Gen[(Int, Int, Int, Boolean)] = for {
+    oid <- Gen.choose(1, 1000000)
+    pid <- Gen.choose(1, 3)
+    n <- Gen.choose(1, 5)
+    fail <- Gen.frequency(3 -> false, 1 -> true)
+  } yield (oid, pid, n, fail)
+
+  test("random txn interleavings keep inventory+orders consistent") {
+    val prop = Prop.forAllNoShrink(Gen.listOfN(6, opGen)) { ops =>
+      val cat = freshCat()
+      val deduped = ops.zipWithIndex.map { case ((_, p, n, f), i) => (i + 1, p, n, f) }
+      deduped.foreach { case (oid, pid, n, fail) =>
+        try cat.transaction { tx =>
+          tx.insert("ord", Seq((oid, pid, n)).toDF("oid", "pid", "n"))
+          tx.update("inv", col("pid") === pid, Map("qty" -> (col("qty") - n)))
+          if (fail) throw new RuntimeException("injected failure")
+        } catch { case _: RuntimeException => () }
+      }
+      // invariant: for each product, 100 - committed order quantity == qty
+      val ordered = cat.read("ord").groupBy("pid")
+        .agg(sum("n").as("total")).as[(Int, Long)].collect().toMap
+      val inv = cat.read("inv").as[(Int, Int)].collect().toMap
+      val committed = deduped.filterNot(_._4)
+      val ok = (1 to 3).forall { p =>
+        inv(p) == 100 - ordered.getOrElse(p, 0L) &&
+          ordered.getOrElse(p, 0L) ==
+            committed.filter(_._2 == p).map(_._3.toLong).sum
+      }
+      // and no partial state from failed txns
+      val failedOids = deduped.filter(_._4).map(_._1).toSet
+      val leaked = cat.read("ord").select("oid").as[Int].collect()
+        .count(failedOids.contains)
+      ok && leaked == 0
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("concurrent writers during schema evolution stay isolated (demo 3)") {
+    // ref demos/03_schema_evolution/demo.py:32-72: a background thread
+    // keeps inserting while the main thread evolves the schema
+    val cat = freshCat()
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    import ExecutionContext.Implicits.global
+    val writer = Future {
+      (1 to 10).foreach { i =>
+        cat.insert("ord", Seq((9000 + i, 1, 1)).toDF("oid", "pid", "n"))
+      }
+    }
+    val evolver = Future {
+      cat.transaction(_.addColumn("ord", "src", StringType, Some("'legacy'")))
+      cat.transaction(_.renameColumn("ord", "src", "origin"))
+    }
+    Await.result(Future.sequence(Seq(writer, evolver)), 180.seconds)
+    val rows = cat.read("ord")
+    assert(rows.count() === 10)
+    assert(rows.columns.contains("origin"))
+    // every row reads a value for the evolved column (default applied to
+    // files written before the ADD COLUMN)
+    assert(rows.filter(col("origin").isNull).count() === 0)
+  }
+}
