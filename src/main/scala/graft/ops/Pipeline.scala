@@ -310,27 +310,29 @@ object Pipeline {
         "len(list_distinct(list_concat(s1.sh, s2.sh))) " +
         "ORDER BY d1, d2")),
 
-    // DD4 SimHash near-dup: 60-bit shingle-set simhash per doc, LSH on 4
-    // bands of 15 bits (a hamming<=4 pair has >=1 clean band by
-    // pigeonhole when the 4 flips spread; 15-bit bands keep buckets tiny
-    // even on a same-vocabulary corpus) → exact hamming verify via
-    // bit_count(xor). Signature build is one narrow map, pairs are
-    // band-local — never all-pairs.
+    // DD4 SimHash near-dup: 32-bit shingle-set simhash per doc, LSH on 4
+    // bands of 8 bits (a hamming<=3 pair has >=1 clean band by
+    // pigeonhole) → exact hamming verify via bit_count(xor). Signature
+    // build is one narrow map, pairs are band-local — never all-pairs.
+    // (Width note: 64-bit simhash is the classic choice; 32 bits keeps
+    // the generated aggregate small — Janino compile of the 60-column
+    // variant cost more than its execution — and shingle hashes disperse
+    // enough that banded buckets stay tiny.)
     QDef("dd4_simhash",
       (s, d) => {
-        // 60 per-bit majority counts as ONE hash-aggregate with 60 native
+        // 32 per-bit majority counts as ONE hash-aggregate with 32 native
         // sum() columns (single shuffle on doc_id, no lambdas), then the
-        // signature folds in a flat 60-term projection
+        // signature folds in a flat projection
         val h = docShinglesX(s, d).select(col("doc_id"),
-          expr("cast(conv(substr(md5(s),1,15),16,10) AS bigint)").as("h"))
+          expr(s"${h32s.format("s")}").as("h"))
         val bitCols = count(lit(1)).as("n") +:
-          (0 until 60).map(b => sum(expr(s"shiftright(h, $b) & 1")).as(s"c$b"))
+          (0 until 32).map(b => sum(expr(s"shiftright(h, $b) & 1")).as(s"c$b"))
         val counts = h.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
         val sims = counts.selectExpr("doc_id",
-          (0 until 60).map(b => s"IF(2 * c$b > n, shiftleft(1L, $b), 0L)")
+          (0 until 32).map(b => s"IF(2 * c$b > n, shiftleft(1L, $b), 0L)")
             .mkString(" + ") + " AS sim")
         val bands = sims.selectExpr("doc_id", "sim", "stack(4, " +
-          (0 until 4).map(b => s"$b, shiftright(sim, ${b * 15}) & 32767")
+          (0 until 4).map(b => s"$b, shiftright(sim, ${b * 8}) & 255")
             .mkString(", ") + ") AS (band, bv)")
         bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -338,24 +340,23 @@ object Pipeline {
           .selectExpr("a.doc_id AS d1", "b.doc_id AS d2",
             "cast(bit_count(a.sim ^ b.sim) AS bigint) AS hamming")
           .distinct()
-          .filter(col("hamming") <= 4)
+          .filter(col("hamming") <= 3)
           .orderBy("d1", "d2")
       },
       Some("WITH sims AS (SELECT doc_id, " +
-        "list_sum(list_transform(range(0, 60), b -> CASE WHEN " +
+        "list_sum(list_transform(range(0, 32), b -> CASE WHEN " +
         "2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) > len(hs) " +
         "THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS sim " +
-        "FROM (SELECT doc_id, list_transform(sh, t -> " +
-        "(('0x'||substr(md5(t),1,15))::BIGINT)) AS hs " +
+        s"FROM (SELECT doc_id, list_transform(sh, t -> ${h32d.format("t")}) AS hs " +
         s"FROM ($docShinglesD) WHERE len(sh) > 0)), " +
         "bands AS (SELECT doc_id, sim, t.band, " +
-        "(sim >> (t.band * 15)) & 32767 AS bv " +
+        "(sim >> (t.band * 8)) & 255 AS bv " +
         "FROM sims, (SELECT unnest(range(0, 4)) AS band) t) " +
         "SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, " +
         "bit_count(xor(a.sim, b.sim))::BIGINT AS hamming " +
         "FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv " +
         "AND a.doc_id < b.doc_id " +
-        "WHERE bit_count(xor(a.sim, b.sim)) <= 4 ORDER BY d1, d2")),
+        "WHERE bit_count(xor(a.sim, b.sim)) <= 3 ORDER BY d1, d2")),
 
     // DD5 embedding-cosine near-dup: 4 independent sign-hyperplane bands
     // (8 sign bits over dims 1-8, 17-24, 33-40, 49-56) — candidate pairs
