@@ -147,6 +147,21 @@ class LakeCatalog(val spark: SparkSession, val root: String) {
       "schema_version", "inlined_rows")
   }
 
+  /** `ducklake_table_stats` analog (ref README.md:202-209,
+    * exploration/benchmark_ducklake.sh:164-168): per-file column min/max
+    * from the manifest — the pruning index, queryable as a DataFrame. */
+  def tableStats(): DataFrame = {
+    import spark.implicits._
+    current.tables.toSeq.sortBy(_._1).flatMap { case (name, st) =>
+      st.files.flatMap { e =>
+        e.stats.toSeq.sortBy(_._1).map { case (c, cs) =>
+          (name, e.path, c, cs.min, cs.max, e.rowCount)
+        }
+      }
+    }.toDF("table_name", "file_path", "column_name", "min_value",
+      "max_value", "row_count")
+  }
+
   /** `ducklake_table_changes()` analog (T3 — ref utils/ducklake_utils.py:65-78):
     * row-level diff between two versions, tagged insert/delete. Multiset
     * semantics via exceptAll so duplicate rows diff correctly. */

@@ -34,11 +34,20 @@ final case class ColumnDef(
     typeJson: String,        // Spark DataType JSON
     default: Option[String]) // SQL literal expr, for files predating the col
 
+/** Per-file min/max of a column (values as strings for JSON; parse with
+  * the column's declared type) — the `ducklake_table_stats` analog
+  * (ref exploration/benchmark_ducklake.sh:164-168, README.md:202-209).
+  * Used to prune file sets before scanning: a PK-uniqueness check against
+  * a 100TB table only reads files whose key range overlaps the incoming
+  * batch. */
+final case class ColStat(min: String, max: String)
+
 final case class FileEntry(
     path: String,            // relative to lake root
     sizeBytes: Long,
     rowCount: Long,
-    schemaVersion: Int)      // table schema version the file was written under
+    schemaVersion: Int,      // table schema version the file was written under
+    stats: Map[String, ColStat] = Map.empty) // colName -> footer min/max
 
 /** Rows stored INSIDE the manifest instead of parquet — DuckLake's
   * "optional inlining" for high-frequency small writes (ref README.md:58-63,
@@ -70,6 +79,34 @@ final case class Snapshot(
     changes: Map[String, Seq[String]],    // e.g. tables_deleted_from -> [t]
     tables: Map[String, TableState],
     views: Map[String, String])           // view name -> SQL text
+
+/** Typed comparisons over the string-encoded file stats. Only types whose
+  * string casts order-compare safely are harvested (integral, double,
+  * string); anything else simply gets no stats — pruning then degrades to
+  * scanning, never to wrong answers. */
+object Stats {
+  def comparable(c: ColumnDef): Boolean = c.typeJson match {
+    case "\"integer\"" | "\"long\"" | "\"short\"" | "\"byte\"" |
+         "\"double\"" | "\"float\"" | "\"string\"" => true
+    case _ => false
+  }
+
+  private def cmp(c: ColumnDef, a: String, b: String): Int = c.typeJson match {
+    case "\"integer\"" | "\"long\"" | "\"short\"" | "\"byte\"" =>
+      java.lang.Long.compare(a.toLong, b.toLong)
+    case "\"double\"" | "\"float\"" =>
+      java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _ => a.compareTo(b)
+  }
+
+  /** Can [lo,hi] of an incoming batch intersect this file's range?
+    * Missing stats → must assume yes. */
+  def overlaps(st: Option[ColStat], c: ColumnDef, lo: String, hi: String): Boolean =
+    st match {
+      case Some(ColStat(mn, mx)) => cmp(c, mn, hi) <= 0 && cmp(c, lo, mx) <= 0
+      case None => true
+    }
+}
 
 object Manifest {
   private implicit val fmts: Formats = Serialization.formats(NoTypeHints)

@@ -283,8 +283,21 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
       if (!df.groupBy(pk: _*).count().filter(col("count") > 1).isEmpty)
         throw new ConstraintViolation(
           s"duplicate key in inserted rows: $table(${st.primaryKey.mkString(",")})")
-      if (checkPkAgainstExisting && st.files.nonEmpty) {
-        val existing = cat.readState(st).select(pk: _*)
+      if (checkPkAgainstExisting && (st.files.nonEmpty || st.inlined.nonEmpty)) {
+        // stats-based file pruning: only files whose lead-PK-column range
+        // overlaps the incoming batch's range can contain a duplicate —
+        // at scale this turns a full-table key scan into a ranged one
+        val leadPk = st.columns.find(_.name == st.primaryKey.head)
+        val pruned = leadPk.filter(Stats.comparable) match {
+          case Some(c) =>
+            val mm = df.agg(min(col(c.name)).cast("string"),
+              max(col(c.name)).cast("string")).head()
+            if (mm.isNullAt(0)) st.copy(files = Nil)
+            else st.copy(files = st.files.filter(e =>
+              Stats.overlaps(e.stats.get(c.name), c, mm.getString(0), mm.getString(1))))
+          case None => st
+        }
+        val existing = cat.readState(pruned).select(pk: _*)
         if (!existing.join(df.select(pk: _*), st.primaryKey, "left_semi").isEmpty)
           throw new ConstraintViolation(
             s"duplicate key: $table(${st.primaryKey.mkString(",")}) already exists")
@@ -334,13 +347,41 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
   }
 
   /** Stage parquet files for `df` under `<root>/<table>/data/<uuid>/`;
-    * returns manifest entries with footer-exact row counts. */
+    * returns manifest entries with footer-exact row counts plus per-file
+    * min/max stats for the PK columns (one distributed pass over only the
+    * new files) — the pruning index that keeps PK checks O(overlapping
+    * files) instead of O(table) at scale. */
   private def writeFiles(table: String, df: DataFrame,
       schemaVersion: Int): Seq[FileEntry] = {
     val rel = s"$table/data/${java.util.UUID.randomUUID().toString.take(12)}"
     val abs = cat.absPath(rel)
     stagedDirs += abs
     df.write.mode("errorifexists").parquet(abs.toString)
+    val statCols = tables.get(table).map(st =>
+      st.primaryKey.map(n => st.columns.find(_.name == n))
+        .collect { case Some(c) if Stats.comparable(c) => c })
+      .getOrElse(Nil)
+    val statsByPath: Map[String, Map[String, ColStat]] =
+      if (statCols.isEmpty) Map.empty
+      else {
+        val aggs = statCols.flatMap { c =>
+          Seq(min(col(c.name)).cast("string").as(s"min_${c.name}"),
+            max(col(c.name)).cast("string").as(s"max_${c.name}"))
+        }
+        spark.read.parquet(abs.toString)
+          .groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val stats = statCols.flatMap { c =>
+              val mn = r.getAs[String](s"min_${c.name}")
+              val mx = r.getAs[String](s"max_${c.name}")
+              if (mn == null || mx == null) None
+              else Some(c.name -> ColStat(mn, mx))
+            }.toMap
+            new java.net.URI(r.getAs[String]("__f")).getPath -> stats
+          }.toMap
+      }
     val rootQ = cat.fs.makeQualified(new Path(cat.root)).toUri.toString
       .stripSuffix("/")
     cat.fs.globStatus(new Path(abs, "*.parquet")).toSeq.map { fst =>
@@ -349,7 +390,8 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
         HadoopInputFile.fromPath(p, cat.hadoopConf))
       val rows = try reader.getRecordCount finally reader.close()
       val relPath = p.toUri.toString.stripPrefix(rootQ).stripPrefix("/")
-      FileEntry(relPath, fst.getLen, rows, schemaVersion)
+      FileEntry(relPath, fst.getLen, rows, schemaVersion,
+        statsByPath.getOrElse(p.toUri.getPath, Map.empty))
     }
   }
 

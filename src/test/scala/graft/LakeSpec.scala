@@ -227,6 +227,41 @@ class LakeSpec extends SparkSpec {
     assert(info === ((0L, 6L)))
   }
 
+  test("file stats: harvested on write, prune the PK-uniqueness scan") {
+    import graft.lake.{ColStat, ColumnDef, Stats}
+    val cat = newLake()
+    cat.createTable("t", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))),
+      primaryKey = Seq("id"))
+    cat.insert("t", (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"))
+    cat.insert("t", (1000L to 1100L).map(i => (i, s"v$i")).toDF("id", "v"))
+    // stats exposed as the ducklake_table_stats analog
+    val stats = cat.tableStats()
+      .filter($"table_name" === "t" && $"column_name" === "id")
+      .select("min_value", "max_value").as[(String, String)].collect()
+    assert(stats.length >= 2)
+    assert(stats.map(_._1.toLong).min === 1L)
+    assert(stats.map(_._2.toLong).max === 1100L)
+    // no file spans the gap between the two disjoint batches
+    assert(stats.forall(s => s._2.toLong <= 100L || s._1.toLong >= 1000L))
+    // overlapping insert still rejected, disjoint insert accepted
+    intercept[ConstraintViolation] {
+      cat.insert("t", Seq((1050L, "dup")).toDF("id", "v"))
+    }
+    cat.insert("t", Seq((500L, "gap")).toDF("id", "v"))
+    assert(cat.read("t").count() === 202)
+    // the range predicate itself
+    val c = ColumnDef(0, "id", "\"long\"", None)
+    assert(!Stats.overlaps(Some(ColStat("1", "100")), c, "101", "999"))
+    assert(Stats.overlaps(Some(ColStat("1", "100")), c, "100", "999"))
+    assert(Stats.overlaps(None, c, "0", "0")) // no stats -> must scan
+    // copy-on-write rewrites regenerate stats for the new files
+    cat.update("t", $"id" === 1000L, Map("v" -> lit("x")))
+    val afterRewrite = cat.tableStats()
+      .filter($"column_name" === "id").count()
+    assert(afterRewrite >= 3)
+  }
+
   test("migrate recreates tables, constraints and views in a second catalog") {
     val src = newLake()
     src.createTable("t", StructType(Seq(
