@@ -105,6 +105,23 @@ class LakeCatalog(val spark: SparkSession, val root: String) {
     live.max
   }
 
+  /** Ad-hoc SQL over the lake's current snapshot — the reference's
+    * user-facing surface (`ATTACH ...; SELECT ... FROM lake.t`, ref
+    * demos/01_transaction_rollback/demo.py:30,74): every table of the
+    * catalog is visible by name, resolution happens in an isolated child
+    * session so caller temp views are untouched. */
+  def sql(query: String): DataFrame = {
+    val s = current
+    val iso = spark.newSession()
+    s.tables.foreach { case (t, st) =>
+      readState(st, iso).createOrReplaceTempView(t)
+    }
+    s.views.foreach { case (v, viewSql) =>
+      iso.sql(viewSql).createOrReplaceTempView(v)
+    }
+    iso.sql(query)
+  }
+
   /** Materialize a stored view (D3): tables become temp views, the stored
     * SQL runs against them (ref demos/03_schema_evolution/demo.py:273-288).
     *

@@ -262,6 +262,42 @@ class LakeSpec extends SparkSpec {
     assert(afterRewrite >= 3)
   }
 
+  test("ad-hoc SQL runs over the lake snapshot, views included") {
+    val cat = newLake()
+    cat.createTable("p", StructType(Seq(
+      StructField("id", IntegerType), StructField("price", DoubleType))))
+    cat.insert("p", Seq((1, 10.0), (2, 20.0), (3, 30.0)).toDF("id", "price"))
+    cat.createView("v_cheap", "SELECT id FROM p WHERE price < 25.0")
+    val out = cat.sql(
+      "SELECT count(*) AS n, CAST(sum(price) AS DOUBLE) AS total FROM p " +
+        "WHERE id IN (SELECT id FROM v_cheap)")
+      .as[(Long, Double)].head()
+    assert(out === ((2L, 30.0)))
+  }
+
+  test("nested types round-trip through the lake (array columns)") {
+    val cat = newLake()
+    // embeddings-shaped table: vec_id + array<float>
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter($"vec_id" < 50)
+    cat.createTableAs("emb", emb)
+    val back = cat.read("emb")
+    assert(back.count() === 50)
+    assert(back.schema("embedding").dataType.typeName === "array")
+    // still computable: norms over the stored vectors
+    val n = cat.sql(
+      "SELECT count(*) AS n FROM emb WHERE " +
+        "aggregate(cast(embedding AS array<double>), cast(0 AS double), " +
+        "(a, x) -> a + x * x) > 0").as[Long].head()
+    assert(n === 50)
+    // inline path also carries nested types (JSON round-trip)
+    cat.insertInlined("emb",
+      emb.limit(2).selectExpr("vec_id + 1000 AS vec_id", "embedding", "label"))
+    assert(cat.read("emb").count() === 52)
+    assert(cat.read("emb").filter($"vec_id" >= 1000)
+      .selectExpr("size(embedding)").as[Int].collect().toSet === Set(64))
+  }
+
   test("migrate recreates tables, constraints and views in a second catalog") {
     val src = newLake()
     src.createTable("t", StructType(Seq(
