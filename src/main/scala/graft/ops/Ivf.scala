@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** IVF (inverted-file) approximate nearest neighbor: KMeans coarse
+  * quantizer → every vector lives in one cell; a query probes only its
+  * `nProbe` nearest cells, so search cost is (nProbe/k) of the table
+  * instead of all of it — the structure FAISS/Milvus use at billion-vector
+  * scale, expressed as two Spark joins:
+  *
+  *   1. assignment: one MLlib KMeans fit (sample-sized; centroids are
+  *      k x dim doubles on the driver) + one `transform` over the table —
+  *      at 100 TB this is the only full pass, and it's embarrassingly
+  *      parallel;
+  *   2. search: queries join the (tiny, broadcast) centroid table to pick
+  *      probe cells, then hash-join the point table ON THE CELL ID —
+  *      bucket-local work, never a scan per query.
+  *
+  * Not oracle-verified (KMeans centroids are engine-specific); recall vs
+  * the brute-force baseline and cell-locality are pinned in PipelineSpec.
+  */
+object Ivf {
+
+  val K = 16
+  val NProbe = 4
+
+  /** Cell assignments + centroid list for the embeddings table. */
+  private def assign(spark: SparkSession, sfDir: String): (DataFrame, Array[Vector]) = {
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .selectExpr("vec_id", "cast(embedding AS array<double>) AS v")
+      .withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans()
+      .setK(K).setSeed(42L).setMaxIter(10)
+      .fit(e.select("features"))
+    val assigned = model.transform(e)
+      .withColumnRenamed("prediction", "cell")
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(v, cast(0 AS double), (acc, x) -> acc + x * x))"))
+      .select("vec_id", "v", "nrm", "cell")
+    (assigned, model.clusterCenters)
+  }
+
+  /** Judged query SS3: IVF top-3 for the `vec_id % 100 = 0` query set. */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val (points, centers) = assign(spark, sfDir)
+    // centroid relation: tiny, broadcast into the probe-selection join
+    import spark.implicits._
+    val centersDf = centers.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "cvec")
+    val queries = points.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    // pick nProbe nearest cells per query (euclidean to centroid)
+    val wProbe = Window.partitionBy("qid").orderBy(col("cdist"), col("cell"))
+    val probes = queries.crossJoin(broadcast(centersDf))
+      .withColumn("cdist", expr(
+        "aggregate(zip_with(qv, cvec, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 AS double), (acc, x) -> acc + x)"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= NProbe)
+      .select("qid", "qv", "qnrm", "cell")
+    // bucket-local candidate join on the cell id, exact cosine, top-3
+    val wRank = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    probes.join(points, "cell")
+      .filter(col("qid") =!= col("vec_id"))
+      .selectExpr("qid", "vec_id AS nid",
+        "round(aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0 AS double), " +
+          "(acc, x) -> acc + x) / (qnrm * nrm), 6) AS cos",
+        "cell")
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select("qid", "rank", "nid", "cos", "cell")
+      .orderBy("qid", "rank")
+  }
+}

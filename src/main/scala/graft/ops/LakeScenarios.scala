@@ -274,6 +274,11 @@ object LakeScenarios {
 
     // ST2 — custom keyed streaming state via flatMapGroupsWithState.
     QDef("st2_stream_sessions",
-      (s, d) => graft.streaming.EventStream.sessionProfile(s, d), None)
+      (s, d) => graft.streaming.EventStream.sessionProfile(s, d), None),
+
+    // SS3 — IVF ANN: KMeans coarse quantizer + probe-nearest-cells search
+    // (rows-only: centroids are engine-specific; recall pinned in specs).
+    QDef("ss3_ann_ivf",
+      (s, d) => Ivf.annIvf(s, d), None)
   )
 }

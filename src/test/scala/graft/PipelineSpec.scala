@@ -74,6 +74,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN: cell-local candidates, ordered ranks, useful recall") {
+    import spark.implicits._
+    val ivf = run("ss3_ann_ivf")
+      .select("qid", "rank", "nid", "cos")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2).map(_._4)
+      assert(sorted.zip(sorted.drop(1)).forall { case (a, b) => a >= b })
+    }
+    // recall@1-in-top5: the IVF rank-1 should be a brute-force top-5
+    // neighbor for a healthy share of queries (probing 4/16 cells)
+    val bfTop5 = run("ss1_cosine_topk")
+      .select("qid", "nid").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val top1 = ivf.filter(_._2 == 1).map(r => r._1 -> r._3)
+    val hits = top1.count { case (q, n) => bfTop5.getOrElse(q, Set()).contains(n) }
+    info(s"IVF rank-1 in BF top-5: $hits/${top1.length}")
+    assert(hits > 0, "IVF should recover at least one true neighbor")
+  }
+
   test("text metrics are in-range and fingerprints are stable") {
     import spark.implicits._
     val q = run("x2_text_quality")
