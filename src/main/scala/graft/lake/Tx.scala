@@ -357,10 +357,12 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     val abs = cat.absPath(rel)
     stagedDirs += abs
     df.write.mode("errorifexists").parquet(abs.toString)
-    val statCols = tables.get(table).map(st =>
-      st.primaryKey.map(n => st.columns.find(_.name == n))
-        .collect { case Some(c) if Stats.comparable(c) => c })
-      .getOrElse(Nil)
+    // harvest min/max for every comparable column (PK first, capped at 8
+    // to bound manifest size) — powers PK-check pruning AND readRange
+    val statCols = tables.get(table).map { st =>
+      val pkFirst = st.columns.sortBy(c => !st.primaryKey.contains(c.name))
+      pkFirst.filter(Stats.comparable).take(8)
+    }.getOrElse(Nil)
     val statsByPath: Map[String, Map[String, ColStat]] =
       if (statCols.isEmpty) Map.empty
       else {

@@ -260,6 +260,13 @@ class LakeSpec extends SparkSpec {
     val afterRewrite = cat.tableStats()
       .filter($"column_name" === "id").count()
     assert(afterRewrite >= 3)
+    // readRange prunes by manifest stats and filters exactly
+    val ranged = cat.readRange("t", "id", "40", "60")
+    assert(ranged.select("id").as[Long].collect().sorted
+      === (40L to 60L).filterNot(_ > 100).toArray ++
+        (if (500L >= 40L && 500L <= 60L) Seq(500L) else Nil))
+    // non-PK column stats are harvested too (v is a string column)
+    assert(cat.tableStats().filter($"column_name" === "v").count() > 0)
   }
 
   test("ad-hoc SQL runs over the lake snapshot, views included") {
@@ -296,6 +303,29 @@ class LakeSpec extends SparkSpec {
     assert(cat.read("emb").count() === 52)
     assert(cat.read("emb").filter($"vec_id" >= 1000)
       .selectExpr("size(embedding)").as[Int].collect().toSet === Set(64))
+  }
+
+  test("multi-environment config pattern (demo 5): per-env catalogs + migrate") {
+    // ref demos/05_catalog_portability/demo.py:369-428: the same config
+    // table shape per environment, promoted dev -> prod
+    val envs = Seq("dev", "staging", "prod").map(e => e -> newLake()).toMap
+    envs.foreach { case (env, cat) =>
+      cat.createTable("config", StructType(Seq(
+        StructField("key", StringType), StructField("value", StringType),
+        StructField("environment", StringType))), primaryKey = Seq("key"))
+      cat.insert("config", Seq(
+        ("batch_size", if (env == "prod") "10000" else "100", env),
+        ("debug", (env != "prod").toString, env)).toDF("key", "value", "environment"))
+    }
+    assert(envs("prod").sql(
+      "SELECT value FROM config WHERE key = 'batch_size'")
+      .as[String].head() === "10000")
+    // promote dev catalog contents into a fresh env
+    val qa = newLake()
+    envs("dev").migrateTo(qa)
+    assert(qa.read("config").count() === 2)
+    assert(qa.sql("SELECT value FROM config WHERE key = 'debug'")
+      .as[String].head() === "true")
   }
 
   test("migrate recreates tables, constraints and views in a second catalog") {
