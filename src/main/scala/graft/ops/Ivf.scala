@@ -31,6 +31,7 @@ object Ivf {
 
   /** Cell assignments + centroid list for the embeddings table. */
   private def assign(spark: SparkSession, sfDir: String): (DataFrame, Array[Vector]) = {
+    graft.functions.DotProduct.register(spark)
     val e = graft.Tables.embeddings(spark, sfDir)
       .selectExpr("vec_id", "cast(embedding AS array<double>) AS v")
       .withColumn("features", array_to_vector(col("v")))
@@ -39,8 +40,7 @@ object Ivf {
       .fit(e.select("features"))
     val assigned = model.transform(e)
       .withColumnRenamed("prediction", "cell")
-      .withColumn("nrm", expr(
-        "sqrt(aggregate(v, cast(0 AS double), (acc, x) -> acc + x * x))"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
       .select("vec_id", "v", "nrm", "cell")
     (assigned, model.clusterCenters)
   }
@@ -69,8 +69,7 @@ object Ivf {
     probes.join(points, "cell")
       .filter(col("qid") =!= col("vec_id"))
       .selectExpr("qid", "vec_id AS nid",
-        "round(aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0 AS double), " +
-          "(acc, x) -> acc + x) / (qnrm * nrm), 6) AS cos",
+        "round(graft_dot(qv, v) / (qnrm * nrm), 6) AS cos",
         "cell")
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= 3)

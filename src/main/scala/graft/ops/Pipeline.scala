@@ -83,23 +83,25 @@ object Pipeline {
   // ----------------------------------------------------- embedding helpers
   // (defined before `defs` — object-body vals initialize top-to-bottom)
 
-  /** Embeddings as double vectors with precomputed L2 norm. */
-  private def embNorm(s: SparkSession, d: String): DataFrame =
+  /** Embeddings as double vectors with precomputed L2 norm. `graft_dot`
+    * is the codegen'd native dot product (graft.functions.DotProduct) —
+    * bit-identical to the sequential-fold HOF it replaces. */
+  private def embNorm(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
     T.embeddings(s, d).selectExpr(
       "vec_id",
       "cast(embedding AS array<double>) AS v")
-      .withColumn("nrm", expr(
-        "sqrt(aggregate(v, cast(0 AS double), (acc, x) -> acc + x * x))"))
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+  }
 
   private val embNormD =
     "SELECT vec_id, embedding::DOUBLE[] AS v, " +
       "sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm " +
       "FROM embeddings"
 
-  /** cosine(a.v, b.v) — sequential-fold dot product, identical association
-    * order on both engines so the doubles match bit-for-bit. */
-  private val cosSparkAB =
-    "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0 AS double), (acc, x) -> acc + x) / (a.nrm * b.nrm)"
+  /** cosine(a.v, b.v) — sequential-order dot product, identical
+    * association order on both engines so the doubles match bit-for-bit. */
+  private val cosSparkAB = "graft_dot(a.v, b.v) / (a.nrm * b.nrm)"
   private val cosDuckAB =
     "list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)"
 
