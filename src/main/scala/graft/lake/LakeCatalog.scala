@@ -298,6 +298,42 @@ class LakeCatalog(val spark: SparkSession, val root: String) {
   def compact(table: String, targetFileBytes: Long = 128L << 20): Unit =
     transaction(_.compact(table, targetFileBytes))
 
+  /** Snapshot expiry + orphan cleanup (the `expire_snapshots`/vacuum
+    * maintenance op): drop manifests older than the `keepLast` most
+    * recent snapshots and delete data files no kept snapshot references.
+    * Time travel to expired versions then fails (by design); current
+    * reads are untouched. Deletion order is crash-safe: manifests go
+    * first, so a crash mid-vacuum leaves orphan FILES (harmless,
+    * re-collectable) never dangling SNAPSHOTS. */
+  def vacuum(keepLast: Int = 10): Unit = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val cur = currentVersion
+    if (cur == 0) return
+    val cutoff = math.max(1L, cur - keepLast + 1)
+    val keptSnaps = (cutoff to cur).map(snapshot)
+    // normalize through absPath so both relative and (legacy) absolute
+    // manifest entries compare correctly
+    val live = keptSnaps
+      .flatMap(_.tables.values.flatMap(_.files.map(e =>
+        absPath(e.path).toUri.getPath))).toSet
+    (1L until cutoff).foreach(v => Manifest.delete(root, v, conf))
+    // walk <root>/<table>/data/** and drop parquet files no kept
+    // snapshot references (also catches dirs from dropped tables)
+    val rootPath = fs.makeQualified(new Path(root))
+    val rootStr = rootPath.toUri.getPath.stripSuffix("/")
+    if (fs.exists(rootPath)) {
+      val it = fs.listFiles(rootPath, true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        val abs = f.toUri.getPath
+        val rel = abs.stripPrefix(rootStr).stripPrefix("/")
+        val isData = rel.contains("/data/") && !rel.startsWith("_manifest")
+        if (isData && rel.endsWith(".parquet") && !live.contains(abs))
+          fs.delete(f, false)
+      }
+    }
+  }
+
   /** Catalog migration (S8 — ref demos/05_catalog_portability/demo.py:199-252):
     * recreate every table (schema, constraints, rows) and view of `this`
     * in `dst`, atomically there. */

@@ -22,8 +22,15 @@ import java.nio.charset.StandardCharsets
   *
   * Scale notes (100 TB / 1000 executors):
   *  - The manifest holds file-level metadata only (path, size, rows,
-  *    schema version) — O(files), never O(rows). Readers resolve a
-  *    snapshot with ONE metadata read instead of object-store listing.
+  *    schema version, column min/max) — O(files), never O(rows). Readers
+  *    resolve a snapshot with ONE metadata read instead of object-store
+  *    listing.
+  *  - Each snapshot file is self-contained (full table state), so a
+  *    long-lived table with many files pays O(files) JSON per commit and
+  *    O(snapshots x files) manifest storage. `vacuum` bounds the history;
+  *    the upgrade path for larger catalogs is Iceberg-style delta
+  *    manifests (per-commit file-list diffs + periodic rewrites), which
+  *    changes only this object's load/publish, not the catalog API.
   *  - All data IO goes through the Hadoop FileSystem API, so `root` can
   *    be hdfs:// or s3a:// unchanged; publish uses create-exclusive
   *    semantics (atomic on HDFS; hard-link trick on local fs for tests).
@@ -135,6 +142,12 @@ object Manifest {
       if (vs.isEmpty) 0L else vs.max
     }
   }
+
+  def delete(root: String, v: Long, conf: Configuration): Unit =
+    fs(root, conf).delete(versionPath(root, v), false)
+
+  def exists(root: String, v: Long, conf: Configuration): Boolean =
+    fs(root, conf).exists(versionPath(root, v))
 
   def load(root: String, v: Long, conf: Configuration): Snapshot = {
     if (v == 0L) return empty

@@ -384,14 +384,17 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
             new java.net.URI(r.getAs[String]("__f")).getPath -> stats
           }.toMap
       }
-    val rootQ = cat.fs.makeQualified(new Path(cat.root)).toUri.toString
+    // scheme-free path components on both sides: URI renderings differ
+    // (file:/ vs file:///) and a failed stripPrefix would silently store
+    // an absolute path
+    val rootQ = cat.fs.makeQualified(new Path(cat.root)).toUri.getPath
       .stripSuffix("/")
     cat.fs.globStatus(new Path(abs, "*.parquet")).toSeq.map { fst =>
       val p = fst.getPath
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(p, cat.hadoopConf))
       val rows = try reader.getRecordCount finally reader.close()
-      val relPath = p.toUri.toString.stripPrefix(rootQ).stripPrefix("/")
+      val relPath = p.toUri.getPath.stripPrefix(rootQ).stripPrefix("/")
       FileEntry(relPath, fst.getLen, rows, schemaVersion,
         statsByPath.getOrElse(p.toUri.getPath, Map.empty))
     }

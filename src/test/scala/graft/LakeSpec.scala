@@ -305,6 +305,32 @@ class LakeSpec extends SparkSpec {
       .selectExpr("size(embedding)").as[Int].collect().toSet === Set(64))
   }
 
+  test("vacuum expires old snapshots and collects orphan files") {
+    val cat = newLake()
+    cat.createTable("t", StructType(Seq(StructField("id", IntegerType))))
+    (1 to 6).foreach(i => cat.insert("t", Seq(i).toDF("id")))
+    cat.delete("t", $"id" <= 2) // rewrites files; old ones stay for travel
+    val cur = cat.currentVersion // 8 snapshots
+    assert(cat.readAt("t", 3).count() === 2) // history readable pre-vacuum
+    cat.vacuum(keepLast = 2)
+    // expired version gone, kept + current intact
+    intercept[Exception] { cat.readAt("t", 3).count() }
+    assert(cat.readAt("t", cur - 1).count() === 6)
+    assert(cat.read("t").orderBy("id").as[Int].collect() === Array(3, 4, 5, 6))
+    // orphaned data files physically removed: every remaining parquet is
+    // referenced by a kept snapshot
+    val live = (cur - 1 to cur).map(cat.snapshot)
+      .flatMap(_.tables.values.flatMap(_.files.map(_.path))).toSet
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(cat.root), true)
+    var onDisk = Set.empty[String]
+    while (it.hasNext) {
+      val p = it.next().getPath.toUri.getPath
+      if (p.endsWith(".parquet")) onDisk += p.stripPrefix(cat.root).stripPrefix("/")
+    }
+    assert(onDisk === live)
+  }
+
   test("multi-environment config pattern (demo 5): per-env catalogs + migrate") {
     // ref demos/05_catalog_portability/demo.py:369-428: the same config
     // table shape per environment, promoted dev -> prod
