@@ -317,6 +317,69 @@ object Relational {
         "(PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn " +
         "FROM customer) WHERE rn <= 3 ORDER BY c_nationkey, rn")),
 
+    // W2 sessionization in batch: lag() gap detection + running sum over
+    // an explicit frame assigns session ids — the full analytic-window
+    // family (lag, conditional, cumulative frame) beyond the reference's
+    // row_number. Both engines µs-truncate the ns event timestamps.
+    QDef("w2_sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("prev_ts", lag("ts", 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              col("ts").cast("long") - col("prev_ts").cast("long") > 3600, 1)
+              .otherwise(0))
+          .withColumn("sess_id", sum("new_sess").over(cum))
+          .groupBy("user_id")
+          .agg(max("sess_id").as("n_sessions"),
+            count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events), " +
+        "g AS (SELECT user_id, ts, event_id, " +
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e), " +
+        "m AS (SELECT user_id, ts, event_id, CASE WHEN prev_ts IS NULL OR " +
+        "CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev_ts) AS BIGINT) > 3600 " +
+        "THEN 1 ELSE 0 END AS new_sess FROM g), " +
+        "sid AS (SELECT user_id, CAST(SUM(new_sess) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id " +
+        "FROM m) " +
+        "SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events " +
+        "FROM sid GROUP BY user_id ORDER BY user_id")),
+
+    // W3 moving aggregate over an explicit row frame (3 preceding..current)
+    // + rank — frame semantics beyond cumulative.
+    QDef("w3_moving_frame",
+      (s, d) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        val frame = w.rowsBetween(-3, Window.currentRow)
+        T.lineitem(s, d)
+          .filter(col("l_suppkey") <= 3)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_shipdate"), col("l_quantity"))
+          .withColumn("mv_qty",
+            sum(col("l_quantity").cast(DecimalType(18, 2))).over(frame)
+              .cast(DoubleType))
+          .withColumn("rk", rank().over(w))
+          .filter(col("rk") <= 20)
+          .select("l_suppkey", "rk", "l_orderkey", "l_linenumber", "mv_qty")
+          .orderBy("l_suppkey", "rk")
+      },
+      Some("WITH f AS (SELECT l_suppkey, l_orderkey, l_linenumber, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey " +
+        "ORDER BY l_shipdate, l_orderkey, l_linenumber " +
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mv_qty, " +
+        "rank() OVER (PARTITION BY l_suppkey " +
+        "ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rk " +
+        "FROM lineitem WHERE l_suppkey <= 3) " +
+        "SELECT l_suppkey, rk, l_orderkey, l_linenumber, mv_qty FROM f " +
+        "WHERE rk <= 20 ORDER BY l_suppkey, rk")),
+
     // ---------------------------------------------------------------- §2.6
     // O1 single-key sort — ref demos/01_transaction_rollback/demo.py:74
     QDef("o1_order_single",
