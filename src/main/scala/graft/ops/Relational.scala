@@ -457,6 +457,101 @@ object Relational {
         "SELECT c_custkey, c_mktsegment, spent, n_orders FROM customer " +
         "JOIN spend ON c_custkey = o_custkey WHERE n_orders >= 3 ORDER BY c_custkey")),
 
+    // U3/U4 INTERSECT/EXCEPT (distinct set semantics) — absent in the
+    // reference; included for library completeness.
+    QDef("u3_intersect",
+      (s, d) => {
+        val hot = T.orders(s, d).filter(col("o_totalprice") > 250000.0)
+          .select(col("o_custkey"))
+        val urgent = T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey"))
+        hot.intersect(urgent).orderBy("o_custkey")
+      },
+      Some("SELECT o_custkey FROM orders WHERE o_totalprice > 250000.0 " +
+        "INTERSECT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' " +
+        "ORDER BY o_custkey")),
+
+    QDef("u4_except",
+      (s, d) => {
+        val all = T.customer(s, d).select(col("c_custkey"))
+        val urgent = T.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("c_custkey"))
+        all.except(urgent).orderBy("c_custkey")
+      },
+      Some("SELECT c_custkey FROM customer EXCEPT " +
+        "SELECT o_custkey AS c_custkey FROM orders " +
+        "WHERE o_orderpriority = '1-URGENT' ORDER BY c_custkey")),
+
+    // A9 ROLLUP — hierarchical subtotals (reference uses plain GROUP BY
+    // only; completeness for the aggregation family).
+    QDef("a9_rollup",
+      (s, d) => T.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      Some("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        s"${moneySumSql("o_totalprice")} AS revenue FROM orders " +
+        "GROUP BY ROLLUP (o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST")),
+
+    // J5 correlated scalar subquery — per-row aggregate lookup.
+    QDef("j5_scalar_subquery",
+      (s, d) => {
+        val avgBal = T.customer(s, d).groupBy("c_nationkey")
+          .agg(avg("c_acctbal").as("nation_avg"))
+        val c = T.customer(s, d)
+        c.join(avgBal, "c_nationkey")
+          .filter(col("c_acctbal") > col("nation_avg") * 2)
+          .select(col("c_custkey"), col("c_acctbal"),
+            round(col("nation_avg"), 6).as("nation_avg"))
+          .orderBy("c_custkey")
+      },
+      Some("SELECT c_custkey, c_acctbal, round((SELECT avg(c2.c_acctbal) " +
+        "FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey), 6) AS nation_avg " +
+        "FROM customer c WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2 " +
+        "WHERE c2.c_nationkey = c.c_nationkey) * 2 ORDER BY c_custkey")),
+
+    // F12 string-function sweep (upper/substr/replace/lpad/length/reverse).
+    QDef("f12_string_funcs",
+      (s, d) => T.nation(s, d)
+        .select(col("n_nationkey"),
+          upper(col("n_name")).as("up"),
+          substring(col("n_name"), 1, 3).as("pre3"),
+          regexp_replace(col("n_name"), "[AEIOU]", "_").as("devowel"),
+          lpad(col("n_nationkey").cast("string"), 4, "0").as("padded"),
+          length(col("n_name")).cast(LongType).as("len"),
+          reverse(col("n_name")).as("rev"))
+        .orderBy("n_nationkey"),
+      Some("SELECT n_nationkey, upper(n_name) AS up, " +
+        "substr(n_name, 1, 3) AS pre3, " +
+        "regexp_replace(n_name, '[AEIOU]', '_', 'g') AS devowel, " +
+        "lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded, " +
+        "length(n_name) AS len, reverse(n_name) AS rev " +
+        "FROM nation ORDER BY n_nationkey")),
+
+    // F13 math-function sweep — transcendentals rounded to 6 decimals
+    // (libm implementations may differ in the last ulp across engines).
+    QDef("f13_math_funcs",
+      (s, d) => T.supplier(s, d)
+        .select(col("s_suppkey"),
+          abs(col("s_acctbal")).as("ab"),
+          round(sqrt(abs(col("s_acctbal"))), 6).as("sq"),
+          round(log(abs(col("s_acctbal")) + 1), 6).as("ln1p"),
+          round(pow(col("s_suppkey").cast(DoubleType), 2), 6).as("sqr"),
+          floor(col("s_acctbal")).cast(LongType).as("fl"),
+          ceil(col("s_acctbal")).cast(LongType).as("ce"))
+        .orderBy("s_suppkey"),
+      Some("SELECT s_suppkey, abs(s_acctbal) AS ab, " +
+        "round(sqrt(abs(s_acctbal)), 6) AS sq, " +
+        "round(ln(abs(s_acctbal) + 1), 6) AS ln1p, " +
+        "round(pow(CAST(s_suppkey AS DOUBLE), 2), 6) AS sqr, " +
+        "CAST(floor(s_acctbal) AS BIGINT) AS fl, " +
+        "CAST(ceil(s_acctbal) AS BIGINT) AS ce " +
+        "FROM supplier ORDER BY s_suppkey")),
+
     // ---------------------------------------------------------------- §2.8
     // F2 string concat — ref utils/ducklake_utils.py:106
     QDef("f2_concat",
