@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.{QDef, Tables => T}
 
 /** Large-scale training-data pipeline operators over the `documents` and
@@ -51,7 +52,8 @@ object Pipeline {
       "i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]))"
 
   private def docsWithToks(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d).selectExpr("doc_id", "lang", "text", s"$toksS AS toks")
+    T.documents(s, d)
+      .selectExpr("doc_id", "lang", "source", "text", s"$toksS AS toks")
 
   /** DISTINCT (doc_id, shingle) pairs via posexplode + window lead —
     * native codegen'd operators end to end. The equivalent higher-order
@@ -467,6 +469,60 @@ object Pipeline {
         "rk AS (SELECT qid, nid, cos, row_number() OVER " +
         "(PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM sc) " +
         "SELECT qid, rank, nid, cos FROM rk WHERE rank <= 3 ORDER BY qid, rank")),
+
+    // T7 time-series profile: hourly event buckets (batch analog of the
+    // streaming windowed agg; date_trunc is µs-identical on both engines).
+    QDef("t7_hourly_profile",
+      (s, d) => T.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+            .as("sum_value"))
+        .filter(col("n") >= 3)
+        .orderBy("hour", "event_type"),
+      Some("SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, " +
+        "count(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY 1, 2 HAVING count(*) >= 3 " +
+        "ORDER BY hour, event_type")),
+
+    // X5 corpus curation composite — the end-to-end pipeline shape: score
+    // quality (X2 logic) → drop low-quality docs → drop exact-dup losers
+    // (DD1 logic, keep min doc_id per head fingerprint) → per-source
+    // survivor profile. One declarative plan: filters fuse, the dedup is
+    // one window over the fingerprint hash.
+    QDef("x5_curation",
+      (s, d) => {
+        val scored = docsWithToks(s, d).selectExpr(
+          "doc_id", "source",
+          "md5(array_join(slice(toks, 1, 10), ' ')) AS head_fp",
+          "cast(size(toks) AS bigint) AS n_tokens",
+          "cast(size(array_distinct(toks)) AS double) / size(toks) AS ttr0",
+          "cast(size(filter(toks, t -> t IN ('the','a','of','and','to'))) AS double) / size(toks) AS stop0")
+          .selectExpr("doc_id", "source", "head_fp",
+            "0.4e0 * least(1.0e0, cast(n_tokens AS double) / 40.0e0) + " +
+              "0.3e0 * ttr0 + 0.3e0 * (1.0e0 - stop0) AS score")
+        val surviving = scored
+          .filter(col("score") >= 0.7)
+          .withColumn("canonical",
+            min("doc_id").over(Window.partitionBy("head_fp")))
+          .filter(col("doc_id") === col("canonical"))
+        surviving.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg("score"), 6).as("avg_score"))
+          .orderBy("source")
+      },
+      Some("WITH scored AS (SELECT doc_id, source, " +
+        "md5(array_to_string(toks[1:10], ' ')) AS head_fp, " +
+        "0.4e0 * least(1.0e0, len(toks)::DOUBLE / 40.0e0) + " +
+        "0.3e0 * (len(list_distinct(toks))::DOUBLE / len(toks)) + " +
+        "0.3e0 * (1.0e0 - len(list_filter(toks, t -> t IN ('the','a','of','and','to')))::DOUBLE / len(toks)) AS score " +
+        s"FROM (SELECT doc_id, source, $toksD AS toks FROM documents)), " +
+        "surv AS (SELECT doc_id, source, score, " +
+        "min(doc_id) OVER (PARTITION BY head_fp) AS canonical " +
+        "FROM scored WHERE score >= 0.7) " +
+        "SELECT source, count(*) AS n_docs, round(avg(score), 6) AS avg_score " +
+        "FROM surv WHERE doc_id = canonical GROUP BY source ORDER BY source")),
 
     // ----------------------------------------------------------- multimodal
     // MM1 opaque-binary columns + typed metadata: media payloads are
