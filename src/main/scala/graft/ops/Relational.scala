@@ -342,8 +342,10 @@ object Relational {
       Some("WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events), " +
         "g AS (SELECT user_id, ts, event_id, " +
         "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e), " +
+        // NB: DuckDB double->BIGINT casts ROUND (Spark ts->long truncates)
+        // so floor() the epoch seconds explicitly before casting
         "m AS (SELECT user_id, ts, event_id, CASE WHEN prev_ts IS NULL OR " +
-        "CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev_ts) AS BIGINT) > 3600 " +
+        "CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 3600 " +
         "THEN 1 ELSE 0 END AS new_sess FROM g), " +
         "sid AS (SELECT user_id, CAST(SUM(new_sess) OVER (PARTITION BY user_id " +
         "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id " +
