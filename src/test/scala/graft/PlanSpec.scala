@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Physical-plan audits: the properties that decide whether these plans
   * survive a 100TB / 1000-executor scale-up. A query that is correct but
   * scans all columns, shuffles a broadcastable dim, or goes cartesian is
@@ -60,6 +62,41 @@ class PlanSpec extends SparkSpec {
     // broadcast side is the right plan there
     val s = planString("ss1_cosine_topk")
     assert(s.contains("BroadcastNestedLoopJoin") || s.contains("CartesianProduct"))
+  }
+
+  test("bucketed tables co-locate the join: no exchange on either side") {
+    // the pre-partitioning story for repeated big-big joins at scale:
+    // bucket both sides on the join key once, and every subsequent join
+    // skips its shuffle entirely
+    val db = s"bucketdemo_${System.nanoTime()}"
+    val loc = tmpDir("bucketwh")
+    spark.sql(s"CREATE DATABASE $db LOCATION '$loc'")
+    try {
+      Tables.orders(spark, d)
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(s"$db.o_bucketed")
+      Tables.customer(spark, d)
+        .selectExpr("c_custkey", "c_mktsegment")
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable(s"$db.c_bucketed")
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = spark.table(s"$db.o_bucketed")
+          .join(spark.table(s"$db.c_bucketed"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment").count()
+        val plan = joined.queryExecution.executedPlan.toString()
+        assert(plan.contains("SortMergeJoin"), plan.take(1500))
+        // the only exchange allowed is the one for the final groupBy —
+        // neither join input may reshuffle
+        val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+        assert(!joinPart.contains("Exchange hashpartitioning(o_custkey") &&
+          !joinPart.contains("Exchange hashpartitioning(c_custkey"),
+          "bucketed join inputs must not reshuffle\n" + joinPart.take(1500))
+        assert(joined.count() > 0)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    } finally spark.sql(s"DROP DATABASE $db CASCADE")
   }
 
   test("whole-stage codegen covers the relational hot paths") {
