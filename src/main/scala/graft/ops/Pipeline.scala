@@ -12,10 +12,11 @@ import graft.{QDef, Tables => T}
   * and embedding similarity search (brute-force + LSH-bucketed ANN).
   *
   * Design rules shared by every query here:
-  *  - Declarative DataFrame/SQL expressions only (higher-order array
-  *    functions, hash joins, window ranks) — no UDFs, no collect() — so
-  *    every operator distributes: the same plan that handles 500 docs on
-  *    local[32] handles 10^9 docs on 1000 executors.
+  *  - Declarative, codegen-friendly plans — native relational operators
+  *    (posexplode + window lead, wide min/sum aggregates), no UDFs, no
+  *    collect(); the one custom piece is `graft_dot`, a codegen'd
+  *    Catalyst Expression for the dot-product inner loop. The same plan
+  *    that handles 500 docs on local[32] handles 10^9 on 1000 executors.
   *  - Cross-engine-portable hashing: h32(s) = first 8 hex digits of
   *    md5(s) as int64 (identical in Spark and the DuckDB oracle), so
   *    MinHash/SimHash signatures verify bit-exactly.
@@ -24,8 +25,8 @@ import graft.{QDef, Tables => T}
   *    rounded to 6 decimals and ordered by the rounded value.
   *  - Pair generation is never all-pairs at scale: shingle/band/bucket
   *    inverted-index joins (shuffle on the band key) keep candidate sets
-  *    near-linear; the only quadratic join is over the small embeddings
-  *    table, where the planner broadcasts one side.
+  *    near-linear; the only intentional scan-per-query join is SS1, the
+  *    brute-force baseline the ANN variants are measured against.
   */
 object Pipeline {
 
@@ -41,12 +42,8 @@ object Pipeline {
   private val toksS = "split(trim(text), '\\\\s+')"
   private val toksD = "regexp_split_to_array(trim(text), '\\s+')"
 
-  /** Distinct 3-gram word shingles (Spark / DuckDB), empty when <3 tokens. */
-  private val shS =
-    "array_distinct(CASE WHEN size(toks) >= 3 THEN " +
-      "transform(sequence(1, size(toks)-2), i -> concat_ws(' ', " +
-      "element_at(toks,i), element_at(toks,i+1), element_at(toks,i+2))) " +
-      "ELSE array() END)"
+  /** Distinct 3-gram word shingles (DuckDB oracle side; the Spark side is
+    * the native docShinglesX below), empty when <3 tokens. */
   private val shD =
     "list_distinct(list_transform(range(1, len(toks)-1), " +
       "i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]))"

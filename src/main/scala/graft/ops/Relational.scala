@@ -608,6 +608,24 @@ object Relational {
       Some("SELECT event_id, json_extract_string(props, '$.k') AS k_str " +
         "FROM events WHERE event_id % 97 = 0 ORDER BY event_id")),
 
+    // F14 JSON numeric mining: extract → cast → aggregate (f8 covers the
+    // string path; this is the number path a props column actually needs).
+    QDef("f14_json_numeric",
+      (s, d) => T.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast(IntegerType))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_with_k"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          round(avg("k"), 6).as("avg_k"),
+          sum(when(col("k") >= 50, 1).otherwise(0)).as("n_high"))
+        .orderBy("event_type"),
+      Some("SELECT event_type, count(k) AS n_with_k, min(k) AS min_k, " +
+        "max(k) AS max_k, round(avg(k), 6) AS avg_k, " +
+        "CAST(SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high " +
+        "FROM (SELECT event_type, " +
+        "CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events) " +
+        "GROUP BY event_type ORDER BY event_type")),
+
     // F10 row-level arithmetic — ref demos/01_transaction_rollback/demo.py:98-100.
     // Pure per-row IEEE double expressions are deterministic across engines
     // as long as the association order matches (it does: left-assoc).
