@@ -358,13 +358,27 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     stagedDirs += abs
     df.write.mode("errorifexists").parquet(abs.toString)
     // harvest min/max for every comparable column (PK first, capped at 8
-    // to bound manifest size) — powers PK-check pruning AND readRange
+    // to bound manifest size) — powers PK-check pruning AND readRange.
+    // Tiny writes skip the harvest pass: missing stats degrade to
+    // scanning (always correct), and a small file is cheap to scan —
+    // this keeps single-row appends at one Spark job, not two.
+    // footer-exact row counts first (cheap metadata reads); the row total
+    // gates the stats pass below
+    val rootQ = cat.fs.makeQualified(new Path(cat.root)).toUri.getPath
+      .stripSuffix("/")
+    val parts = cat.fs.globStatus(new Path(abs, "*.parquet")).toSeq.map { fst =>
+      val p = fst.getPath
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(p, cat.hadoopConf))
+      val rows = try reader.getRecordCount finally reader.close()
+      (p, fst.getLen, rows)
+    }
     val statCols = tables.get(table).map { st =>
       val pkFirst = st.columns.sortBy(c => !st.primaryKey.contains(c.name))
       pkFirst.filter(Stats.comparable).take(8)
     }.getOrElse(Nil)
     val statsByPath: Map[String, Map[String, ColStat]] =
-      if (statCols.isEmpty) Map.empty
+      if (statCols.isEmpty || parts.map(_._3).sum < 64) Map.empty
       else {
         val aggs = statCols.flatMap { c =>
           Seq(min(col(c.name)).cast("string").as(s"min_${c.name}"),
@@ -387,15 +401,9 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     // scheme-free path components on both sides: URI renderings differ
     // (file:/ vs file:///) and a failed stripPrefix would silently store
     // an absolute path
-    val rootQ = cat.fs.makeQualified(new Path(cat.root)).toUri.getPath
-      .stripSuffix("/")
-    cat.fs.globStatus(new Path(abs, "*.parquet")).toSeq.map { fst =>
-      val p = fst.getPath
-      val reader = ParquetFileReader.open(
-        HadoopInputFile.fromPath(p, cat.hadoopConf))
-      val rows = try reader.getRecordCount finally reader.close()
+    parts.map { case (p, len, rows) =>
       val relPath = p.toUri.getPath.stripPrefix(rootQ).stripPrefix("/")
-      FileEntry(relPath, fst.getLen, rows, schemaVersion,
+      FileEntry(relPath, len, rows, schemaVersion,
         statsByPath.getOrElse(p.toUri.getPath, Map.empty))
     }
   }
