@@ -13,10 +13,10 @@ import org.apache.spark.sql.expressions.Window
   * instead of all of it — the structure FAISS/Milvus use at billion-vector
   * scale, expressed as two Spark joins:
   *
-  *   1. assignment: one MLlib KMeans fit (sample-sized; centroids are
-  *      k x dim doubles on the driver) + one `transform` over the table —
-  *      at 100 TB this is the only full pass, and it's embarrassingly
-  *      parallel;
+  *   1. assignment: one MLlib KMeans fit on a seeded ~[[Ivf.FitSampleTarget]]-row
+  *      sample (centroids are k x dim doubles on the driver) + one
+  *      `transform` over the table — at 100 TB the transform is the only
+  *      full pass, and it's embarrassingly parallel;
   *   2. search: queries join the (tiny, broadcast) centroid table to pick
   *      probe cells, then hash-join the point table ON THE CELL ID —
   *      bucket-local work, never a scan per query.
@@ -29,15 +29,30 @@ object Ivf {
   val K = 16
   val NProbe = 4
 
+  /** Rows used to fit the coarse quantizer: ~100 vectors per centroid gives
+    * a stable k-means regardless of table size, so the (iterative, 10-pass)
+    * fit never scans more than this many rows — at 100 TB the only full
+    * pass over the table is the single `transform` below. */
+  val FitSampleTarget: Int = 100 * K
+
+  /** Bounded fit input: the full feature column when the table is already
+    * small, else a seeded Bernoulli sample of ~[[FitSampleTarget]] rows. */
+  private[graft] def fitInput(features: DataFrame, total: Long): DataFrame =
+    if (total <= FitSampleTarget) features
+    else features.sample(withReplacement = false,
+      FitSampleTarget.toDouble / total, seed = 42L)
+
   /** Cell assignments + centroid list for the embeddings table. */
   private def assign(spark: SparkSession, sfDir: String): (DataFrame, Array[Vector]) = {
     graft.functions.DotProduct.register(spark)
+    // cheap parquet count-star (footer row counts), not a data scan
+    val total = graft.Tables.embeddings(spark, sfDir).count()
     val e = graft.Tables.embeddings(spark, sfDir)
       .selectExpr("vec_id", "cast(embedding AS array<double>) AS v")
       .withColumn("features", array_to_vector(col("v")))
     val model = new KMeans()
       .setK(K).setSeed(42L).setMaxIter(10)
-      .fit(e.select("features"))
+      .fit(fitInput(e.select("features"), total))
     val assigned = model.transform(e)
       .withColumnRenamed("prediction", "cell")
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))

@@ -95,6 +95,15 @@ class PipelineSpec extends SparkSpec {
     assert(hits > 0, "IVF should recover at least one true neighbor")
   }
 
+  test("IVF quantizer fit input is bounded by the sample target") {
+    // small tables pass through untouched; big tables get a ~target-row
+    // Bernoulli sample, so the iterative fit never scans the full table
+    val feats = spark.range(100000).toDF("features")
+    assert(ops.Ivf.fitInput(feats, 100000).count() < 100000 / 10)
+    val small = spark.range(100).toDF("features")
+    assert(ops.Ivf.fitInput(small, 100).count() === 100)
+  }
+
   test("text metrics are in-range and fingerprints are stable") {
     import spark.implicits._
     val q = run("x2_text_quality")
