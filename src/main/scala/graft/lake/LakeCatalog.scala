@@ -200,16 +200,43 @@ class LakeCatalog(val spark: SparkSession, val root: String) {
   }
 
   /** `ducklake_table_changes()` analog (T3 — ref utils/ducklake_utils.py:65-78):
-    * row-level diff between two versions, tagged insert/delete. Multiset
-    * semantics via exceptAll so duplicate rows diff correctly. */
-  def tableChanges(table: String, fromV: Long, toV: Long): DataFrame = {
+    * row-level diff between two versions. When the table has a primary key
+    * (or the caller passes `keyCols`), a vanished row and an appeared row
+    * with the SAME key are paired as one UPDATE and tagged
+    * `update_preimage`/`update_postimage` — the change-type fidelity a CDC
+    * consumer needs; keyless tables fall back to insert/delete. Multiset
+    * semantics via exceptAll so duplicate rows diff correctly.
+    *
+    * Scale shape: the pairing joins operate on the DIFF (changed rows
+    * only), not the table, and the key set of a typical commit is small —
+    * broadcast-sized — so this adds no full-table shuffle. */
+  def tableChanges(table: String, fromV: Long, toV: Long,
+      keyCols: Seq[String] = Nil): DataFrame = {
     val before = readAt(table, fromV)
     val after = readAt(table, toV)
     val common = before.columns.intersect(after.columns).toSeq
     val b = before.select(common.map(col): _*)
     val a = after.select(common.map(col): _*)
-    a.exceptAll(b).withColumn("change_type", lit("insert"))
-      .unionByName(b.exceptAll(a).withColumn("change_type", lit("delete")))
+    val appeared = a.exceptAll(b)
+    val vanished = b.exceptAll(a)
+    val keys = if (keyCols.nonEmpty) keyCols
+      else stateOf(snapshot(toV), table).primaryKey.filter(common.contains)
+    if (keys.isEmpty)
+      appeared.withColumn("change_type", lit("insert"))
+        .unionByName(vanished.withColumn("change_type", lit("delete")))
+    else {
+      // keys present on BOTH sides of the diff are updates
+      val updKeys = vanished.select(keys.map(col): _*)
+        .intersect(appeared.select(keys.map(col): _*))
+      def split(df: DataFrame, hit: String, miss: String): DataFrame =
+        df.join(broadcast(updKeys), keys, "left_semi")
+          .withColumn("change_type", lit(hit))
+          .unionByName(
+            df.join(broadcast(updKeys), keys, "left_anti")
+              .withColumn("change_type", lit(miss)))
+      split(appeared, "update_postimage", "insert")
+        .unionByName(split(vanished, "update_preimage", "delete"))
+    }
   }
 
   /** `information_schema.tables` analog (D11). */

@@ -13,9 +13,11 @@ import graft.lake.{ConstraintViolation, LakeCatalog}
   * evolution, change feeds, migration, compaction), and returns a
   * DETERMINISTIC DataFrame of the observable outcome.
   *
-  * No DuckDB oracle (the ops are not expressible as one SQL statement over
-  * static tables — the driver records rows-only checks); the semantics are
-  * additionally pinned by LakeSpec.
+  * The deterministic pure-function scenarios (l2/l4/l8 — fixed DML over a
+  * static slice) carry a DuckDB oracle that replays the same DML as CTEs,
+  * so snapshot isolation / change feeds / audit logs are HASH-verified.
+  * The rest are not expressible as one SQL statement (the driver records
+  * rows-only checks); all semantics are additionally pinned by LakeSpec.
   */
 object LakeScenarios {
 
@@ -75,6 +77,9 @@ object LakeScenarios {
 
     // S3/A8/T1 — time travel: COUNT + key-sum at every version
     // (ref exploration/benchmark_ducklake.sh:175-201, demos/02:196).
+    // Oracle: the same four-commit DML chain replayed as DuckDB CTEs over
+    // the identical static slice — a deterministic pure function, so the
+    // engine's snapshot isolation is HASH-verified, not just rows-only.
     QDef("l2_time_travel_versions",
       (s, d) => {
         val cat = freshLake(s)
@@ -95,7 +100,30 @@ object LakeScenarios {
         frames.reduce(_ unionByName _)
           .select("version", "n_rows", "sum_id", "n_zeroed")
           .orderBy("version")
-      }, None),
+      }, Some("""
+        WITH v1 AS (SELECT CAST(o_orderkey AS BIGINT) AS id,
+                           o_totalprice AS amount
+                    FROM orders WHERE o_orderkey <= 2000),
+             v2 AS (SELECT id, amount FROM v1
+                    UNION ALL SELECT id + 100000, amount FROM v1),
+             v3 AS (SELECT id, amount FROM v2 WHERE id % 2 <> 0),
+             v4 AS (SELECT id, CASE WHEN id % 3 = 0 THEN 0.0 ELSE amount END AS amount FROM v3),
+             m AS (
+               SELECT 1 AS version, count(*) AS n_rows, sum(id) AS sum_id,
+                      sum(CASE WHEN amount = 0.0 THEN 1 ELSE 0 END) AS n_zeroed FROM v1
+               UNION ALL
+               SELECT 2, count(*), sum(id),
+                      sum(CASE WHEN amount = 0.0 THEN 1 ELSE 0 END) FROM v2
+               UNION ALL
+               SELECT 3, count(*), sum(id),
+                      sum(CASE WHEN amount = 0.0 THEN 1 ELSE 0 END) FROM v3
+               UNION ALL
+               SELECT 4, count(*), sum(id),
+                      sum(CASE WHEN amount = 0.0 THEN 1 ELSE 0 END) FROM v4)
+        SELECT CAST(version AS BIGINT) AS version, n_rows,
+               CAST(coalesce(sum_id, 0) AS BIGINT) AS sum_id,
+               CAST(coalesce(n_zeroed, 0) AS BIGINT) AS n_zeroed
+        FROM m ORDER BY version""")),
 
     // D4-D11 — schema evolution chain, final shape via describe()
     // (ref demos/03_schema_evolution/demo.py:112-239).
@@ -119,24 +147,49 @@ object LakeScenarios {
         shape.crossJoin(counts).orderBy("column_name")
       }, None),
 
-    // T3/T4 — change feed between versions, aggregated by type
-    // (ref utils/ducklake_utils.py:65-78, demos/02:209-211).
+    // T3/T4 — change feed between versions, aggregated by type. The table
+    // carries a PRIMARY KEY, so the feed pairs each vanished+appeared row
+    // into update_preimage/update_postimage — full CDC fidelity: all four
+    // change types surface (ref utils/ducklake_utils.py:65-78,
+    // demos/02:209-211). Oracle: the same DML replayed as DuckDB CTEs.
     QDef("l4_table_changes",
       (s, d) => {
+        import s.implicits._
         val cat = freshLake(s)
         val c = T.customer(s, d).filter(col("c_custkey") <= 300)
-          .selectExpr("c_custkey AS id", "c_name AS name", "c_acctbal AS bal")
-        cat.createTableAs("c", c)
+          .selectExpr("cast(c_custkey AS bigint) AS id", "c_name AS name",
+            "c_acctbal AS bal")
+        cat.createTable("c",
+          StructType(Seq(
+            StructField("id", LongType),
+            StructField("name", StringType),
+            StructField("bal", DoubleType))),
+          primaryKey = Seq("id"))
+        cat.insert("c", c)
         val v1 = cat.currentVersion
         cat.update("c", col("id") <= 10, Map("bal" -> lit(-1.0)))
         cat.delete("c", col("id") > 290)
+        cat.insert("c", Seq((9991L, "new_1", 10.0), (9992L, "new_2", 20.0),
+          (9993L, "new_3", 30.0)).toDF("id", "name", "bal"))
         val v2 = cat.currentVersion
         cat.tableChanges("c", v1, v2)
           .groupBy("change_type")
           .agg(count(lit(1)).as("n"),
             coalesce(sum(col("id")), lit(0L)).as("sum_id"))
           .orderBy("change_type")
-      }, None),
+      }, Some("""
+        WITH c0 AS (SELECT CAST(c_custkey AS BIGINT) AS id, c_acctbal AS bal
+                    FROM customer WHERE c_custkey <= 300),
+             upd AS (SELECT id FROM c0 WHERE id <= 10 AND bal <> -1.0),
+             del AS (SELECT id FROM c0 WHERE id > 290),
+             ins AS (SELECT * FROM (VALUES (9991), (9992), (9993)) AS t(id)),
+             m AS (
+               SELECT 'delete' AS change_type, count(*) AS n, sum(id) AS sum_id FROM del
+               UNION ALL SELECT 'insert', count(*), sum(id) FROM ins
+               UNION ALL SELECT 'update_postimage', count(*), sum(id) FROM upd
+               UNION ALL SELECT 'update_preimage', count(*), sum(id) FROM upd)
+        SELECT change_type, n, CAST(coalesce(sum_id, 0) AS BIGINT) AS sum_id
+        FROM m ORDER BY change_type""")),
 
     // S8/D11 — migrate a catalog (tables + constraints + views) and report
     // the destination's schema catalog
@@ -213,17 +266,20 @@ object LakeScenarios {
     // T5 — audit-log reconstruction: pairwise joins of consecutive
     // snapshots extract the field-change history of a row
     // (ref demos/02_time_travel/demo.py:264-301 — the flagship composite).
+    // Oracle: the three updates replayed as CTEs; money renders through
+    // DECIMAL(12,2) so both engines print identical change strings.
     QDef("l8_audit_log",
       (s, d) => {
         val cat = freshLake(s)
         val c = T.customer(s, d).filter(col("c_custkey") <= 50)
-          .selectExpr("c_custkey AS id", "c_name AS name", "c_acctbal AS bal")
+          .selectExpr("cast(c_custkey AS bigint) AS id", "c_name AS name",
+            "c_acctbal AS bal")
         cat.createTableAs("cust", c)
         cat.update("cust", col("id") === 7, Map("bal" -> lit(111.0)))
         cat.update("cust", col("id") <= 3, Map("bal" -> (col("bal") + 10.0)))
         cat.update("cust", col("id") === 7, Map("name" -> lit("renamed_7")))
         val cur = cat.currentVersion
-        val audits = (2L until cur).map { v =>
+        val audits = (1L until cur).map { v =>
           val prev = cat.readAt("cust", v).as("p")
           val next = cat.readAt("cust", v + 1).as("n")
           prev.join(next, col("p.id") === col("n.id"))
@@ -233,11 +289,41 @@ object LakeScenarios {
                 concat(col("p.name"), lit(" -> "), col("n.name")))
                 .otherwise("").as("name_change"),
               when(col("p.bal") =!= col("n.bal"),
-                concat(col("p.bal"), lit(" -> "), col("n.bal")))
+                concat(col("p.bal").cast("decimal(12,2)"), lit(" -> "),
+                  col("n.bal").cast("decimal(12,2)")))
                 .otherwise("").as("bal_change"))
         }
         audits.reduce(_ unionByName _).orderBy("version", "id")
-      }, None),
+      }, Some("""
+        WITH v1 AS (SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,
+                           c_acctbal AS bal
+                    FROM customer WHERE c_custkey <= 50),
+             v2 AS (SELECT id, name,
+                           CASE WHEN id = 7 THEN 111.0 ELSE bal END AS bal FROM v1),
+             v3 AS (SELECT id, name,
+                           CASE WHEN id <= 3 THEN bal + 10.0 ELSE bal END AS bal FROM v2),
+             v4 AS (SELECT id,
+                           CASE WHEN id = 7 THEN 'renamed_7' ELSE name END AS name,
+                           bal FROM v3),
+             d2 AS (SELECT 2 AS version, p.id AS id, p.name AS pn, n.name AS nn,
+                           p.bal AS pb, n.bal AS nb
+                    FROM v1 p JOIN v2 n ON p.id = n.id
+                    WHERE p.bal <> n.bal OR p.name <> n.name),
+             d3 AS (SELECT 3, p.id, p.name, n.name, p.bal, n.bal
+                    FROM v2 p JOIN v3 n ON p.id = n.id
+                    WHERE p.bal <> n.bal OR p.name <> n.name),
+             d4 AS (SELECT 4, p.id, p.name, n.name, p.bal, n.bal
+                    FROM v3 p JOIN v4 n ON p.id = n.id
+                    WHERE p.bal <> n.bal OR p.name <> n.name),
+             d AS (SELECT * FROM d2 UNION ALL SELECT * FROM d3
+                   UNION ALL SELECT * FROM d4)
+        SELECT CAST(version AS BIGINT) AS version, id,
+               CASE WHEN pn <> nn THEN pn || ' -> ' || nn ELSE '' END AS name_change,
+               CASE WHEN pb <> nb
+                    THEN CAST(CAST(pb AS DECIMAL(12,2)) AS VARCHAR) || ' -> ' ||
+                         CAST(CAST(nb AS DECIMAL(12,2)) AS VARCHAR)
+                    ELSE '' END AS bal_change
+        FROM d ORDER BY version, id""")),
 
     // T6 — engine introspection as DataFrames (ref exploration/
     // ducklake_analysis.sh:186-191: duckdb_functions()/duckdb_settings()).

@@ -85,6 +85,27 @@ class LakeSpec extends SparkSpec {
     assert(cat.versionAsOf(System.currentTimeMillis() + 1000) === cat.currentVersion)
   }
 
+  test("tableChanges pairs delete+insert on the PK as update pre/postimage") {
+    val cat = newLake()
+    cat.createTable("u", StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType))),
+      primaryKey = Seq("id"))
+    cat.insert("u", Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    val v1 = cat.currentVersion
+    cat.update("u", col("id") === 2, Map("v" -> lit("b2")))
+    cat.delete("u", col("id") === 3)
+    cat.insert("u", Seq((4, "d")).toDF("id", "v"))
+    val got = cat.tableChanges("u", v1, cat.currentVersion)
+      .select("change_type", "id", "v").as[(String, Int, String)]
+      .collect().sorted
+    assert(got === Array(
+      ("delete", 3, "c"), ("insert", 4, "d"),
+      ("update_postimage", 2, "b2"), ("update_preimage", 2, "b")))
+    // default keyCols falls back to the table's primary key
+    val dflt = cat.tableChanges("u", v1, cat.currentVersion, keyCols = Nil)
+    assert(dflt.filter($"change_type".startsWith("update")).count() === 2)
+  }
+
   test("DELETE with NULL-evaluating predicate keeps NULL rows (SQL semantics)") {
     val cat = newLake()
     cat.createTable("t", StructType(Seq(
