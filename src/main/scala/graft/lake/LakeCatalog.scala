@@ -27,7 +27,13 @@ class LakeCatalog(val spark: SparkSession, val root: String) {
   private[lake] val fs = Manifest.fs(root, conf)
 
   def currentVersion: Long = Manifest.currentVersion(root, conf)
-  def snapshot(v: Long): Snapshot = Manifest.load(root, v, conf)
+
+  /** Snapshots are immutable once published → cache by version, so time
+    * travel / metadata calls stop re-reading manifest JSON per call. */
+  private val snapCache =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Snapshot]()
+  def snapshot(v: Long): Snapshot =
+    snapCache.computeIfAbsent(v, _ => Manifest.load(root, v, conf))
   def current: Snapshot = snapshot(currentVersion)
 
   // ------------------------------------------------------------------ reads
@@ -118,11 +124,11 @@ class LakeCatalog(val spark: SparkSession, val root: String) {
     readAt(table, versionAsOf(tsMs))
 
   def versionAsOf(tsMs: Long): Long = {
-    val cur = currentVersion
-    val live = (1L to cur).filter(v => snapshot(v).timestampMs <= tsMs)
+    // the current snapshot embeds every version's header — one read
+    val live = current.history.filter(_.timestampMs <= tsMs)
     if (live.isEmpty)
       throw new NoSuchElementException(s"no snapshot at or before $tsMs")
-    live.max
+    live.map(_.snapshotId).max
   }
 
   /** Ad-hoc SQL over the lake's current snapshot — the reference's
@@ -163,13 +169,14 @@ class LakeCatalog(val spark: SparkSession, val root: String) {
   // ------------------------------------------------- metadata as DataFrames
 
   /** `ducklake_snapshots()` analog (T1 — ref utils/ducklake_utils.py:58-62):
-    * (snapshot_id, snapshot_time, schema_version, changes). */
+    * (snapshot_id, snapshot_time, schema_version, changes). Resolved from
+    * the current snapshot's embedded header history — ONE manifest read
+    * for the whole feed, not one per version. */
   def snapshots(): DataFrame = {
     import spark.implicits._
-    (1L to currentVersion).map { v =>
-      val s = snapshot(v)
-      (s.snapshotId, new java.sql.Timestamp(s.timestampMs), s.schemaVersion,
-        s.changes.map { case (k, vs) => k -> vs.mkString(",") })
+    current.history.map { h =>
+      (h.snapshotId, new java.sql.Timestamp(h.timestampMs), h.schemaVersion,
+        h.changes.map { case (k, vs) => k -> vs.mkString(",") })
     }.toDF("snapshot_id", "snapshot_time", "schema_version", "changes")
   }
 
@@ -285,7 +292,12 @@ class LakeCatalog(val spark: SparkSession, val root: String) {
         try f(tx)
         catch { case e: Throwable => tx.cleanupStaged(); throw e }
       val next = tx.buildSnapshot(base + 1)
-      if (Manifest.publish(root, base + 1, next, conf)) return result
+      Manifest.publish(root, base + 1, next, snapshot(base), conf) match {
+        case Some(stored) =>
+          snapCache.put(base + 1, stored)
+          return result
+        case None => ()
+      }
       tx.cleanupStaged()
       attempts += 1
       Thread.sleep(3L * attempts)
@@ -343,7 +355,12 @@ class LakeCatalog(val spark: SparkSession, val root: String) {
     val live = keptSnaps
       .flatMap(_.tables.values.flatMap(_.files.map(e =>
         absPath(e.path).toUri.getPath))).toSet
-    (1L until cutoff).foreach(v => Manifest.delete(root, v, conf))
+    (1L until cutoff).foreach { v =>
+      Manifest.delete(root, v, conf)
+      snapCache.remove(v)
+    }
+    // blobs only kept snapshots reference stay; expired-only blobs go
+    Manifest.deleteUnreferencedBlobs(root, keptSnaps, conf)
     // walk <root>/<table>/data/** and drop parquet files no kept
     // snapshot references (also catches dirs from dropped tables)
     val rootPath = fs.makeQualified(new Path(root))

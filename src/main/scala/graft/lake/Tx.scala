@@ -18,6 +18,12 @@ import scala.collection.mutable
   * engine work (scan, filter, rewrite, constraint checks) is distributed
   * and codegen'd; only bookkeeping runs on the driver.
   */
+object Tx {
+  /** Cap on driver-collected affected-file paths in copy-on-write DML;
+    * beyond it the op rewrites the whole table (see rewriteAffected). */
+  val MaxAffectedPaths = 100000
+}
+
 class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
   private val spark: SparkSession = cat.spark
   private val tables = mutable.LinkedHashMap.from(base.tables)
@@ -320,14 +326,20 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     // input_file_name() yields a URL (file:///…, possibly %-encoded);
     // Hadoop Path.toUri renders file:/… — compare on the decoded path
     // component so the two spellings always line up.
+    // The collect is BOUNDED: distinct file paths up to MaxAffectedPaths+1.
+    // Past the cap (a predicate touching most of a 10^6-file table) the
+    // rewrite degenerates to all files — which is the work such an update
+    // does anyway — instead of pulling an unbounded path set to the driver.
     val affectedPaths = cat.readState(st)
       .withColumn("__file", input_file_name())
       .filter(where)
-      .select("__file").distinct().collect()
+      .select("__file").distinct().limit(Tx.MaxAffectedPaths + 1).collect()
       .map(r => new java.net.URI(r.getString(0)).getPath).toSet
     if (affectedPaths.isEmpty) return
-    val affected = st.files.filter(e =>
-      affectedPaths.contains(cat.absPath(e.path).toUri.getPath))
+    val affected =
+      if (affectedPaths.size > Tx.MaxAffectedPaths) st.files
+      else st.files.filter(e =>
+        affectedPaths.contains(cat.absPath(e.path).toUri.getPath))
     val kept = st.files.filterNot(affected.contains)
     // Rewrite affected files group-wise by their written schema version,
     // aligned to the current schema (same path as readState).
@@ -411,12 +423,17 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
   private[lake] def cleanupStaged(): Unit =
     stagedDirs.foreach(d => try cat.fs.delete(d, true) catch { case _: Exception => })
 
-  private[lake] def buildSnapshot(id: Long): Snapshot =
+  private[lake] def buildSnapshot(id: Long): Snapshot = {
+    val ts = System.currentTimeMillis()
+    val sv = base.schemaVersion + ddlCount
+    val ch = changes.map { case (k, v) => k -> v.toSeq }.toMap
     Snapshot(
       snapshotId = id,
-      timestampMs = System.currentTimeMillis(),
-      schemaVersion = base.schemaVersion + ddlCount,
-      changes = changes.map { case (k, v) => k -> v.toSeq }.toMap,
+      timestampMs = ts,
+      schemaVersion = sv,
+      changes = ch,
       tables = tables.toMap,
-      views = views.toMap)
+      views = views.toMap,
+      history = base.history :+ SnapHeader(id, ts, sv, ch))
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.lake.{ConstraintViolation, LakeCatalog}
+import graft.lake.{ConstraintViolation, LakeCatalog, Manifest}
 
 /** LakeCatalog core semantics: transactions, rollback, time travel,
   * copy-on-write DML, schema evolution — re-enacting the reference demos
@@ -373,6 +373,70 @@ class LakeSpec extends SparkSpec {
     assert(qa.read("config").count() === 2)
     assert(qa.sql("SELECT value FROM config WHERE key = 'debug'")
       .as[String].head() === "true")
+  }
+
+  test("incremental manifests: appends cost O(delta) metadata; snapshots() is one read") {
+    val cat = newLake()
+    cat.createTable("t", StructType(Seq(StructField("id", IntegerType))))
+    val n = 34 // crosses the blob-merge threshold (32) once
+    (1 to n).foreach(i => cat.insert("t", Seq(i).toDF("id")))
+    val cur = cat.currentVersion
+    assert(cur === n + 1)
+    // every version's blob fan-out stays bounded; appends extend the
+    // previous blob list by exactly one O(1)-sized delta blob
+    (2L to cur).foreach { v =>
+      val st = cat.snapshot(v).tables("t")
+      val prev = cat.snapshot(v - 1).tables("t")
+      assert(st.blobs.size <= Manifest.BlobMergeThreshold)
+      assert(st.files.size === prev.files.size + 1)
+      if (st.blobs.size > 1) { // non-merge commit: strict delta
+        assert(st.blobs.startsWith(prev.blobs))
+        assert(st.blobs.size === prev.blobs.size + 1)
+      }
+    }
+    // the manifest document never re-embeds file entries (they live in
+    // blobs): no parquet path appears in the current document's JSON
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration())
+    val docPath = new org.apache.hadoop.fs.Path(cat.root, s"_manifest/v$cur.json")
+    val doc = new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+      fs.open(docPath)), java.nio.charset.StandardCharsets.UTF_8)
+    assert(!doc.contains(".parquet"))
+    // time travel across the merge boundary still resolves every version
+    assert(cat.readAt("t", 10).count() === 9)
+    assert(cat.readAt("t", 33).count() === 32)
+    assert(cat.read("t").count() === n)
+    // a FRESH catalog resolves the whole snapshot feed from ONE document
+    val cat2 = new LakeCatalog(spark, cat.root)
+    val before = Manifest.manifestFileReads.get()
+    assert(cat2.snapshots().count() === n + 1)
+    assert(Manifest.manifestFileReads.get() - before === 1)
+    val again = Manifest.manifestFileReads.get()
+    cat2.snapshots().count() // cached — zero further document reads
+    assert(Manifest.manifestFileReads.get() === again)
+  }
+
+  test("publish is first-writer-wins; concurrent commits serialize without loss") {
+    val cat1 = newLake()
+    cat1.createTable("t", StructType(Seq(StructField("id", IntegerType))))
+    // raw seam: two publishes of the same version — exactly one lands
+    val conf = spark.sessionState.newHadoopConf()
+    val base = cat1.current
+    val v = cat1.currentVersion + 1
+    val s1 = base.copy(snapshotId = v, views = Map("a" -> "SELECT 1"))
+    val s2 = base.copy(snapshotId = v, views = Map("b" -> "SELECT 2"))
+    val r1 = Manifest.publish(cat1.root, v, s1, base, conf)
+    val r2 = Manifest.publish(cat1.root, v, s2, base, conf)
+    assert(r1.isDefined && r2.isEmpty)
+    // optimistic retry: two catalogs on one root commit concurrently;
+    // both writes land, on distinct serialized versions
+    val cat2 = new LakeCatalog(spark, cat1.root)
+    val t1 = new Thread(() => cat1.insert("t", Seq(1).toDF("id")))
+    val t2 = new Thread(() => cat2.insert("t", Seq(2).toDF("id")))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val fresh = new LakeCatalog(spark, cat1.root)
+    assert(fresh.currentVersion === v + 2)
+    assert(fresh.read("t").as[Int].collect().sorted === Array(1, 2))
   }
 
   test("migrate recreates tables, constraints and views in a second catalog") {
