@@ -322,6 +322,25 @@ class LakeCatalog(val spark: SparkSession, val root: String) {
   def insertInlined(table: String, df: DataFrame): Unit =
     transaction(_.insertInlined(table, df))
 
+  /** Exactly-once streaming ingestion: insert one micro-batch, idempotent
+    * on (table, batchId). The batch id is recorded in the snapshot's
+    * change summary, which rides the O(1) header history — so a replayed
+    * batch (restart, sink retry) is detected with zero extra metadata
+    * reads and becomes a no-op. Returns false when the batch had already
+    * landed. The check runs inside the transaction against its base
+    * snapshot, so a concurrent duplicate loses the publish race, re-runs,
+    * and then sees the tag. */
+  def insertStreamBatch(table: String, df: DataFrame, batchId: Long): Boolean = {
+    val tag = s"$table:$batchId"
+    object AlreadyApplied extends Exception
+    try transaction { tx =>
+      if (tx.streamBatchApplied(tag)) throw AlreadyApplied // no empty snapshot
+      tx.insert(table, df)
+      tx.markStreamBatch(tag)
+      true
+    } catch { case AlreadyApplied => false }
+  }
+
   def update(table: String, where: Column, sets: Map[String, Column]): Unit =
     transaction(_.update(table, where, sets))
 

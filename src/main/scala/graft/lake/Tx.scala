@@ -167,6 +167,17 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     change("tables_dropped", name)
   }
 
+  // ------------------------------------------------- streaming exactly-once
+
+  /** Has a stream batch tag already been committed in the base history?
+    * O(1) metadata — headers ride in every snapshot document. */
+  def streamBatchApplied(tag: String): Boolean =
+    base.history.exists(_.changes.getOrElse("stream_batches", Nil).contains(tag))
+
+  /** Record a stream batch tag in this commit's change summary — the
+    * idempotence marker for exactly-once streaming ingestion. */
+  def markStreamBatch(tag: String): Unit = change("stream_batches", tag)
+
   // ------------------------------------------------------------------- DML
 
   /** M1/M2 `INSERT INTO` from any DataFrame (VALUES, SELECT, time-travel

@@ -516,6 +516,37 @@ object Relational {
         "FROM customer c WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2 " +
         "WHERE c2.c_nationkey = c.c_nationkey) * 2 ORDER BY c_custkey")),
 
+    // J6 skewed hot-key join through explicit salting (graft.ops.Skew):
+    // events has only 5 distinct event_type values, each holding ~20% of
+    // the table — the classic straggler shape a plain shuffle join turns
+    // into 5 hot tasks. saltedJoin spreads each hot key over 8 sub-keys
+    // (deterministic hash salt, broadcast-replicated dim) with identical
+    // join semantics, so the oracle is the plain SQL join. Weighted sum
+    // goes through exact decimals on both engines.
+    QDef("j6_skew_salted",
+      (s, d) => {
+        import s.implicits._
+        val dim = Seq(("click", "1.00"), ("view", "0.20"), ("purchase", "5.00"),
+          ("signup", "2.00"), ("error", "0.10"))
+          .toDF("event_type", "w")
+          .select(col("event_type"), col("w").cast(DecimalType(6, 2)).as("weight"))
+        val ev = T.events(s, d).select("event_type", "value")
+        Skew.saltedJoin(ev, dim, "event_type", salt = 8)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 6)) * col("weight"))
+              .cast(DoubleType).as("weighted_value"))
+          .orderBy("event_type")
+      },
+      Some("WITH w(event_type, weight) AS (VALUES " +
+        "('click', CAST(1.00 AS DECIMAL(6,2))), ('view', CAST(0.20 AS DECIMAL(6,2))), " +
+        "('purchase', CAST(5.00 AS DECIMAL(6,2))), ('signup', CAST(2.00 AS DECIMAL(6,2))), " +
+        "('error', CAST(0.10 AS DECIMAL(6,2)))) " +
+        "SELECT event_type, count(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,6)) * weight) AS DOUBLE) AS weighted_value " +
+        "FROM events JOIN w USING (event_type) " +
+        "GROUP BY event_type ORDER BY event_type")),
+
     // F12 string-function sweep (upper/substr/replace/lpad/length/reverse).
     QDef("f12_string_funcs",
       (s, d) => T.nation(s, d)

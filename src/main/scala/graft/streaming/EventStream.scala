@@ -98,6 +98,29 @@ object EventStream {
     df.sparkSession.table(name)
   }
 
+  /** Streaming → lake sink with exactly-once semantics: every micro-batch
+    * lands as ONE atomic lake commit via foreachBatch, and the batch id is
+    * recorded in the snapshot's change summary
+    * (`LakeCatalog.insertStreamBatch`), so a replayed batch — restart from
+    * checkpoint, speculative sink retry — is detected against the O(1)
+    * header history and skipped. The reference's closest analog is the
+    * concurrent writer thread landing rows mid-demo
+    * (ref demos/03_schema_evolution/demo.py:32-72); this is the
+    * Spark-native closing of that loop: stream in, transactional lake out,
+    * time travel over the ingested history. */
+  def sinkToLake(stream: DataFrame, cat: graft.lake.LakeCatalog,
+      table: String, checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        cat.insertStreamBatch(table, batch.toDF(), id); ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Judged query ST1: streaming windowed aggregation, drained and
     * totally ordered. Watermark semantics make "complete" unavailable —
     * append mode emits only windows the watermark has closed; with

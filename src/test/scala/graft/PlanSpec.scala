@@ -57,6 +57,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("salted skew join spreads hot keys over the salt sub-keys") {
+    val s = planString("j6_skew_salted")
+    // the join key must include the deterministic salt column, so one hot
+    // event_type's rows hash over `salt` partitions instead of one task
+    assert(s.contains("__salt"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("brute-force topk is the ONLY intentional nested-loop pair join") {
     // ss1 compares a tiny query set against the table — BNLJ with a
     // broadcast side is the right plan there

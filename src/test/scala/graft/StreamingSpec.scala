@@ -30,6 +30,35 @@ class StreamingSpec extends SparkSpec {
     assert(sm.size >= bm.size - 3)
   }
 
+  test("stream lands in the lake exactly-once: one commit per batch, replay is a no-op") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // source: the events slice split into 3 files -> 3 micro-batches
+    val srcDir = tmpDir("stream_src")
+    val ev = Tables.events(spark, d).filter(col("event_id") <= 300)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val cat = new graft.lake.LakeCatalog(spark, tmpDir("stream_lake"))
+    cat.createTable("ev", ev.schema)
+    val v0 = cat.currentVersion
+    def stream() = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir)
+    EventStream.sinkToLake(stream(), cat, "ev", tmpDir("stream_ckpt"))
+    // one lake snapshot per micro-batch, all rows landed atomically
+    val nBatches = cat.currentVersion - v0
+    assert(nBatches === 3, "expected one commit per micro-batch")
+    assert(cat.read("ev").count() === ev.count())
+    // time travel sees the ingestion history batch by batch
+    assert(cat.readAt("ev", v0 + 1).count() < ev.count())
+    // replay the whole stream (fresh checkpoint -> same batch ids):
+    // every batch is recognized as applied; no snapshot, no rows
+    EventStream.sinkToLake(stream(), cat, "ev", tmpDir("stream_ckpt2"))
+    assert(cat.currentVersion === v0 + nBatches, "replay must be a no-op")
+    assert(cat.read("ev").count() === ev.count())
+  }
+
   test("flatMapGroupsWithState accumulates per-user session state") {
     import spark.implicits._
     val sess = EventStream.sessionProfile(spark, d)
