@@ -21,19 +21,30 @@ import org.apache.spark.sql.types._
   */
 final class ConstraintViolation(msg: String) extends RuntimeException(msg)
 
-class LakeCatalog(val spark: SparkSession, val root: String) {
+class LakeCatalog(val spark: SparkSession, val root: String,
+    catalogDsn: Option[String] = None) {
   private val conf = spark.sessionState.newHadoopConf()
   private[lake] def hadoopConf = conf
   private[lake] val fs = Manifest.fs(root, conf)
 
-  def currentVersion: Long = Manifest.currentVersion(root, conf)
+  /** Catalog backend (the reference's portability story, demo 5): file
+    * manifests under the lake root by default; pass a JDBC DSN to keep
+    * the catalog as rows in a transactional SQL database instead — data
+    * files stay on `root` either way, so the same lake can migrate
+    * between backends with `migrateTo`. */
+  private[lake] val store: ManifestStore = catalogDsn match {
+    case Some(dsn) => new JdbcManifestStore(dsn)
+    case None => new FileManifestStore(root, conf)
+  }
+
+  def currentVersion: Long = store.currentVersion()
 
   /** Snapshots are immutable once published → cache by version, so time
     * travel / metadata calls stop re-reading manifest JSON per call. */
   private val snapCache =
     new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Snapshot]()
   def snapshot(v: Long): Snapshot =
-    snapCache.computeIfAbsent(v, _ => Manifest.load(root, v, conf))
+    snapCache.computeIfAbsent(v, _ => store.load(v))
   def current: Snapshot = snapshot(currentVersion)
 
   // ------------------------------------------------------------------ reads
@@ -292,7 +303,7 @@ class LakeCatalog(val spark: SparkSession, val root: String) {
         try f(tx)
         catch { case e: Throwable => tx.cleanupStaged(); throw e }
       val next = tx.buildSnapshot(base + 1)
-      Manifest.publish(root, base + 1, next, snapshot(base), conf) match {
+      store.publish(base + 1, next, snapshot(base)) match {
         case Some(stored) =>
           snapCache.put(base + 1, stored)
           return result
@@ -375,11 +386,11 @@ class LakeCatalog(val spark: SparkSession, val root: String) {
       .flatMap(_.tables.values.flatMap(_.files.map(e =>
         absPath(e.path).toUri.getPath))).toSet
     (1L until cutoff).foreach { v =>
-      Manifest.delete(root, v, conf)
+      store.deleteVersion(v)
       snapCache.remove(v)
     }
     // blobs only kept snapshots reference stay; expired-only blobs go
-    Manifest.deleteUnreferencedBlobs(root, keptSnaps, conf)
+    store.gcBlobs(keptSnaps)
     // walk <root>/<table>/data/** and drop parquet files no kept
     // snapshot references (also catches dirs from dropped tables)
     val rootPath = fs.makeQualified(new Path(root))

@@ -15,17 +15,16 @@ import java.util.concurrent.atomic.AtomicLong
   * "metadata is just rows in a transactional store" design
   * (ref README.md:202-209, utils/ducklake_utils.py:58-78).
   *
-  * One immutable JSON snapshot document per committed transaction under
-  * `<root>/_manifest/v{N}.json`; current state = max N. A snapshot is
-  * CATALOG-level (covers every table), which is what makes multi-table
-  * transactions atomic (ref demos/01_transaction_rollback/demo.py:177-214,
-  * README.md:22-31) — one file publish commits changes to any number of
-  * tables at once.
+  * One immutable JSON snapshot document per committed transaction; current
+  * state = max version. A snapshot is CATALOG-level (covers every table),
+  * which is what makes multi-table transactions atomic (ref
+  * demos/01_transaction_rollback/demo.py:177-214, README.md:22-31) — one
+  * document publish commits changes to any number of tables at once.
   *
   * Incremental layout (the Iceberg-manifest-style delta scheme):
-  *  - A table's file list lives in immutable BLOB files under
-  *    `_manifest/blobs/` (each a JSON array of FileEntry); the snapshot
-  *    document stores only the ordered blob names per table.
+  *  - A table's file list lives in immutable BLOBs (each a JSON array of
+  *    FileEntry); the snapshot document stores only the ordered blob names
+  *    per table.
   *  - An append commit writes ONE new blob holding just the added entries
   *    and re-references the previous blobs — per-commit metadata bytes are
   *    O(delta), not O(table files), and unchanged tables are O(1) (their
@@ -37,17 +36,28 @@ import java.util.concurrent.atomic.AtomicLong
   *    referencing the original blobs (immutability = time travel).
   *  - Every snapshot document embeds the full HEADER history (id,
   *    timestamp, schema version, change summary per version — O(1) bytes
-  *    each), so `snapshots()` / `versionAsOf` resolve from ONE manifest
+  *    each), so `snapshots()` / `versionAsOf` resolve from ONE document
   *    read instead of loading every version.
   *  - Blob contents are immutable → cached process-wide; `LakeCatalog`
   *    additionally caches whole snapshots by version.
   *
+  * WHERE the documents live is the [[ManifestStore]] seam, with two
+  * backends — the reference's catalog-portability story
+  * (ref demos/05_catalog_portability/demo.py:195-252, README.md:227-245):
+  *  - [[FileManifestStore]]: documents + blobs as files under
+  *    `<root>/_manifest/` through the Hadoop FileSystem API (local, hdfs,
+  *    s3a unchanged);
+  *  - [[JdbcManifestStore]]: documents + blobs as ROWS in a transactional
+  *    SQL database (any JDBC DSN; Derby embedded works out of the box) —
+  *    DuckLake's headline "SQL database as lakehouse catalog": metadata
+  *    access is one SQL query, and version claiming is a true conditional
+  *    put (PRIMARY KEY insert), which is the coordination answer for
+  *    object-store roots where create-exclusive doesn't exist.
+  *
   * Scale notes (100 TB / 1000 executors): the manifest holds file-level
   * metadata only (path, size, rows, schema version, column min/max) —
   * O(files), never O(rows). Readers resolve a snapshot with one metadata
-  * read + cached blob reads instead of object-store listing. All IO goes
-  * through the Hadoop FileSystem API, so `root` can be hdfs:// or s3a://
-  * unchanged; see [[Manifest.publish]] for the commit-atomicity seam.
+  * read + cached blob reads instead of object-store listing.
   */
 final case class ColumnDef(
     id: Int,                 // stable identity — survives renames
@@ -88,7 +98,7 @@ final case class TableState(
     notNull: Seq[String],
     nextColId: Int,
     inlined: Seq[InlineBatch] = Nil,
-    blobs: Seq[String] = Nil) {          // blob files backing `files` (bookkeeping)
+    blobs: Seq[String] = Nil) {          // blob names backing `files` (bookkeeping)
   def columns: Seq[ColumnDef] = schemas(schemaVersion.toString)
   def columnsAt(v: Int): Seq[ColumnDef] = schemas(v.toString)
   def inlinedRowCount: Long = inlined.map(_.rows.size.toLong).sum
@@ -139,7 +149,7 @@ object Stats {
 }
 
 object Manifest {
-  private implicit val fmts: Formats = Serialization.formats(NoTypeHints)
+  private[lake] implicit val fmts: Formats = Serialization.formats(NoTypeHints)
 
   /** Fold a table's blob list into one when it grows past this — bounds
     * read fan-out at O(threshold) blob fetches per table. */
@@ -147,9 +157,9 @@ object Manifest {
 
   val empty: Snapshot = Snapshot(0L, 0L, 0L, Map.empty, Map.empty, Map.empty)
 
-  /** On-disk snapshot document: TableState minus `files` (those live in
+  /** Stored snapshot document: TableState minus `files` (those live in
     * the referenced blobs). */
-  private final case class TableDoc(
+  private[lake] final case class TableDoc(
       schemaVersion: Int,
       schemas: Map[String, Seq[ColumnDef]],
       primaryKey: Seq[String],
@@ -157,7 +167,7 @@ object Manifest {
       nextColId: Int,
       inlined: Seq[InlineBatch],
       blobs: Seq[String])
-  private final case class SnapshotDoc(
+  private[lake] final case class SnapshotDoc(
       snapshotId: Long,
       timestampMs: Long,
       schemaVersion: Long,
@@ -166,80 +176,68 @@ object Manifest {
       views: Map[String, String],
       history: Seq[SnapHeader])
 
-  /** Immutable blob contents, cached process-wide (keyed by absolute
-    * path). Entries are dropped when vacuum deletes the blob. */
-  private val blobCache = new ConcurrentHashMap[String, Seq[FileEntry]]()
+  /** Immutable blob contents, cached process-wide; keys are namespaced by
+    * store location. Entries are dropped when vacuum deletes the blob. */
+  private[lake] val blobCache = new ConcurrentHashMap[String, Seq[FileEntry]]()
 
-  /** Diagnostic: physical manifest-document reads (cache misses at the
+  /** Diagnostic: physical snapshot-document reads (cache misses at the
     * catalog layer). Tests assert metadata-read complexity with this. */
   val manifestFileReads = new AtomicLong(0)
 
   def manifestDir(root: String) = new Path(root, "_manifest")
-  private def blobDir(root: String) = new Path(manifestDir(root), "blobs")
-  private def versionPath(root: String, v: Long) =
-    new Path(manifestDir(root), s"v$v.json")
 
   def fs(root: String, conf: Configuration): FileSystem =
     new Path(root).getFileSystem(conf)
+}
 
-  /** Current committed version (0 = empty catalog, no manifest yet). */
-  def currentVersion(root: String, conf: Configuration): Long = {
-    val f = fs(root, conf)
-    val dir = manifestDir(root)
-    if (!f.exists(dir)) 0L
-    else {
-      val vs = f.listStatus(dir).iterator.map(_.getPath.getName)
-        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-          n.stripPrefix("v").stripSuffix(".json").toLong }
-      if (vs.isEmpty) 0L else vs.max
-    }
+/** Storage seam for catalog metadata. Backends implement the raw
+  * document/blob primitives; the incremental-delta logic (blob deltas,
+  * merges, header history, race cleanup) is shared and identical across
+  * backends, so a catalog migrates between them losslessly. */
+trait ManifestStore {
+  import Manifest._
+
+  // ------------------------------------------------------ backend primitives
+  def currentVersion(): Long
+  def deleteVersion(v: Long): Unit
+  protected def readDoc(v: Long): String
+  /** Atomically claim version `v`; false when another writer owns it. */
+  protected def writeDocExclusive(v: Long, json: String): Boolean
+  protected def readBlobRaw(name: String): String
+  protected def writeBlobRaw(name: String, json: String): Unit
+  protected def deleteBlobRaw(name: String): Unit
+  protected def listBlobNames(): Seq[String]
+  /** Namespace for the process-wide blob cache. */
+  protected def cacheNs: String
+
+  // ---------------------------------------------------------- shared logic
+  private def loadBlob(name: String): Seq[FileEntry] =
+    blobCache.computeIfAbsent(s"$cacheNs#$name", _ =>
+      JsonMethods.parse(readBlobRaw(name)).extract[Seq[FileEntry]])
+
+  private def writeBlob(v: Long, entries: Seq[FileEntry]): String = {
+    val name = s"b$v-${java.util.UUID.randomUUID().toString.take(8)}.json"
+    writeBlobRaw(name, Serialization.write(entries))
+    blobCache.put(s"$cacheNs#$name", entries)
+    name
   }
 
-  def delete(root: String, v: Long, conf: Configuration): Unit =
-    fs(root, conf).delete(versionPath(root, v), false)
-
-  def exists(root: String, v: Long, conf: Configuration): Boolean =
-    fs(root, conf).exists(versionPath(root, v))
-
-  private def readBytes(f: FileSystem, p: Path): String = {
-    val in = f.open(p)
-    try new String(
-      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-      StandardCharsets.UTF_8)
-    finally in.close()
+  private def dropBlob(name: String): Unit = {
+    blobCache.remove(s"$cacheNs#$name")
+    try deleteBlobRaw(name) catch { case _: Exception => }
   }
 
-  private def loadBlob(f: FileSystem, root: String, name: String): Seq[FileEntry] = {
-    val abs = new Path(blobDir(root), name)
-    blobCache.computeIfAbsent(abs.toUri.getPath, _ =>
-      JsonMethods.parse(readBytes(f, abs)).extract[Seq[FileEntry]])
-  }
-
-  def load(root: String, v: Long, conf: Configuration): Snapshot = {
-    if (v == 0L) return empty
-    val f = fs(root, conf)
+  final def load(v: Long): Snapshot = {
+    if (v == 0L) return Manifest.empty
     manifestFileReads.incrementAndGet()
-    val doc = JsonMethods.parse(readBytes(f, versionPath(root, v)))
-      .extract[SnapshotDoc]
+    val doc = JsonMethods.parse(readDoc(v)).extract[SnapshotDoc]
     val tables = doc.tables.map { case (name, td) =>
       name -> TableState(td.schemaVersion, td.schemas,
-        td.blobs.flatMap(loadBlob(f, root, _)), td.primaryKey, td.notNull,
+        td.blobs.flatMap(loadBlob), td.primaryKey, td.notNull,
         td.nextColId, td.inlined, td.blobs)
     }
     Snapshot(doc.snapshotId, doc.timestampMs, doc.schemaVersion, doc.changes,
       tables, doc.views, doc.history)
-  }
-
-  private def writeBlob(f: FileSystem, root: String, v: Long,
-      entries: Seq[FileEntry]): String = {
-    f.mkdirs(blobDir(root))
-    val name = s"b$v-${java.util.UUID.randomUUID().toString.take(8)}.json"
-    val abs = new Path(blobDir(root), name)
-    val out = f.create(abs, false)
-    try out.write(Serialization.write(entries).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    blobCache.put(abs.toUri.getPath, entries)
-    name
   }
 
   /** Atomically publish `s` as version `v`, deltaing each table's file
@@ -248,22 +246,11 @@ object Manifest {
     * appends write one O(delta) blob, rewrites write one consolidated
     * blob. Returns the STORED snapshot (blob bookkeeping corrected) when
     * this writer wins, None when another writer took version `v` first
-    * (caller retries on fresh state; this writer's blobs are deleted).
-    *
-    * Commit atomicity is THE object-store seam (same class as Delta's
-    * LogStore / Iceberg's commit lock): local fs uses a hard link (atomic
-    * + EEXIST), HDFS uses create-exclusive (atomic). s3a has no
-    * create-exclusive, so there exists()+create(false) is check-then-act —
-    * concurrent commits to an object-store-rooted lake need a conditional
-    * PUT (If-None-Match) or an external lock plugged in HERE; reads and
-    * single-writer pipelines are safe unchanged. */
-  def publish(root: String, v: Long, s: Snapshot, base: Snapshot,
-      conf: Configuration): Option[Snapshot] = {
-    val f = fs(root, conf)
-    f.mkdirs(manifestDir(root))
+    * (caller retries on fresh state; this writer's blobs are deleted). */
+  final def publish(v: Long, s: Snapshot, base: Snapshot): Option[Snapshot] = {
     var written = List.empty[String]
     def blobFor(entries: Seq[FileEntry]): String = {
-      val n = writeBlob(f, root, v, entries)
+      val n = writeBlob(v, entries)
       written ::= n
       n
     }
@@ -288,49 +275,198 @@ object Manifest {
         n -> TableDoc(st.schemaVersion, st.schemas, st.primaryKey,
           st.notNull, st.nextColId, st.inlined, st.blobs)
       }, stored.views, stored.history)
-    val bytes = Serialization.write(doc).getBytes(StandardCharsets.UTF_8)
-    def loseRace(): Option[Snapshot] = {
-      written.foreach { n =>
-        val abs = new Path(blobDir(root), n)
-        blobCache.remove(abs.toUri.getPath)
-        try f.delete(abs, false) catch { case _: Exception => }
-      }
+    if (writeDocExclusive(v, Serialization.write(doc))) Some(stored)
+    else {
+      written.foreach(dropBlob)
       None
     }
-    val target = versionPath(root, v)
+  }
+
+  /** Blob GC for vacuum: delete every blob not referenced by `kept`
+    * snapshots (and evict it from the cache). */
+  final def gcBlobs(kept: Seq[Snapshot]): Unit = {
+    val live = kept.flatMap(_.tables.values.flatMap(_.blobs)).toSet
+    listBlobNames().filterNot(live.contains).foreach(dropBlob)
+  }
+}
+
+/** File-backed store: documents under `<root>/_manifest/v{N}.json`, blobs
+  * under `<root>/_manifest/blobs/`, all through the Hadoop FileSystem API
+  * (local fs, hdfs://, s3a:// unchanged).
+  *
+  * Commit atomicity (the object-store seam, same class as Delta's
+  * LogStore / Iceberg's commit lock): local fs uses a hard link (atomic +
+  * EEXIST), HDFS uses create-exclusive (atomic). s3a has no
+  * create-exclusive, so there exists()+create(false) is check-then-act —
+  * concurrent commits to an object-store-rooted lake should use
+  * [[JdbcManifestStore]] (or a conditional-PUT LogStore) as the catalog
+  * instead; reads and single-writer pipelines are safe unchanged. */
+final class FileManifestStore(root: String, conf: Configuration)
+    extends ManifestStore {
+  private val f = Manifest.fs(root, conf)
+  private def dir = Manifest.manifestDir(root)
+  private def blobDir = new Path(dir, "blobs")
+  private def versionPath(v: Long) = new Path(dir, s"v$v.json")
+  protected def cacheNs: String =
+    f.makeQualified(new Path(root)).toUri.toString
+
+  def currentVersion(): Long = {
+    if (!f.exists(dir)) 0L
+    else {
+      val vs = f.listStatus(dir).iterator.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+          n.stripPrefix("v").stripSuffix(".json").toLong }
+      if (vs.isEmpty) 0L else vs.max
+    }
+  }
+
+  def deleteVersion(v: Long): Unit = f.delete(versionPath(v), false)
+
+  private def readBytes(p: Path): String = {
+    val in = f.open(p)
+    try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  protected def readDoc(v: Long): String = readBytes(versionPath(v))
+  protected def readBlobRaw(name: String): String =
+    readBytes(new Path(blobDir, name))
+
+  protected def writeBlobRaw(name: String, json: String): Unit = {
+    f.mkdirs(blobDir)
+    val out = f.create(new Path(blobDir, name), false)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  protected def deleteBlobRaw(name: String): Unit =
+    f.delete(new Path(blobDir, name), false)
+
+  protected def listBlobNames(): Seq[String] =
+    if (!f.exists(blobDir)) Nil
+    else f.listStatus(blobDir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".json"))
+
+  protected def writeDocExclusive(v: Long, json: String): Boolean = {
+    f.mkdirs(dir)
+    val target = versionPath(v)
+    val bytes = json.getBytes(StandardCharsets.UTF_8)
     if (f.getScheme == "file") {
-      val tmp = new Path(manifestDir(root), s".v$v.${java.util.UUID.randomUUID}.tmp")
+      val tmp = new Path(dir, s".v$v.${java.util.UUID.randomUUID}.tmp")
       val out = f.create(tmp, true)
       try out.write(bytes) finally out.close()
       val localTmp = Paths.get(tmp.toUri.getPath)
       val localTarget = Paths.get(target.toUri.getPath)
-      try { Files.createLink(localTarget, localTmp); Files.delete(localTmp); Some(stored) }
+      try { Files.createLink(localTarget, localTmp); Files.delete(localTmp); true }
       catch { case _: FileAlreadyExistsException =>
-        Files.delete(localTmp); loseRace() }
+        Files.delete(localTmp); false }
     } else {
-      if (f.exists(target)) return loseRace()
+      if (f.exists(target)) return false
       try {
         val out = f.create(target, false) // create-exclusive
         try out.write(bytes) finally out.close()
-        Some(stored)
-      } catch { case _: java.io.IOException => loseRace() }
+        true
+      } catch { case _: java.io.IOException => false }
     }
   }
+}
 
-  /** Blob GC for vacuum: delete every blob file not referenced by `kept`
-    * snapshots (and evict it from the cache). */
-  def deleteUnreferencedBlobs(root: String, kept: Seq[Snapshot],
-      conf: Configuration): Unit = {
-    val f = fs(root, conf)
-    val dir = blobDir(root)
-    if (!f.exists(dir)) return
-    val live = kept.flatMap(_.tables.values.flatMap(_.blobs)).toSet
-    f.listStatus(dir).foreach { fst =>
-      val n = fst.getPath.getName
-      if (n.endsWith(".json") && !live.contains(n)) {
-        blobCache.remove(fst.getPath.toUri.getPath)
-        try f.delete(fst.getPath, false) catch { case _: Exception => }
-      }
+/** SQL-database-backed store — DuckLake's defining design choice
+  * (ref README.md:227-245: "SQL database as lakehouse catalog",
+  * demos/05_catalog_portability/demo.py:195): snapshot documents and
+  * blobs are ROWS in a transactional database reached by a JDBC DSN
+  * (Derby embedded ships with Spark; the same SQL works on
+  * PostgreSQL/MySQL DSNs). Data files stay on the lake root — only the
+  * catalog moves into the database.
+  *
+  * Version claiming is a PRIMARY KEY insert — a true conditional put with
+  * database-grade atomicity, so many concurrent writers coordinate
+  * through one transactional catalog (ref README.md:244) even when the
+  * data lives on an object store with no create-exclusive. Metadata
+  * access is one SQL query (ref README.md:245). */
+final class JdbcManifestStore(dsn: String) extends ManifestStore {
+  import java.sql.{Connection, DriverManager}
+
+  protected def cacheNs: String = dsn.takeWhile(_ != ';')
+
+  // keep Derby quiet (it writes derby.log into the cwd by default)
+  System.setProperty("derby.stream.error.file",
+    s"${System.getProperty("java.io.tmpdir")}/derby.log")
+
+  private def withConn[T](f: Connection => T): T = {
+    val c = DriverManager.getConnection(dsn)
+    try f(c) finally c.close()
+  }
+
+  // one-time schema init; Derby has no IF NOT EXISTS -> swallow "exists"
+  withConn { c =>
+    def tryDdl(sql: String): Unit =
+      try { val st = c.createStatement(); try st.execute(sql) finally st.close() }
+      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+    tryDdl("CREATE TABLE graft_manifests (version BIGINT PRIMARY KEY, doc CLOB)")
+    tryDdl("CREATE TABLE graft_blobs (name VARCHAR(80) PRIMARY KEY, entries CLOB)")
+  }
+
+  def currentVersion(): Long = withConn { c =>
+    val st = c.createStatement()
+    try {
+      val rs = st.executeQuery("SELECT MAX(version) FROM graft_manifests")
+      if (rs.next() && rs.getObject(1) != null) rs.getLong(1) else 0L
+    } finally st.close()
+  }
+
+  def deleteVersion(v: Long): Unit = withConn { c =>
+    val ps = c.prepareStatement("DELETE FROM graft_manifests WHERE version = ?")
+    try { ps.setLong(1, v); ps.executeUpdate() } finally ps.close()
+  }
+
+  private def selectOne(sql: String, set: java.sql.PreparedStatement => Unit): Option[String] =
+    withConn { c =>
+      val ps = c.prepareStatement(sql)
+      try {
+        set(ps)
+        val rs = ps.executeQuery()
+        if (rs.next()) Option(rs.getString(1)) else None
+      } finally ps.close()
     }
+
+  protected def readDoc(v: Long): String =
+    selectOne("SELECT doc FROM graft_manifests WHERE version = ?", _.setLong(1, v))
+      .getOrElse(throw new java.io.FileNotFoundException(s"no manifest version $v in $cacheNs"))
+
+  protected def readBlobRaw(name: String): String =
+    selectOne("SELECT entries FROM graft_blobs WHERE name = ?", _.setString(1, name))
+      .getOrElse(throw new java.io.FileNotFoundException(s"no blob $name in $cacheNs"))
+
+  protected def writeBlobRaw(name: String, json: String): Unit = withConn { c =>
+    val ps = c.prepareStatement("INSERT INTO graft_blobs VALUES (?, ?)")
+    try { ps.setString(1, name); ps.setString(2, json); ps.executeUpdate(); () }
+    finally ps.close()
+  }
+
+  protected def deleteBlobRaw(name: String): Unit = withConn { c =>
+    val ps = c.prepareStatement("DELETE FROM graft_blobs WHERE name = ?")
+    try { ps.setString(1, name); ps.executeUpdate(); () } finally ps.close()
+  }
+
+  protected def listBlobNames(): Seq[String] = withConn { c =>
+    val st = c.createStatement()
+    try {
+      val rs = st.executeQuery("SELECT name FROM graft_blobs")
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (rs.next()) out += rs.getString(1)
+      out.toSeq
+    } finally st.close()
+  }
+
+  /** The conditional put: INSERT into a PRIMARY-KEY'd table — the
+    * database serializes racing writers; the loser gets a duplicate-key
+    * violation, never a torn or overwritten commit. */
+  protected def writeDocExclusive(v: Long, json: String): Boolean = withConn { c =>
+    val ps = c.prepareStatement("INSERT INTO graft_manifests VALUES (?, ?)")
+    try { ps.setLong(1, v); ps.setString(2, json); ps.executeUpdate(); true }
+    catch { case e: java.sql.SQLException if e.getSQLState == "23505" => false }
+    finally ps.close()
   }
 }

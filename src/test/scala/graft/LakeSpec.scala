@@ -420,13 +420,14 @@ class LakeSpec extends SparkSpec {
     val cat1 = newLake()
     cat1.createTable("t", StructType(Seq(StructField("id", IntegerType))))
     // raw seam: two publishes of the same version — exactly one lands
-    val conf = spark.sessionState.newHadoopConf()
+    val store = new graft.lake.FileManifestStore(
+      cat1.root, spark.sessionState.newHadoopConf())
     val base = cat1.current
     val v = cat1.currentVersion + 1
     val s1 = base.copy(snapshotId = v, views = Map("a" -> "SELECT 1"))
     val s2 = base.copy(snapshotId = v, views = Map("b" -> "SELECT 2"))
-    val r1 = Manifest.publish(cat1.root, v, s1, base, conf)
-    val r2 = Manifest.publish(cat1.root, v, s2, base, conf)
+    val r1 = store.publish(v, s1, base)
+    val r2 = store.publish(v, s2, base)
     assert(r1.isDefined && r2.isEmpty)
     // optimistic retry: two catalogs on one root commit concurrently;
     // both writes land, on distinct serialized versions

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.lake.{JdbcManifestStore, LakeCatalog}
+
+/** SQL-database catalog backend (the reference's demo-5 portability
+  * story): the same LakeCatalog semantics with manifests as rows in an
+  * embedded Derby database — transactions, time travel, the one-read
+  * snapshot feed, conditional-put commit races, and lossless migration
+  * between file-backed and SQL-backed catalogs. */
+class SqlCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dsnLake(): LakeCatalog = {
+    val dir = tmpDir("sql_lake")
+    new LakeCatalog(spark, dir, Some(s"jdbc:derby:$dir/catalog_db;create=true"))
+  }
+
+  test("core semantics hold on a SQL-database catalog") {
+    val cat = dsnLake()
+    cat.createTable("t", StructType(Seq(
+      StructField("id", IntegerType), StructField("v", StringType))),
+      primaryKey = Seq("id"))
+    cat.insert("t", Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    cat.update("t", col("id") === 2, Map("v" -> lit("b2")))
+    cat.delete("t", col("id") === 3)
+    assert(cat.currentVersion === 4)
+    // current state + time travel resolve from database rows
+    assert(cat.read("t").orderBy("id").as[(Int, String)].collect()
+      === Array((1, "a"), (2, "b2")))
+    assert(cat.readAt("t", 2).count() === 3)
+    // snapshot feed + change summaries ride the header history
+    assert(cat.snapshots().count() === 4)
+    // metadata access is SQL-query-shaped: a fresh catalog over the same
+    // DSN sees everything (state lives in the database, not the process)
+    val dsn = s"jdbc:derby:${cat.root}/catalog_db"
+    val cat2 = new LakeCatalog(spark, cat.root, Some(dsn))
+    assert(cat2.read("t").count() === 2)
+    assert(cat2.snapshots().count() === 4)
+  }
+
+  test("version claim is a conditional put: racing inserts serialize") {
+    val cat = dsnLake()
+    cat.createTable("t", StructType(Seq(StructField("id", IntegerType))))
+    val dsn = s"jdbc:derby:${cat.root}/catalog_db"
+    val store = new JdbcManifestStore(dsn)
+    val base = cat.current
+    val v = cat.currentVersion + 1
+    val r1 = store.publish(v, base.copy(snapshotId = v), base)
+    val r2 = store.publish(v, base.copy(snapshotId = v), base)
+    assert(r1.isDefined && r2.isEmpty, "duplicate-key insert must lose")
+    // and through the optimistic retry loop, concurrent writers all land
+    val catB = new LakeCatalog(spark, cat.root, Some(dsn))
+    val t1 = new Thread(() => cat.insert("t", Seq(1).toDF("id")))
+    val t2 = new Thread(() => catB.insert("t", Seq(2).toDF("id")))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val fresh = new LakeCatalog(spark, cat.root, Some(dsn))
+    assert(fresh.read("t").as[Int].collect().sorted === Array(1, 2))
+  }
+
+  test("catalog migrates losslessly between file and SQL backends") {
+    val fileCat = new LakeCatalog(spark, tmpDir("file_lake"))
+    fileCat.createTable("m", StructType(Seq(
+      StructField("id", IntegerType), StructField("x", DoubleType))),
+      primaryKey = Seq("id"))
+    fileCat.insert("m", Seq((1, 1.5), (2, 2.5)).toDF("id", "x"))
+    fileCat.createView("vw", "SELECT count(*) AS n FROM m")
+    // file -> SQL
+    val sqlCat = dsnLake()
+    fileCat.migrateTo(sqlCat)
+    assert(sqlCat.read("m").count() === 2)
+    assert(sqlCat.current.tables("m").primaryKey === Seq("id"))
+    assert(sqlCat.readView("vw").as[Long].head() === 2L)
+    // SQL -> file (round trip)
+    val back = new LakeCatalog(spark, tmpDir("file_lake_back"))
+    sqlCat.migrateTo(back)
+    assert(back.read("m").orderBy("id").as[(Int, Double)].collect()
+      === Array((1, 1.5), (2, 2.5)))
+  }
+}
