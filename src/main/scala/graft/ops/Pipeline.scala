@@ -226,10 +226,17 @@ object Pipeline {
     // >= 0.8 over the CAPPED shingle sets (consistent on both engines).
     QDef("dd2_ngram_jaccard",
       (s, d) => {
-        val shd0 = docShinglesX(s, d)
-        val shd = shd0.join(
-          shd0.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= 64),
-          "s")
+        // df cap as ONE window over the shingle shuffle (no second scan of
+        // the extraction), then persist the capped inverted index: it
+        // feeds three consumers (both self-join sides + per-doc counts) —
+        // without the persist the posexplode+window extraction recomputes
+        // per branch. ContextCleaner reclaims the blocks once the frame
+        // is unreachable.
+        val shd = docShinglesX(s, d)
+          .withColumn("df",
+            count(lit(1)).over(Window.partitionBy("s")))
+          .filter(col("df") <= 64).drop("df")
+          .persist()
         val cnt = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val pairs = shd.as("a").join(shd.as("b"),
             col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
