@@ -267,7 +267,9 @@ object Pipeline {
     // band-local.
     QDef("dd3_minhash_lsh",
       (s, d) => {
-        val shd = docShinglesX(s, d)
+        // persisted once for its four consumers (signature build, both
+        // verify sides, per-doc counts) — same rationale as dd2
+        val shd = docShinglesX(s, d).persist()
         // 16 min-hashes as ONE hash-aggregate with 16 native min() columns
         // — a single shuffle on doc_id, no per-element lambdas
         val h = shd.select(col("doc_id"),
