@@ -59,6 +59,22 @@ class SqlCatalogSpec extends SparkSpec {
     assert(fresh.read("t").as[Int].collect().sorted === Array(1, 2))
   }
 
+  test("vacuum works on the SQL backend: expired versions and blobs removed") {
+    val cat = dsnLake()
+    cat.createTable("t", StructType(Seq(StructField("id", IntegerType))))
+    (1 to 5).foreach(i => cat.insert("t", Seq(i).toDF("id")))
+    cat.delete("t", col("id") <= 2)
+    val cur = cat.currentVersion
+    assert(cat.readAt("t", 3).count() === 2)
+    cat.vacuum(keepLast = 2)
+    // expired version unreadable from a fresh catalog (no cache assist)
+    val dsn = s"jdbc:derby:${cat.root}/catalog_db"
+    val fresh = new LakeCatalog(spark, cat.root, Some(dsn))
+    intercept[Exception] { fresh.readAt("t", 3).count() }
+    assert(fresh.readAt("t", cur - 1).count() === 5)
+    assert(fresh.read("t").orderBy("id").as[Int].collect() === Array(3, 4, 5))
+  }
+
   test("catalog migrates losslessly between file and SQL backends") {
     val fileCat = new LakeCatalog(spark, tmpDir("file_lake"))
     fileCat.createTable("m", StructType(Seq(

@@ -65,6 +65,40 @@ class TxPropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("incremental manifests replay identically from a cold catalog") {
+    // the delta/blob/merge layer must be invisible: after any random DML
+    // sequence, a FRESH catalog (cold caches, state rebuilt purely from
+    // stored documents + blobs) sees byte-identical tables at EVERY
+    // version as the catalog that wrote them
+    val dmlGen: Gen[Int] = Gen.choose(0, 3) // 0=insert 1=update 2=delete 3=compact
+    val prop = Prop.forAllNoShrink(Gen.listOfN(8, dmlGen)) { ops =>
+      val cat = freshCat()
+      val v0 = cat.currentVersion // ord exists from here on
+      var nextOid = 1
+      ops.foreach {
+        case 0 =>
+          cat.insert("ord", Seq((nextOid, 1, 1), (nextOid + 1, 2, 2))
+            .toDF("oid", "pid", "n"))
+          nextOid += 2
+        case 1 => cat.update("ord", col("pid") === 1, Map("n" -> lit(9)))
+        case 2 => cat.delete("ord", col("oid") % 3 === 0)
+        case 3 => cat.compact("ord", 1L << 20)
+        case _ => ()
+      }
+      val cold = new LakeCatalog(spark, cat.root)
+      (v0 to cat.currentVersion).forall { v =>
+        val warm = cat.readAt("ord", v).orderBy("oid")
+          .as[(Int, Int, Int)].collect().toSeq
+        val replay = cold.readAt("ord", v).orderBy("oid")
+          .as[(Int, Int, Int)].collect().toSeq
+        warm == replay
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(4), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("concurrent writers during schema evolution stay isolated (demo 3)") {
     // ref demos/03_schema_evolution/demo.py:32-72: a background thread
     // keeps inserting while the main thread evolves the schema
