@@ -57,17 +57,23 @@ object Bench {
     // Three runs per query, report the min: the first execution pays
     // one-time Janino/codegen compilation (cached per session) — the min
     // reflects the steady-state engine cost, which is what scales to 100 TB
-    val runs = 3
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Two PASSES over the suite, two back-to-back runs per visit, per-query
+    // min of the four. The back-to-back second run is the steady-state
+    // engine cost (codegen compiled, caches materialized, JIT hot) — that's
+    // what scales to a cluster. The two visits sit ~2 minutes apart, so a
+    // transient machine-load spike (the round-4 artifact recorded ~2x
+    // across the board from exactly that) can't cover every run of a query.
+    val passes = 2; val burst = 2; val runs = passes * burst
+    val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.startsWith("l"))
-      .map { case (name, fn) =>
-        val times = (1 to runs).map { _ =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
-        }
-        name -> times.min
-      }
+    val mins = scala.collection.mutable.LinkedHashMap[String, Double]()
+    for (_ <- 1 to passes; (name, fn) <- qlist; _ <- 1 to burst) {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      mins(name) = math.min(mins.getOrElse(name, Double.MaxValue), sec)
+    }
+    val results = mins.toSeq
     val duck = baseline(sfDir)
     def j(d: Double): String = f"$d%.4f"
     val qs = results.map { case (k, v) => s"\"$k\":${j(v)}" }
@@ -84,10 +90,20 @@ object Bench {
     }
     val sparkOracle = oracled.map(_._2).sum
     val duckOracle = oracled.map(x => duck(x._1)).sum
-    val oracleLine =
+    val summary =
       if (duck.isEmpty) "\"duckdb_baseline\":\"missing\""
-      else s""""oracle_subset":${leg(oracled)},"floor":${leg(floor)},"heavy":${leg(heavy)},"ratios":$ratios"""
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","runs_per_query":$runs,"agg":"min","spark_oracle_s":${j(sparkOracle)},"duckdb_oracle_s":${j(duckOracle)},$oracleLine,"queries":$qs,"sf":"$sfDir"}""")
+      else s""""oracle_subset":${leg(oracled)},"floor":${leg(floor)},"heavy":${leg(heavy)}"""
+    val head = s""""metric":"total","value":${j(total)},"unit":"sec","runs_per_query":$runs,"agg":"min","spark_oracle_s":${j(sparkOracle)},"duckdb_oracle_s":${j(duckOracle)},$summary"""
+    // Full detail (incl. the 67-entry per-query ratio map) goes to a file:
+    // the driver archives only a size-bounded stdout tail, and a line that
+    // outgrows that budget is recorded unparsed. The stdout line carries
+    // the summary + per-query seconds and stays well under the budget.
+    val detail = new java.io.File("bench/BENCH_LATEST.json")
+    detail.getParentFile.mkdirs()
+    val fullLine = s"""{$head,"ratios":$ratios,"queries":$qs,"sf":"$sfDir"}"""
+    val w = new java.io.PrintWriter(detail, "UTF-8")
+    try w.println(fullLine) finally w.close()
+    println(s"""{$head,"queries":$qs,"detail":"bench/BENCH_LATEST.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -16,6 +16,8 @@ object QTime {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // QTIME_WARM=1 reproduces Bench's conditions (tables persisted once)
+    if (sys.env.contains("QTIME_WARM")) Tables.warm(spark, sfDir)
     val explain = sys.env.contains("QTIME_EXPLAIN")
     args.drop(1).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
