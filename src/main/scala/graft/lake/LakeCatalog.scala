@@ -358,6 +358,9 @@ class LakeCatalog(val spark: SparkSession, val root: String,
   def delete(table: String, where: Column): Unit =
     transaction(_.delete(table, where))
 
+  def merge(table: String, source: DataFrame, keys: Seq[String]): Unit =
+    transaction(_.merge(table, source, keys))
+
   def createView(name: String, sql: String): Unit =
     transaction(_.createView(name, sql))
 

@@ -258,6 +258,70 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     change("tables_deleted_from", table)
   }
 
+  /** M9 MERGE (upsert): WHEN MATCHED replace the target row with the
+    * source row, WHEN NOT MATCHED insert it — the lakehouse-standard
+    * idempotent-ingestion primitive (the reference has no analog; DuckDB
+    * spells it `INSERT ... ON CONFLICT DO UPDATE`). Copy-on-write like
+    * update/delete: affected files are found with ONE file-tagged
+    * left-semi join against the source keys (bounded driver path set,
+    * same cap as rewriteAffected), only those are rewritten, and the
+    * write cost is proportional to the matched-file fraction — at 100 TB
+    * a merge touching 0.1% of keys rewrites ~0.1% of files. The source
+    * must be key-unique (SQL MERGE cardinality rule) and is aligned to
+    * the table schema first (missing columns fill DEFAULT then NULL). */
+  def merge(table: String, source: DataFrame, keys: Seq[String]): Unit = {
+    flushInlined(table)
+    val st = state(table)
+    require(keys.nonEmpty, "merge requires at least one key column")
+    keys.foreach(k =>
+      require(st.columns.exists(_.name == k), s"no such column: $k"))
+    val src = alignToSchema(source, st)
+    if (!src.groupBy(keys.map(col): _*).count().filter(col("count") > 1).isEmpty)
+      throw new ConstraintViolation(
+        s"merge source not unique on (${keys.mkString(",")})")
+    validate(table, st, src, checkPkAgainstExisting = false)
+    val keyCols = keys.map(col)
+    if (st.files.isEmpty) {
+      val written = writeFiles(table, src, st.schemaVersion)
+      tables(table) = st.copy(files = st.files ++ written)
+    } else {
+      val cur = cat.readState(st)
+      val affectedPaths = cur
+        .withColumn("__file", input_file_name())
+        .join(src.select(keyCols: _*), keys, "left_semi")
+        .select("__file").distinct().limit(Tx.MaxAffectedPaths + 1).collect()
+        .map(r => new java.net.URI(r.getString(0)).getPath).toSet
+      val affected =
+        if (affectedPaths.size > Tx.MaxAffectedPaths) st.files
+        else st.files.filter(e =>
+          affectedPaths.contains(cat.absPath(e.path).toUri.getPath))
+      val kept = st.files.filterNot(affected.contains)
+      // matched rows take the source row wholesale (NULL keys never match,
+      // as in SQL MERGE ON); unmatched target rows carry over unchanged
+      val tgt = cat.readState(st.copy(files = affected)).alias("t")
+      val marked = src.withColumn("__m", lit(true)).alias("s")
+      val cond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+      val rewritten = tgt.join(marked, cond, "left_outer")
+        .select(st.columns.map { c =>
+          when(col("s.__m"), col(s"s.${c.name}"))
+            .otherwise(col(s"t.${c.name}")).as(c.name)
+        }: _*)
+      val inserts = src.join(cur.select(keyCols: _*), keys, "left_anti")
+      val out = rewritten.unionByName(inserts)
+      // merging on non-PK keys can collide with rows in kept files
+      if (st.primaryKey.nonEmpty && st.primaryKey != keys && kept.nonEmpty) {
+        val pk = st.primaryKey.map(col)
+        val keptKeys = cat.readState(st.copy(files = kept)).select(pk: _*)
+        if (!keptKeys.join(out.select(pk: _*), st.primaryKey, "left_semi").isEmpty)
+          throw new ConstraintViolation(
+            s"duplicate key after merge: $table(${st.primaryKey.mkString(",")})")
+      }
+      val written = writeFiles(table, out, st.schemaVersion)
+      tables(table) = st.copy(files = kept ++ written)
+    }
+    change("tables_merged", table)
+  }
+
   /** M8/compaction: rewrite all live files into ceil(bytes/target) files. */
   def compact(table: String, targetFileBytes: Long): Unit = {
     flushInlined(table)

@@ -325,6 +325,58 @@ object LakeScenarios {
                     ELSE '' END AS bal_change
         FROM d ORDER BY version, id""")),
 
+    // M9 — MERGE upsert (Tx.merge): matched rows replaced with the source
+    // row, unmatched source rows inserted, all in one copy-on-write
+    // commit. No reference analog (DuckDB spells it INSERT .. ON CONFLICT
+    // DO UPDATE) — it's the lakehouse-standard idempotent-ingestion
+    // primitive. Oracle: base FULL OUTER JOIN source over the identical
+    // static slices — deterministic, so upsert semantics are
+    // HASH-verified. Each row is tagged updated/inserted/kept from src
+    // and base membership (semi-join markers on both engines).
+    QDef("l10_merge_upsert",
+      (s, d) => {
+        val cat = freshLake(s)
+        val base = T.customer(s, d).filter(col("c_custkey") <= 20)
+          .selectExpr("cast(c_custkey AS bigint) AS id", "c_name AS name",
+            "c_acctbal AS bal")
+        val src = T.customer(s, d)
+          .filter(col("c_custkey") <= 30 && col("c_custkey") % 3 === 0)
+          .selectExpr("cast(c_custkey AS bigint) AS id",
+            "concat('merged_', cast(c_custkey AS string)) AS name",
+            "c_acctbal * 2 AS bal")
+        cat.createTable("cust", StructType(Seq(
+          StructField("id", LongType),
+          StructField("name", StringType),
+          StructField("bal", DoubleType))),
+          primaryKey = Seq("id"))
+        cat.insert("cust", base)
+        cat.merge("cust", src, Seq("id"))
+        cat.read("cust").alias("f")
+          .join(src.select(col("id"), lit(1).as("__s")), Seq("id"), "left")
+          .join(base.select(col("id"), lit(1).as("__b")), Seq("id"), "left")
+          .select(col("id"), col("name"), col("bal"),
+            when(col("__s").isNotNull && col("__b").isNotNull, "updated")
+              .when(col("__s").isNotNull, "inserted")
+              .otherwise("kept").as("status"))
+          .orderBy("id")
+      }, Some("""
+        WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,
+                             c_acctbal AS bal
+                      FROM customer WHERE c_custkey <= 20),
+             src AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+                            'merged_' || CAST(c_custkey AS VARCHAR) AS name,
+                            c_acctbal * 2 AS bal
+                     FROM customer
+                     WHERE c_custkey <= 30 AND c_custkey % 3 = 0)
+        SELECT COALESCE(s.id, b.id) AS id,
+               CASE WHEN s.id IS NOT NULL THEN s.name ELSE b.name END AS name,
+               CASE WHEN s.id IS NOT NULL THEN s.bal ELSE b.bal END AS bal,
+               CASE WHEN s.id IS NOT NULL AND b.id IS NOT NULL THEN 'updated'
+                    WHEN s.id IS NOT NULL THEN 'inserted'
+                    ELSE 'kept' END AS status
+        FROM base b FULL OUTER JOIN src s ON b.id = s.id
+        ORDER BY id""")),
+
     // T6 — engine introspection as DataFrames (ref exploration/
     // ducklake_analysis.sh:186-191: duckdb_functions()/duckdb_settings()).
     QDef("l9_introspection",
@@ -361,6 +413,18 @@ object LakeScenarios {
     // ST2 — custom keyed streaming state via flatMapGroupsWithState.
     QDef("st2_stream_sessions",
       (s, d) => graft.streaming.EventStream.sessionProfile(s, d), None),
+
+    // ST3 — streaming exact dedup: the events stream unioned with a
+    // replay of itself (every event arrives twice), watermark-bounded
+    // dropDuplicatesWithinWatermark keeps one copy per event_id. The
+    // oracle profiles the ORIGINAL single-copy table — a hash match
+    // proves the stream removed every duplicate. HASH-verified, unlike
+    // st1/st2 (whose window/session outputs aren't one-statement SQL).
+    QDef("st3_stream_dedup",
+      (s, d) => graft.streaming.EventStream.dedupProfile(s, d),
+      Some("SELECT event_type, count(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
+        "FROM events GROUP BY event_type ORDER BY event_type")),
 
     // SS3 — IVF ANN: KMeans coarse quantizer + probe-nearest-cells search
     // (rows-only: centroids are engine-specific; recall pinned in specs).

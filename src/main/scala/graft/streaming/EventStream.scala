@@ -133,6 +133,32 @@ object EventStream {
       OutputMode.Append())
       .orderBy("win_start", "event_type")
 
+  /** Judged query ST3: streaming exact deduplication. The replayed events
+    * stream is unioned with a second replay of itself — every event now
+    * arrives twice, the at-least-once delivery shape every real ingest
+    * pipeline has — and `dropDuplicatesWithinWatermark` on event_id keeps
+    * exactly one copy per key. The watermark bounds the dedup state: a
+    * key's fingerprint is dropped once the event-time horizon passes it,
+    * so state is O(keys per 2h window), not O(stream) — the property that
+    * lets this run forever at ingest scale. The drained result is
+    * profiled per event_type, which must hash-match the same profile over
+    * the ORIGINAL single-copy table — the oracle never sees the
+    * duplicates, proving the stream removed all of them. */
+  def dedupProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val doubled = readEvents(spark, sfDir)
+      .unionByName(readEvents(spark, sfDir))
+    val deduped = doubled
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+    drainToTable(deduped,
+      s"st3_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      OutputMode.Append())
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   /** Judged query ST2: stateful per-user sessions (top users by events). */
   def sessionProfile(spark: SparkSession, sfDir: String): DataFrame =
     drainToTable(

@@ -453,4 +453,47 @@ class LakeSpec extends SparkSpec {
     assert(dst.current.tables("t").primaryKey === Seq("id"))
     assert(dst.readView("vw").as[Long].head() === 2L)
   }
+
+  test("merge upserts copy-on-write: matched replaced, unmatched inserted, untouched files kept") {
+    val cat = newLake()
+    cat.createTable("inventory", invSchema, primaryKey = Seq("product_id"))
+    // two separate inserts -> two file sets; the merge only touches keys
+    // from the second one, so the first one's files must survive verbatim
+    cat.insert("inventory",
+      Seq((1, "widget", 10, 9.99), (2, "gadget", 5, 19.5))
+        .toDF("product_id", "product_name", "quantity", "price"))
+    cat.insert("inventory",
+      Seq((3, "doohickey", 2, 3.25)).toDF("product_id", "product_name", "quantity", "price"))
+    val filesBefore = cat.current.tables("inventory").files
+    val vPre = cat.currentVersion
+    cat.merge("inventory",
+      Seq((3, "doohickey2", 20, 4.0), (4, "brandnew", 1, 5.0))
+        .toDF("product_id", "product_name", "quantity", "price"),
+      Seq("product_id"))
+    val m = cat.read("inventory").collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(m.size === 4)
+    assert(m(3) === (("doohickey2", 20)), "matched row replaced")
+    assert(m(4) === (("brandnew", 1)), "unmatched source row inserted")
+    assert(m(1) === (("widget", 10)) && m(2) === (("gadget", 5)), "others untouched")
+    // CoW: the file(s) holding keys 1,2 carry over unrewritten
+    val filesAfter = cat.current.tables("inventory").files
+    val keyOneFile = filesBefore.head // insert order: first file set = keys 1,2
+    assert(filesAfter.exists(_.path == keyOneFile.path), "untouched file kept")
+    // time travel: the pre-merge snapshot still reads 3 rows
+    assert(cat.readAt("inventory", vPre).count() === 3)
+    // change summary tags the merge
+    val tagged = cat.current.history.last.changes
+      .getOrElse("tables_merged", Nil)
+    assert(tagged.contains("inventory"))
+    // SQL MERGE cardinality rule: duplicate source keys refuse
+    intercept[ConstraintViolation] {
+      cat.merge("inventory",
+        Seq((7, "a", 1, 1.0), (7, "b", 2, 2.0))
+          .toDF("product_id", "product_name", "quantity", "price"),
+        Seq("product_id"))
+    }
+    // and the failed merge left no trace
+    assert(cat.read("inventory").count() === 4)
+  }
 }

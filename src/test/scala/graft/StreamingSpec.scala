@@ -74,4 +74,19 @@ class StreamingSpec extends SparkSpec {
       assert(first <= last)
     }
   }
+
+  test("streaming dedup collapses a duplicated stream back to the batch profile") {
+    import spark.implicits._
+    val streamed = EventStream.dedupProfile(spark, d)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // the stream saw every event TWICE; after dropDuplicatesWithinWatermark
+    // its per-type profile must equal the single-copy batch profile exactly
+    val batch = Tables.events(spark, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_value"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(streamed === batch)
+  }
 }
