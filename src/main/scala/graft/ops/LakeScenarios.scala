@@ -156,7 +156,10 @@ object LakeScenarios {
       (s, d) => {
         import s.implicits._
         val cat = freshLake(s)
-        val c = T.customer(s, d).filter(col("c_custkey") <= 300)
+        // key ranges chosen to be non-empty at EVERY SF (sf0.001 has 150
+        // customers): an empty change group would drop the row on the
+        // Spark side while the oracle's UNION branch still emits count 0
+        val c = T.customer(s, d).filter(col("c_custkey") <= 150)
           .selectExpr("cast(c_custkey AS bigint) AS id", "c_name AS name",
             "c_acctbal AS bal")
         cat.createTable("c",
@@ -168,7 +171,7 @@ object LakeScenarios {
         cat.insert("c", c)
         val v1 = cat.currentVersion
         cat.update("c", col("id") <= 10, Map("bal" -> lit(-1.0)))
-        cat.delete("c", col("id") > 290)
+        cat.delete("c", col("id") > 140)
         cat.insert("c", Seq((9991L, "new_1", 10.0), (9992L, "new_2", 20.0),
           (9993L, "new_3", 30.0)).toDF("id", "name", "bal"))
         val v2 = cat.currentVersion
@@ -179,9 +182,9 @@ object LakeScenarios {
           .orderBy("change_type")
       }, Some("""
         WITH c0 AS (SELECT CAST(c_custkey AS BIGINT) AS id, c_acctbal AS bal
-                    FROM customer WHERE c_custkey <= 300),
+                    FROM customer WHERE c_custkey <= 150),
              upd AS (SELECT id FROM c0 WHERE id <= 10 AND bal <> -1.0),
-             del AS (SELECT id FROM c0 WHERE id > 290),
+             del AS (SELECT id FROM c0 WHERE id > 140),
              ins AS (SELECT * FROM (VALUES (9991), (9992), (9993)) AS t(id)),
              m AS (
                SELECT 'delete' AS change_type, count(*) AS n, sum(id) AS sum_id FROM del

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.{QDef, Tables => T}
 
 /** Large-scale training-data pipeline operators over the `documents` and
@@ -529,6 +529,94 @@ object Pipeline {
         "FROM scored WHERE score >= 0.7) " +
         "SELECT source, count(*) AS n_docs, round(avg(score), 6) AS avg_score " +
         "FROM surv WHERE doc_id = canonical GROUP BY source ORDER BY source")),
+
+    // X6 consistent hash sampling — the scale-correct way to subsample a
+    // corpus: membership is a pure function of the key (md5 mod), so the
+    // same 20% comes out on every engine, every run, every cluster size —
+    // unlike random(), it's reproducible and join-stable (a doc's
+    // features sampled elsewhere match). Map-only + one hash-agg.
+    QDef("x6_hash_sample",
+      (s, d) => T.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(expr(s"${h32s.format("cast(doc_id AS string)")} % 5") === 0, 1)
+            .otherwise(0)).as("n_sampled"))
+        .orderBy("source"),
+      Some("SELECT source, count(*) AS n_docs, " +
+        s"SUM(CASE WHEN ${h32d.format("CAST(doc_id AS VARCHAR)")} % 5 = 0 " +
+        "THEN 1 ELSE 0 END)::BIGINT AS n_sampled " +
+        "FROM documents GROUP BY source ORDER BY source")),
+
+    // X7 TF-IDF top terms — classic content-signature extraction: term
+    // frequency per doc, document frequency per term, top-3 terms per doc
+    // by tf*ln(N/df). Two hash-aggs + a broadcast of the tiny df-filtered
+    // side and ONE window for the top-k — at corpus scale the df table is
+    // the only global state and it's bounded by vocabulary size. Ordering
+    // uses the ROUNDED score (round-6 parity recipe) with the term as the
+    // deterministic tie-break.
+    QDef("x7_tfidf_topterms",
+      (s, d) => {
+        val terms = docsWithToks(s, d)
+          .select(col("doc_id"), explode(col("toks")).as("term"))
+        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        // corpus size as a broadcast 1-row frame — declarative (no driver
+        // action), and the plan stays a single job
+        val n = T.documents(s, d).agg(count(lit(1)).cast(DoubleType).as("n"))
+        val scored = tf.join(df, "term")
+          .filter(col("df") >= 2)
+          .crossJoin(broadcast(n))
+          .withColumn("score", round(col("tf") * log(col("n") / col("df")), 6))
+        scored
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("doc_id")
+              .orderBy(col("score").desc, col("term"))).cast(LongType))
+          .filter(col("rank") <= 3)
+          .select("doc_id", "rank", "term", "tf", "df", "score")
+          .orderBy("doc_id", "rank")
+      },
+      Some("WITH terms AS (SELECT doc_id, unnest(toks) AS term " +
+        s"FROM (SELECT doc_id, $toksD AS toks FROM documents)), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*)::DOUBLE AS n FROM documents), " +
+        "scored AS (SELECT doc_id, term, tf, df, " +
+        "round(tf * ln(n.n / df), 6) AS score " +
+        "FROM tf JOIN df USING (term), n WHERE df >= 2), " +
+        "ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY score DESC, term) AS rank FROM scored) " +
+        "SELECT doc_id, rank, term, tf, df, score FROM ranked " +
+        "WHERE rank <= 3 ORDER BY doc_id, rank")),
+
+    // X8 sequence packing — assign docs to fixed-budget context bins
+    // (2048 tokens) within each source by running token count: the
+    // training-data step that turns a corpus into packed training rows.
+    // Pure integer window math (no floats to disagree on); one shuffle on
+    // source, one sort per partition — at 100 TB the partition key would
+    // gain a date/shard component but the plan is unchanged.
+    QDef("x8_seq_pack",
+      (s, d) => {
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docsWithToks(s, d)
+          .select(col("doc_id"), col("source"),
+            size(col("toks")).cast(LongType).as("n_tokens"))
+          .withColumn("cum", sum("n_tokens").over(w))
+          .withColumn("bin", expr("(cum - n_tokens) div 2048"))
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"),
+            min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+          .orderBy("source", "bin")
+      },
+      Some("WITH t AS (SELECT doc_id, source, " +
+        s"len($toksD)::BIGINT AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, source, n_tokens, " +
+        "sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM t) " +
+        "SELECT source, ((cum - n_tokens) // 2048)::BIGINT AS bin, " +
+        "count(*) AS n_docs, sum(n_tokens)::BIGINT AS tokens, " +
+        "min(doc_id) AS first_doc, max(doc_id) AS last_doc " +
+        "FROM c GROUP BY 1, 2 ORDER BY source, bin")),
 
     // ----------------------------------------------------------- multimodal
     // MM1 opaque-binary columns + typed metadata: media payloads are

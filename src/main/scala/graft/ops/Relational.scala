@@ -547,6 +547,51 @@ object Relational {
         "FROM events JOIN w USING (event_type) " +
         "GROUP BY event_type ORDER BY event_type")),
 
+    // J7 AS-OF join — each purchase matched to the latest click at or
+    // before its timestamp by the same user. Spark has no ASOF JOIN
+    // (DuckDB does — it IS the oracle), and the naive range-join is
+    // O(n*m); this is the scale shape: tag both sides, union, ONE shuffle
+    // on user_id, and a running `last(click, ignoreNulls)` window carries
+    // the newest click forward into each purchase row. Clicks pre-agg to
+    // one row per (user, ts) so equal-timestamp ties are deterministic;
+    // the side flag sorts clicks first so an equal-ts click matches (ASOF
+    // uses <=).
+    QDef("j7_asof_join",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value")
+        val tagged = clicks.select(col("user_id"), col("ts"),
+            lit(0).as("side"), lit(null).cast(LongType).as("event_id"),
+            lit(null).cast(DoubleType).as("value"), col("click_value"))
+          .unionByName(purchases.select(col("user_id"), col("ts"),
+            lit(1).as("side"), col("event_id"), col("value"),
+            lit(null).cast(DoubleType).as("click_value")))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        tagged
+          .withColumn("lastc", last(when(col("side") === 0,
+            struct(col("ts").as("cts"), col("click_value").as("cv"))),
+            ignoreNulls = true).over(w))
+          .filter(col("side") === 1 && col("lastc").isNotNull)
+          .select(col("event_id"), col("user_id"),
+            col("ts").as("purchase_ts"), col("value").as("purchase_value"),
+            col("lastc.cts").as("click_ts"), col("lastc.cv").as("click_value"))
+          .orderBy("event_id")
+      },
+      Some("WITH clicks AS (SELECT user_id, ts, max(value) AS click_value " +
+        "FROM events WHERE event_type = 'click' GROUP BY 1, 2), " +
+        "purchases AS (SELECT event_id, user_id, ts, value FROM events " +
+        "WHERE event_type = 'purchase') " +
+        "SELECT p.event_id, p.user_id, p.ts AS purchase_ts, " +
+        "p.value AS purchase_value, c.ts AS click_ts, c.click_value " +
+        "FROM purchases p ASOF JOIN clicks c " +
+        "ON p.user_id = c.user_id AND c.ts <= p.ts " +
+        "ORDER BY p.event_id")),
+
     // F12 string-function sweep (upper/substr/replace/lpad/length/reverse).
     QDef("f12_string_funcs",
       (s, d) => T.nation(s, d)
