@@ -592,6 +592,66 @@ object Relational {
         "ON p.user_id = c.user_id AND c.ts <= p.ts " +
         "ORDER BY p.event_id")),
 
+    // W4 ranking-function sweep — rank / dense_rank / ntile in one window
+    // (percent_rank excluded: its n-1 division is a float both engines
+    // round differently at ties). Unique (key) tie-break keeps every rank
+    // deterministic cross-engine.
+    QDef("w4_rank_funcs",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        T.orders(s, d)
+          .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            ntile(10).over(w).as("decile"))
+          .filter(col("rnk") <= 5)
+          .orderBy("o_orderstatus", "rnk")
+      },
+      Some("SELECT o_orderstatus, o_orderkey, o_totalprice, rnk, drnk, decile " +
+        "FROM (SELECT o_orderstatus, o_orderkey, o_totalprice, " +
+        "rank() OVER w AS rnk, dense_rank() OVER w AS drnk, " +
+        "ntile(10) OVER w AS decile FROM orders " +
+        "WINDOW w AS (PARTITION BY o_orderstatus " +
+        "ORDER BY o_totalprice DESC, o_orderkey)) " +
+        "WHERE rnk <= 5 ORDER BY o_orderstatus, rnk")),
+
+    // F15 edit distance — levenshtein over candidate name pairs: the
+    // fuzzy-match primitive record-linkage dedup needs. The blocked
+    // self-join (same first letter, id inequality) is the scale shape —
+    // candidate pairs come from a cheap blocking key, never all-pairs.
+    QDef("f15_edit_distance",
+      (s, d) => {
+        val n = T.nation(s, d).select(col("n_nationkey").as("k"),
+          col("n_name").as("nm"), substring(col("n_name"), 1, 1).as("blk"))
+        n.as("a").join(n.as("b"),
+            col("a.blk") === col("b.blk") && col("a.k") < col("b.k"))
+          .select(col("a.nm").as("name_a"), col("b.nm").as("name_b"),
+            levenshtein(col("a.nm"), col("b.nm")).cast(LongType).as("dist"))
+          .orderBy("name_a", "name_b")
+      },
+      Some("SELECT a.n_name AS name_a, b.n_name AS name_b, " +
+        "levenshtein(a.n_name, b.n_name)::BIGINT AS dist " +
+        "FROM nation a JOIN nation b " +
+        "ON substr(a.n_name, 1, 1) = substr(b.n_name, 1, 1) " +
+        "AND a.n_nationkey < b.n_nationkey " +
+        "ORDER BY name_a, name_b")),
+
+    // A10 CUBE — all grouping-set combinations in one pass (rollup's big
+    // sibling; Spark expands to an expand+hash-agg, partial then final).
+    QDef("a10_cube",
+      (s, d) => T.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("revenue"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      Some("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        s"${moneySumSql("o_totalprice")} AS revenue FROM orders " +
+        "GROUP BY CUBE (o_orderstatus, o_orderpriority) " +
+        "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST")),
+
     // F12 string-function sweep (upper/substr/replace/lpad/length/reverse).
     QDef("f12_string_funcs",
       (s, d) => T.nation(s, d)

@@ -115,4 +115,34 @@ class PlanSpec extends SparkSpec {
       assert(s.contains("*("), s"$q should have WholeStageCodegen spans\n" + s.take(1000))
     }
   }
+
+  test("as-of join is one union + window, never a range join") {
+    val s = planString("j7_asof_join")
+    // the tag-union + running-last shape: a point-in-time range join as
+    // one shuffle on user_id; a nested-loop/cartesian range join here
+    // would be O(clicks x purchases) at scale
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s.take(2000))
+    assert(s.contains("Window"), s.take(2000))
+    assert(s.contains("Union"), s.take(2000))
+  }
+
+  test("tf-idf broadcasts the corpus count, keeps term joins hash-based") {
+    val s = planString("x7_tfidf_topterms")
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+    // the 1-row corpus-count frame must arrive via broadcast, not shuffle
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+      "corpus count must broadcast\n" + s.take(2000))
+  }
+
+  test("sequence packing is one shuffle on source + per-partition window") {
+    val df = SparkEntry.queries("x8_seq_pack")(spark, d)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString()
+    // one hashpartitioning(source) exchange feeds both the window and the
+    // final agg (same key) — no second data shuffle
+    val n = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(n <= 2, s"expected <=2 exchanges (window + tiny agg), got $n\n" + s.take(2000))
+    assert(s.contains("Window"), s.take(1000))
+  }
 }
