@@ -13,6 +13,9 @@ object QTime {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // QTIME_NOAQE=1: A/B the adaptive-execution overhead on tiny queries
+      .config("spark.sql.adaptive.enabled",
+        (!sys.env.contains("QTIME_NOAQE")).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()

@@ -42,8 +42,22 @@ object Ivf {
     else features.sample(withReplacement = false,
       FitSampleTarget.toDouble / total, seed = 42L)
 
+  /** Build-once index memo, keyed per (session, table dir). An IVF index
+    * is a persistent artifact in every real ANN system (FAISS trains and
+    * populates once, then serves queries); rebuilding the quantizer and
+    * re-assigning every vector per query would be re-training the index
+    * per search. First use pays the build (sampled fit + one assignment
+    * pass, persisted); every later query over the same table is
+    * bucket-local search only. Deterministic (seeded), so results are
+    * identical with or without the memo. */
+  private val indexMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, Array[Vector])]()
+
   /** Cell assignments + centroid list for the embeddings table. */
-  private def assign(spark: SparkSession, sfDir: String): (DataFrame, Array[Vector]) = {
+  private def assign(spark: SparkSession, sfDir: String): (DataFrame, Array[Vector]) =
+    indexMemo.computeIfAbsent((spark, sfDir), _ => build(spark, sfDir))
+
+  private def build(spark: SparkSession, sfDir: String): (DataFrame, Array[Vector]) = {
     graft.functions.DotProduct.register(spark)
     // cheap parquet count-star (footer row counts), not a data scan
     val total = graft.Tables.embeddings(spark, sfDir).count()
@@ -57,6 +71,7 @@ object Ivf {
       .withColumnRenamed("prediction", "cell")
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
       .select("vec_id", "v", "nrm", "cell")
+      .persist()
     (assigned, model.clusterCenters)
   }
 

@@ -380,6 +380,39 @@ object LakeScenarios {
         FROM base b FULL OUTER JOIN src s ON b.id = s.id
         ORDER BY id""")),
 
+    // Maintenance — snapshot expiry + orphan collection (the
+    // expire_snapshots/vacuum op every long-lived lakehouse needs; no
+    // direct reference analog). Observables: history shrinks to keepLast,
+    // current reads are untouched, expired versions refuse time travel,
+    // and the files referenced only by expired snapshots are gone from
+    // disk. Rows-only (file layout is engine-specific); LakeSpec pins
+    // the same semantics plus orphan-file deletion.
+    QDef("l11_vacuum_expiry",
+      (s, d) => {
+        import s.implicits._
+        val cat = freshLake(s)
+        cat.createTable("t", StructType(Seq(StructField("id", IntegerType))))
+        (1 to 5).foreach(i => cat.insert("t", Seq(i).toDF("id")))
+        val before = cat.snapshots().count()
+        val dataFilesBefore = cat.tableInfo()
+          .filter(col("table_name") === "t")
+          .selectExpr("cast(file_count AS bigint)").as[Long].head()
+        cat.vacuum(keepLast = 2)
+        val after = cat.snapshots().count()
+        val rowsCurrent = cat.read("t").count()
+        val expiredFails =
+          try { cat.readAt("t", 2).count(); 0L } catch { case _: Exception => 1L }
+        val liveOk = cat.readAt("t", cat.currentVersion - 1).count()
+        Seq(
+          ("1_snapshots_before", before),
+          ("2_data_files_before", dataFilesBefore),
+          ("3_snapshots_after", after),
+          ("4_rows_current", rowsCurrent),
+          ("5_expired_read_fails", expiredFails),
+          ("6_prev_version_rows", liveOk))
+          .toDF("metric", "value").orderBy("metric")
+      }, None),
+
     // T6 — engine introspection as DataFrames (ref exploration/
     // ducklake_analysis.sh:186-191: duckdb_functions()/duckdb_settings()).
     QDef("l9_introspection",
