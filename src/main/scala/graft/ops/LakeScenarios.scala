@@ -380,6 +380,42 @@ object LakeScenarios {
         FROM base b FULL OUTER JOIN src s ON b.id = s.id
         ORDER BY id""")),
 
+    // Streaming -> lake, end to end: a 3-file replay of the events slice
+    // micro-batch-streams through the exactly-once foreachBatch sink
+    // (one atomic lake commit per batch, batch ids in the snapshot change
+    // summary), then the LAKE table is profiled. The oracle profiles the
+    // same slice of the source events table directly — a hash match
+    // proves no batch was lost or doubled in flight. n_batches pins the
+    // multi-commit ingestion history (3 files -> 3 snapshots after the
+    // CREATE).
+    QDef("l12_stream_to_lake",
+      (s, d) => {
+        val cat = freshLake(s)
+        val ev = T.events(s, d).filter(col("event_id") <= 1000)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val srcDir = java.nio.file.Files
+          .createTempDirectory("graft_stream_src_").toString
+        ev.repartition(3).write.mode("overwrite").parquet(srcDir)
+        cat.createTable("ev", ev.schema)
+        val v0 = cat.currentVersion
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        graft.streaming.EventStream.sinkToLake(stream, cat, "ev",
+          java.nio.file.Files.createTempDirectory("graft_stream_ckpt_").toString)
+        cat.read("ev")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+              .as("sum_value"))
+          .withColumn("n_batches", lit(cat.currentVersion - v0))
+          .orderBy("event_type")
+      },
+      Some("SELECT event_type, count(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value, " +
+        "CAST(3 AS BIGINT) AS n_batches " +
+        "FROM events WHERE event_id <= 1000 " +
+        "GROUP BY event_type ORDER BY event_type")),
+
     // Maintenance — snapshot expiry + orphan collection (the
     // expire_snapshots/vacuum op every long-lived lakehouse needs; no
     // direct reference analog). Observables: history shrinks to keepLast,

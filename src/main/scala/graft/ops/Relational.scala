@@ -652,6 +652,39 @@ object Relational {
         "GROUP BY CUBE (o_orderstatus, o_orderpriority) " +
         "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST")),
 
+    // A11 exact percentiles — median/p90 per group. Spark `percentile`
+    // and DuckDB `quantile_cont` share the same linear-interpolation
+    // definition; outputs go through the round-6 parity recipe. At scale
+    // exact percentile is a sort-based agg per group — the approx variant
+    // (a12) is the sketch path for when groups are huge.
+    QDef("a11_percentiles",
+      (s, d) => T.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"))
+        .orderBy("o_orderpriority"),
+      Some("SELECT o_orderpriority, count(*) AS n, " +
+        "round(quantile_cont(o_totalprice, 0.5), 6) AS p50, " +
+        "round(quantile_cont(o_totalprice, 0.9), 6) AS p90 " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+
+    // A12 sketch-based distinct — Apache DataSketches HLL via
+    // hll_sketch_agg: mergeable fixed-size state, the only way
+    // COUNT(DISTINCT) scales to 100 TB group-bys (exact distinct
+    // shuffles every key; a sketch shuffles lgK=12 bytes per group and
+    // merges associatively, so partial aggregation works). Deterministic
+    // for fixed input but sketch internals are engine-specific -> rows
+    // only; the <2% error vs exact is pinned in PipelineSpec.
+    QDef("a12_hll_distinct",
+      (s, d) => T.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy("event_type"),
+      None),
+
     // F12 string-function sweep (upper/substr/replace/lpad/length/reverse).
     QDef("f12_string_funcs",
       (s, d) => T.nation(s, d)

@@ -135,12 +135,21 @@ class PipelineSpec extends SparkSpec {
   test("lake scenario queries return deterministic non-empty results") {
     Seq("l1_txn_atomic_rollback", "l2_time_travel_versions",
       "l3_schema_evolution", "l4_table_changes", "l5_migrate_catalog",
-      "l6_compaction", "l7_snapshots_meta").foreach { name =>
+      "l6_compaction", "l7_snapshots_meta", "l11_vacuum_expiry").foreach { name =>
       val a = run(name).collect()
       val b = run(name).collect()
       assert(a.nonEmpty, s"$name returned no rows")
       assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq,
         s"$name not deterministic")
+    }
+  }
+
+  test("HLL sketch distinct stays within 2% of exact per group") {
+    run("a12_hll_distinct").collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(exact > 0 && math.abs(approx - exact) / exact < 0.02,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
     }
   }
 }
