@@ -618,24 +618,31 @@ object Relational {
 
     // F15 edit distance — levenshtein over candidate name pairs: the
     // fuzzy-match primitive record-linkage dedup needs. The blocked
-    // self-join (same first letter, id inequality) is the scale shape —
-    // candidate pairs come from a cheap blocking key, never all-pairs.
+    // self-join is the scale shape — candidate pairs come from a cheap
+    // blocking key (here the head noun of the part name, so "small ring"
+    // meets "red ring", never all-pairs), then the exact distance
+    // verifies. Output keeps only near-matches (dist <= 5).
     QDef("f15_edit_distance",
       (s, d) => {
-        val n = T.nation(s, d).select(col("n_nationkey").as("k"),
-          col("n_name").as("nm"), substring(col("n_name"), 1, 1).as("blk"))
-        n.as("a").join(n.as("b"),
+        val p = T.part(s, d).filter(col("p_partkey") <= 200)
+          .select(col("p_partkey").as("k"), col("p_name").as("nm"),
+            expr("element_at(split(p_name, ' '), -1)").as("blk"))
+        p.as("a").join(p.as("b"),
             col("a.blk") === col("b.blk") && col("a.k") < col("b.k"))
-          .select(col("a.nm").as("name_a"), col("b.nm").as("name_b"),
+          .select(col("a.k").as("key_a"), col("b.k").as("key_b"),
+            col("a.nm").as("name_a"), col("b.nm").as("name_b"),
             levenshtein(col("a.nm"), col("b.nm")).cast(LongType).as("dist"))
-          .orderBy("name_a", "name_b")
+          .filter(col("dist") <= 5)
+          .orderBy("key_a", "key_b")
       },
-      Some("SELECT a.n_name AS name_a, b.n_name AS name_b, " +
-        "levenshtein(a.n_name, b.n_name)::BIGINT AS dist " +
-        "FROM nation a JOIN nation b " +
-        "ON substr(a.n_name, 1, 1) = substr(b.n_name, 1, 1) " +
-        "AND a.n_nationkey < b.n_nationkey " +
-        "ORDER BY name_a, name_b")),
+      Some("WITH p AS (SELECT p_partkey AS k, p_name AS nm, " +
+        "split_part(p_name, ' ', -1) AS blk " +
+        "FROM part WHERE p_partkey <= 200) " +
+        "SELECT a.k AS key_a, b.k AS key_b, a.nm AS name_a, b.nm AS name_b, " +
+        "levenshtein(a.nm, b.nm)::BIGINT AS dist " +
+        "FROM p a JOIN p b ON a.blk = b.blk AND a.k < b.k " +
+        "WHERE levenshtein(a.nm, b.nm) <= 5 " +
+        "ORDER BY key_a, key_b")),
 
     // A10 CUBE — all grouping-set combinations in one pass (rollup's big
     // sibling; Spark expands to an expand+hash-agg, partial then final).
