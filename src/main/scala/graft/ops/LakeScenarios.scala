@@ -380,6 +380,43 @@ object LakeScenarios {
         FROM base b FULL OUTER JOIN src s ON b.id = s.id
         ORDER BY id""")),
 
+    // Ad-hoc SQL over the attached catalog — the reference's core usage
+    // pattern (`USE lake; SELECT ...` — ref demos/01_transaction_rollback/
+    // demo.py:30,74): LakeCatalog.sql resolves lake tables AND stored
+    // views in an isolated child session. Judged end to end: the query
+    // joins two lake tables and left-joins the stored view; the oracle
+    // replays the identical SQL over the raw slices.
+    QDef("l13_lake_sql",
+      (s, d) => {
+        val cat = freshLake(s)
+        cat.createTableAs("cust", T.customer(s, d)
+          .filter(col("c_custkey") <= 100)
+          .selectExpr("cast(c_custkey AS bigint) AS id", "c_name AS name",
+            "cast(c_nationkey AS bigint) AS nat", "c_acctbal AS bal"))
+        cat.createTableAs("nat", T.nation(s, d)
+          .selectExpr("cast(n_nationkey AS bigint) AS nk", "n_name AS nname"))
+        cat.createView("v_rich", "SELECT * FROM cust WHERE bal > 5000.0")
+        cat.sql("""
+          SELECT n.nname AS nation, count(*) AS n_customers,
+                 CAST(SUM(CAST(c.bal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+                 SUM(CASE WHEN r.id IS NOT NULL THEN 1 ELSE 0 END) AS n_rich
+          FROM cust c JOIN nat n ON c.nat = n.nk
+          LEFT JOIN v_rich r ON r.id = c.id
+          GROUP BY n.nname ORDER BY nation""")
+      }, Some("""
+        WITH cust AS (SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,
+                             CAST(c_nationkey AS BIGINT) AS nat, c_acctbal AS bal
+                      FROM customer WHERE c_custkey <= 100),
+             nat AS (SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name AS nname
+                     FROM nation),
+             v_rich AS (SELECT * FROM cust WHERE bal > 5000.0)
+        SELECT n.nname AS nation, count(*) AS n_customers,
+               CAST(SUM(CAST(c.bal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+               CAST(SUM(CASE WHEN r.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rich
+        FROM cust c JOIN nat n ON c.nat = n.nk
+        LEFT JOIN v_rich r ON r.id = c.id
+        GROUP BY n.nname ORDER BY nation""")),
+
     // Streaming -> lake, end to end: a 3-file replay of the events slice
     // micro-batch-streams through the exactly-once foreachBatch sink
     // (one atomic lake commit per batch, batch ids in the snapshot change
