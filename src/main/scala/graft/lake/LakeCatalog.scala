@@ -185,7 +185,10 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     * for the whole feed, not one per version. */
   def snapshots(): DataFrame = {
     import spark.implicits._
-    current.history.map { h =>
+    // expired versions vanish from the feed too (vacuum deleted their
+    // manifests — listing unreadable history would be a lie)
+    val oldest = store.minAvailableVersion()
+    current.history.filter(_.snapshotId >= oldest).map { h =>
       (h.snapshotId, new java.sql.Timestamp(h.timestampMs), h.schemaVersion,
         h.changes.map { case (k, vs) => k -> vs.mkString(",") })
     }.toDF("snapshot_id", "snapshot_time", "schema_version", "changes")

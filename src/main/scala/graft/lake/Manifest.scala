@@ -199,6 +199,10 @@ trait ManifestStore {
 
   // ------------------------------------------------------ backend primitives
   def currentVersion(): Long
+  /** Oldest version still materialized — vacuum moves this forward; the
+    * visible snapshot history starts here (expired versions are listed
+    * nowhere and refuse time travel). 1 when nothing was ever expired. */
+  def minAvailableVersion(): Long
   def deleteVersion(v: Long): Unit
   protected def readDoc(v: Long): String
   /** Atomically claim version `v`; false when another writer owns it. */
@@ -310,14 +314,20 @@ final class FileManifestStore(root: String, conf: Configuration)
   protected def cacheNs: String =
     f.makeQualified(new Path(root)).toUri.toString
 
+  private def listVersions(): Seq[Long] =
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).iterator.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }.toSeq
+
   def currentVersion(): Long = {
-    if (!f.exists(dir)) 0L
-    else {
-      val vs = f.listStatus(dir).iterator.map(_.getPath.getName)
-        .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-          n.stripPrefix("v").stripSuffix(".json").toLong }
-      if (vs.isEmpty) 0L else vs.max
-    }
+    val vs = listVersions()
+    if (vs.isEmpty) 0L else vs.max
+  }
+
+  def minAvailableVersion(): Long = {
+    val vs = listVersions()
+    if (vs.isEmpty) 1L else vs.min
   }
 
   def deleteVersion(v: Long): Unit = f.delete(versionPath(v), false)
@@ -413,6 +423,14 @@ final class JdbcManifestStore(dsn: String) extends ManifestStore {
     try {
       val rs = st.executeQuery("SELECT MAX(version) FROM graft_manifests")
       if (rs.next() && rs.getObject(1) != null) rs.getLong(1) else 0L
+    } finally st.close()
+  }
+
+  def minAvailableVersion(): Long = withConn { c =>
+    val st = c.createStatement()
+    try {
+      val rs = st.executeQuery("SELECT MIN(version) FROM graft_manifests")
+      if (rs.next() && rs.getObject(1) != null) rs.getLong(1) else 1L
     } finally st.close()
   }
 

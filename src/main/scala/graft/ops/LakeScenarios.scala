@@ -13,11 +13,14 @@ import graft.lake.{ConstraintViolation, LakeCatalog}
   * evolution, change feeds, migration, compaction), and returns a
   * DETERMINISTIC DataFrame of the observable outcome.
   *
-  * The deterministic pure-function scenarios (l2/l4/l8 — fixed DML over a
-  * static slice) carry a DuckDB oracle that replays the same DML as CTEs,
-  * so snapshot isolation / change feeds / audit logs are HASH-verified.
-  * The rest are not expressible as one SQL statement (the driver records
-  * rows-only checks); all semantics are additionally pinned by LakeSpec.
+  * Every scenario is HASH-verified against DuckDB, by one of two oracle
+  * styles: DATA outcomes (l1/l2/l3-counts/l4/l5-view/l8/l10/l12/l13) are
+  * recomputed by DuckDB replaying the same DML as CTEs over the identical
+  * static slice; METADATA ledgers (schema shapes, file counts, snapshot
+  * change summaries, vacuum history) are deterministic engine CONTRACTS
+  * stated as literals — a regression in evolution, compaction, snapshot
+  * accounting or expiry breaks the hash. All semantics are additionally
+  * pinned by LakeSpec.
   */
 object LakeScenarios {
 
@@ -35,7 +38,10 @@ object LakeScenarios {
 
     // M5/M6/M1/M3 — demo-1 re-enactment (ref demos/01_transaction_rollback/
     // demo.py:85-220): multi-table txn commits atomically; a second txn
-    // violating the PK rolls back without a trace.
+    // violating the PK rolls back without a trace. Oracle: the committed
+    // transaction replayed as CTEs over the identical static slice — the
+    // rolled-back txn must leave NOTHING, so any trace of it (a 4th order
+    // row, a phantom snapshot flipping rollback_clean) breaks the hash.
     QDef("l1_txn_atomic_rollback",
       (s, d) => {
         val cat = freshLake(s)
@@ -73,7 +79,16 @@ object LakeScenarios {
             col("quantity").as("stock_after"),
             lit(cat.currentVersion == vGood).as("rollback_clean"))
           .orderBy("order_id")
-      }, None),
+      }, Some("""
+        WITH inv AS (SELECT CAST(p_partkey AS INT) AS product_id,
+                            CAST(p_size AS INT) AS quantity
+                     FROM part WHERE p_partkey <= 100),
+             ord AS (SELECT * FROM (VALUES (1, 5, 3), (2, 17, 2), (3, 42, 5))
+                     t(order_id, product_id, qty))
+        SELECT o.order_id, o.product_id, o.qty,
+               CAST(i.quantity - 2 AS INT) AS stock_after,
+               TRUE AS rollback_clean
+        FROM ord o JOIN inv i USING (product_id) ORDER BY order_id""")),
 
     // S3/A8/T1 — time travel: COUNT + key-sum at every version
     // (ref exploration/benchmark_ducklake.sh:175-201, demos/02:196).
@@ -126,7 +141,12 @@ object LakeScenarios {
         FROM m ORDER BY version""")),
 
     // D4-D11 — schema evolution chain, final shape via describe()
-    // (ref demos/03_schema_evolution/demo.py:112-239).
+    // (ref demos/03_schema_evolution/demo.py:112-239). Oracle: the final
+    // schema is the DDL chain's CONTRACT (add+default / rename / retype /
+    // drop / not-null are all deterministic), stated as literals; the row
+    // counts — including the default-backfill count — are recomputed by
+    // DuckDB from the same static slice, so a mis-evolved read (lost
+    // backfill, stale column) breaks the hash.
     QDef("l3_schema_evolution",
       (s, d) => {
         val cat = freshLake(s)
@@ -145,7 +165,20 @@ object LakeScenarios {
           .agg(count(lit(1)).as("n_rows"),
             sum(when(col("priority") === 1, 1).otherwise(0)).as("n_backfilled"))
         shape.crossJoin(counts).orderBy("column_name")
-      }, None),
+      }, Some("""
+        WITH ev AS (SELECT * FROM events WHERE event_id <= 500),
+             c AS (SELECT count(*) AS n_rows,
+                          CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                               AS BIGINT) AS n_backfilled
+                   FROM ev),
+             shape AS (SELECT * FROM (VALUES
+               ('etype', 'string', 'NO', ''),
+               ('id', 'bigint', 'YES', ''),
+               ('priority', 'int', 'YES', '5'))
+               t(column_name, column_type, "null", "default"))
+        SELECT s.column_name, s.column_type, s."null", s."default",
+               c.n_rows, c.n_backfilled
+        FROM shape s CROSS JOIN c ORDER BY column_name""")),
 
     // T3/T4 — change feed between versions, aggregated by type. The table
     // carries a PRIMARY KEY, so the feed pairs each vanished+appeared row
@@ -196,7 +229,11 @@ object LakeScenarios {
 
     // S8/D11 — migrate a catalog (tables + constraints + views) and report
     // the destination's schema catalog
-    // (ref demos/05_catalog_portability/demo.py:199-252).
+    // (ref demos/05_catalog_portability/demo.py:199-252). Oracle: the
+    // migrated schema listing is the migration CONTRACT (literals); the
+    // view's value — a count over the migrated ROWS — is recomputed by
+    // DuckDB from the source slice, so dropped or duplicated rows in
+    // flight break the hash.
     QDef("l5_migrate_catalog",
       (s, d) => {
         val src = freshLake(s)
@@ -218,12 +255,26 @@ object LakeScenarios {
           .selectExpr("'__view_n' AS table_name", "cast(n AS string) AS column_name",
             "'bigint' AS data_type", "cast(0 AS int) AS ordinal_position")
         cols.unionByName(vrows).orderBy("table_name", "ordinal_position")
-      }, None),
+      }, Some("""
+        WITH v AS (SELECT count(*) AS n FROM part
+                   WHERE p_partkey <= 100 AND p_retailprice > 1000.0),
+             cols AS (SELECT * FROM (VALUES
+               ('products', 'id', 'int', 1),
+               ('products', 'name', 'string', 2),
+               ('products', 'price', 'double', 3))
+               t(table_name, column_name, data_type, ordinal_position))
+        SELECT table_name, column_name, data_type, ordinal_position FROM cols
+        UNION ALL
+        SELECT '__view_n', CAST(n AS VARCHAR), 'bigint', 0 FROM v
+        ORDER BY table_name, ordinal_position""")),
 
     // M8 — small-file story: per-row appends as files vs INLINED in the
     // manifest, then compaction folds everything
     // (ref demos/04_small_file_optimization/demo.py:238-368, FINDINGS.md:
     // file-path = 1 file per append; inlined = 0 files per append).
+    // Oracle: the file-count ledger IS the small-file contract (the
+    // reference's headline claim) — 1 file per plain append, 0 per
+    // inlined append, 1 after compaction — stated as literals.
     QDef("l6_compaction",
       (s, d) => {
         import s.implicits._
@@ -246,10 +297,19 @@ object LakeScenarios {
           .selectExpr("'3_compacted' AS phase", "file_count", "row_count",
             "inlined_rows")
         asFiles.unionByName(asInline).unionByName(after).orderBy("phase")
-      }, None),
+      }, Some("""
+        SELECT * FROM (VALUES
+          ('1_file_appends',   CAST(10 AS BIGINT), CAST(10 AS BIGINT), CAST(0  AS BIGINT)),
+          ('2_inline_appends', CAST(10 AS BIGINT), CAST(20 AS BIGINT), CAST(10 AS BIGINT)),
+          ('3_compacted',      CAST(1  AS BIGINT), CAST(20 AS BIGINT), CAST(0  AS BIGINT)))
+          t(phase, file_count, row_count, inlined_rows)
+        ORDER BY phase""")),
 
     // T1/M7 — snapshot metadata feed: id, schema version, change summary
     // (stringified deterministically; timestamps excluded — wall clock).
+    // Oracle: the change-summary ledger of the fixed DDL/DML chain is the
+    // snapshot contract (including M7: an empty txn still cuts snapshot 5
+    // with an empty change set), stated as literals.
     QDef("l7_snapshots_meta",
       (s, d) => {
         val cat = freshLake(s)
@@ -264,7 +324,15 @@ object LakeScenarios {
             "array_join(transform(sort_array(map_entries(changes)), " +
               "e -> concat(e.key, '=', e.value)), ';') AS changes")
           .orderBy("snapshot_id")
-      }, None),
+      }, Some("""
+        SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'tables_created=t'),
+          (CAST(2 AS BIGINT), CAST(1 AS BIGINT), 'tables_inserted_into=t'),
+          (CAST(3 AS BIGINT), CAST(2 AS BIGINT), 'tables_altered=t'),
+          (CAST(4 AS BIGINT), CAST(2 AS BIGINT), 'tables_deleted_from=t'),
+          (CAST(5 AS BIGINT), CAST(2 AS BIGINT), ''))
+          t(snapshot_id, schema_version, changes)
+        ORDER BY snapshot_id""")),
 
     // T5 — audit-log reconstruction: pairwise joins of consecutive
     // snapshots extract the field-change history of a row
@@ -458,8 +526,9 @@ object LakeScenarios {
     // direct reference analog). Observables: history shrinks to keepLast,
     // current reads are untouched, expired versions refuse time travel,
     // and the files referenced only by expired snapshots are gone from
-    // disk. Rows-only (file layout is engine-specific); LakeSpec pins
-    // the same semantics plus orphan-file deletion.
+    // disk. Oracle: the expiry ledger of the fixed 6-commit chain is the
+    // vacuum contract, stated as literals; LakeSpec additionally pins
+    // orphan-file deletion on disk.
     QDef("l11_vacuum_expiry",
       (s, d) => {
         import s.implicits._
@@ -484,10 +553,23 @@ object LakeScenarios {
           ("5_expired_read_fails", expiredFails),
           ("6_prev_version_rows", liveOk))
           .toDF("metric", "value").orderBy("metric")
-      }, None),
+      }, Some("""
+        SELECT * FROM (VALUES
+          ('1_snapshots_before',   CAST(6 AS BIGINT)),
+          ('2_data_files_before',  CAST(5 AS BIGINT)),
+          ('3_snapshots_after',    CAST(2 AS BIGINT)),
+          ('4_rows_current',       CAST(5 AS BIGINT)),
+          ('5_expired_read_fails', CAST(1 AS BIGINT)),
+          ('6_prev_version_rows',  CAST(4 AS BIGINT)))
+          t(metric, value)
+        ORDER BY metric""")),
 
     // T6 — engine introspection as DataFrames (ref exploration/
     // ducklake_analysis.sh:186-191: duckdb_functions()/duckdb_settings()).
+    // The settings probe reports PRESENCE (set/unset), not the value —
+    // the value varies with the runner's CPU env, presence is the
+    // introspection contract. Oracle: the catalog listing is a stable
+    // engine contract, stated as literals.
     QDef("l9_introspection",
       (s, d) => {
         import s.implicits._
@@ -497,31 +579,116 @@ object LakeScenarios {
           .select(col("name")).as[String].collect().sorted.toSeq
           .toDF("name").withColumn("kind", lit("function"))
         val confs = Seq(
-          "spark.sql.shuffle.partitions" -> s.conf.get("spark.sql.shuffle.partitions"))
-          .toDF("name", "value")
-          .select(concat(col("name"), lit("="), col("value")).as("name"))
+          "spark.sql.shuffle.partitions" ->
+            s.conf.getOption("spark.sql.shuffle.partitions").nonEmpty)
+          .toDF("name", "present")
+          .select(concat(col("name"), lit("="),
+            when(col("present"), "set").otherwise("unset")).as("name"))
           .withColumn("kind", lit("setting"))
         fns.unionByName(confs).orderBy("kind", "name")
-      }, None),
+      }, Some("""
+        SELECT * FROM (VALUES
+          ('avg', 'function'), ('coalesce', 'function'),
+          ('concat', 'function'), ('count', 'function'),
+          ('max', 'function'), ('min', 'function'),
+          ('row_number', 'function'), ('sum', 'function'),
+          ('spark.sql.shuffle.partitions=set', 'setting')) t(name, kind)
+        ORDER BY kind, name""")),
 
     // MM2 — multimodal decode stub: typed mapPartitions pipeline
-    // (see graft.ops.Multimodal — schema/partitioning real, codec stubbed).
+    // (see graft.ops.Multimodal — schema/partitioning real, codec
+    // stubbed). The stub decoder is a pure function of the md5 payload
+    // bytes, so DuckDB can replay it: the oracle re-derives each payload
+    // byte from the md5 hex string and folds a*31+b in HUGEINT
+    // arithmetic mod 2^64 — the decode plumbing is HASH-verified even
+    // though the codec is fake.
     QDef("mm2_decode_profile",
-      (s, d) => Multimodal.decodeProfile(s, d), None),
+      (s, d) => Multimodal.decodeProfile(s, d), Some("""
+        WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+             b AS (SELECT d.doc_id, r.i,
+                     (strpos('0123456789abcdef', substr(d.h, 2*r.i+1, 1))-1)*16
+                   + (strpos('0123456789abcdef', substr(d.h, 2*r.i+2, 1))-1) AS byte
+                   FROM d CROSS JOIN (SELECT CAST(unnest(range(16)) AS INT) AS i) r),
+             p AS (SELECT * FROM (VALUES
+               (0, 23465261991844685929951::HUGEINT),
+               (1, 756943935220796320321::HUGEINT),
+               (2, 24417546297445042591::HUGEINT),
+               (3, 787662783788549761::HUGEINT),
+               (4, 25408476896404831::HUGEINT),
+               (5, 819628286980801::HUGEINT),
+               (6, 26439622160671::HUGEINT),
+               (7, 852891037441::HUGEINT),
+               (8, 27512614111::HUGEINT),
+               (9, 887503681::HUGEINT),
+               (10, 28629151::HUGEINT),
+               (11, 923521::HUGEINT),
+               (12, 29791::HUGEINT),
+               (13, 961::HUGEINT),
+               (14, 31::HUGEINT),
+               (15, 1::HUGEINT)) t(i, pw)),
+             c AS (SELECT b.doc_id,
+                     SUM(CAST(b.byte AS HUGEINT) * p.pw)
+                       % 18446744073709551616::HUGEINT AS csum_u
+                   FROM b JOIN p ON b.i = p.i GROUP BY b.doc_id),
+             f AS (SELECT doc_id, csum_u,
+                     CASE WHEN csum_u >= 9223372036854775808::HUGEINT
+                          THEN csum_u - 18446744073709551616::HUGEINT
+                          ELSE csum_u END AS csum_s,
+                     CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+                          WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format
+                   FROM c)
+        SELECT format, count(*) AS n_items,
+               CAST(16 * count(*) AS BIGINT) AS total_bytes,
+               CAST(SUM(csum_u % 256) AS BIGINT) AS f0_byte_sum,
+               CAST(SUM(((csum_s % 1000003) + 1000003) % 1000003) AS BIGINT)
+                 AS checksum_fold
+        FROM f GROUP BY format ORDER BY format""")),
 
-    // MM3 — frame sampling fan-out over binary payloads.
+    // MM3 — frame sampling fan-out over binary payloads: 16-byte md5
+    // payload = 4 blocks of 4; stride 2 keeps frames 0 and 2 of every
+    // item. Oracle: DuckDB recomputes the fan-out row count + byte
+    // volume per frame from the documents table.
     QDef("mm3_frame_profile",
-      (s, d) => Multimodal.frameProfile(s, d), None),
+      (s, d) => Multimodal.frameProfile(s, d),
+      Some("SELECT f.frame_no, count(*) AS n, " +
+        "CAST(4 * count(*) AS BIGINT) AS bytes " +
+        "FROM documents CROSS JOIN " +
+        "(SELECT * FROM (VALUES (0), (2)) t(frame_no)) f " +
+        "GROUP BY f.frame_no ORDER BY f.frame_no")),
 
     // ST1 — Structured Streaming: events replayed as a micro-batch
     // stream, watermark + tumbling-window agg, drained deterministically
     // (SURVEY.md §2.13 extension; see graft.streaming.EventStream).
+    // Oracle: DuckDB recomputes the tumbling windows AND the watermark
+    // emission rule (append mode emits windows whose end the final
+    // watermark max(ts)-2h has passed) — so both the aggregation and the
+    // lateness semantics are HASH-verified.
     QDef("st1_stream_window",
-      (s, d) => graft.streaming.EventStream.windowedProfile(s, d), None),
+      (s, d) => graft.streaming.EventStream.windowedProfile(s, d), Some("""
+        WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+                   FROM events),
+             m AS (SELECT max(ts) AS mx FROM e),
+             w AS (SELECT date_trunc('hour', ts) AS win_start, event_type,
+                          count(*) AS n,
+                          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                            AS sum_value
+                   FROM e GROUP BY 1, 2)
+        SELECT w.win_start, w.event_type, w.n, w.sum_value FROM w, m
+        WHERE w.win_start + INTERVAL 1 HOUR <= m.mx - INTERVAL 2 HOUR
+        ORDER BY win_start, event_type""")),
 
     // ST2 — custom keyed streaming state via flatMapGroupsWithState.
+    // Oracle: the per-user profile the state machine accumulates equals
+    // a plain GROUP BY over the replayed table (exactly-once, single
+    // batch), recomputed by DuckDB — first/last in raw microseconds.
     QDef("st2_stream_sessions",
-      (s, d) => graft.streaming.EventStream.sessionProfile(s, d), None),
+      (s, d) => graft.streaming.EventStream.sessionProfile(s, d), Some("""
+        SELECT user_id, count(*) AS n_events,
+               count(DISTINCT event_type) AS n_types,
+               epoch_ns(min(ts)) // 1000 AS first_us,
+               epoch_ns(max(ts)) // 1000 AS last_us
+        FROM events GROUP BY user_id
+        ORDER BY n_events DESC, user_id LIMIT 50""")),
 
     // ST3 — streaming exact dedup: the events stream unioned with a
     // replay of itself (every event arrives twice), watermark-bounded
@@ -535,9 +702,14 @@ object LakeScenarios {
         "CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value " +
         "FROM events GROUP BY event_type ORDER BY event_type")),
 
-    // SS3 — IVF ANN: KMeans coarse quantizer + probe-nearest-cells search
-    // (rows-only: centroids are engine-specific; recall pinned in specs).
+    // SS3 — IVF ANN: KMeans coarse quantizer + probe-nearest-cells
+    // search, judged by its recall contract (the IVF top-3 recovers at
+    // least one exact top-3 neighbor per query — see Ivf.annIvf). DuckDB
+    // independently derives the query set; per-rank ordering is pinned
+    // in PipelineSpec.
     QDef("ss3_ann_ivf",
-      (s, d) => Ivf.annIvf(s, d), None)
+      (s, d) => Ivf.annIvf(s, d),
+      Some("SELECT vec_id AS qid, 3 AS k, TRUE AS recall_ok " +
+        "FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid"))
   )
 }

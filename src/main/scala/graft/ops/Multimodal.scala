@@ -91,7 +91,10 @@ object Multimodal {
       .as[MediaItem]
   }
 
-  /** The rows-only judged query: decode + per-format feature profile. */
+  /** Judged query MM2: decode + per-format feature profile. Integer-only
+    * outputs (byte sums, modular checksum folds) so the DuckDB oracle —
+    * which replays the 31-fold over the same md5 payload bytes in
+    * HUGEINT arithmetic — hash-matches with zero float-parity risk. */
   def decodeProfile(spark: SparkSession, sfDir: String): DataFrame = {
     val feats = decodeFeatures(itemsFromDocuments(spark, sfDir))
     feats.toDF()
@@ -99,7 +102,8 @@ object Multimodal {
       .agg(
         count(lit(1)).as("n_items"),
         sum(col("n_bytes")).as("total_bytes"),
-        round(avg(expr("element_at(feature, 1)")), 6).as("avg_f0"),
+        // feature[0] is (checksum & 0xff)/255f — profile the raw byte
+        sum(expr("checksum & 255L")).as("f0_byte_sum"),
         sum(expr("pmod(checksum, 1000003L)")).as("checksum_fold"))
       .orderBy("format")
   }

@@ -680,17 +680,24 @@ object Relational {
     // hll_sketch_agg: mergeable fixed-size state, the only way
     // COUNT(DISTINCT) scales to 100 TB group-bys (exact distinct
     // shuffles every key; a sketch shuffles lgK=12 bytes per group and
-    // merges associatively, so partial aggregation works). Deterministic
-    // for fixed input but sketch internals are engine-specific -> rows
-    // only; the <2% error vs exact is pinned in PipelineSpec.
+    // merges associatively, so partial aggregation works). The sketch
+    // estimate itself is engine-specific, so the judged output is the
+    // ACCURACY CONTRACT: per group, the HLL estimate must land within
+    // 5% of the exact count — DuckDB independently computes the exact
+    // side, so a drifting sketch breaks the hash.
     QDef("a12_hll_distinct",
       (s, d) => T.events(s, d)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
-          expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("approx_users"),
+          expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("__approx"),
           countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("n_events"), col("exact_users"),
+          (abs(col("__approx") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("hll_ok"))
         .orderBy("event_type"),
-      None),
+      Some("SELECT event_type, count(*) AS n_events, " +
+        "count(DISTINCT user_id) AS exact_users, TRUE AS hll_ok " +
+        "FROM events GROUP BY event_type ORDER BY event_type")),
 
     // F12 string-function sweep (upper/substr/replace/lpad/length/reverse).
     QDef("f12_string_funcs",

@@ -54,7 +54,7 @@ object EventStream {
 
   final case class UserSession(
       user_id: Long, n_events: Long, n_types: Int,
-      first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
+      first_us: Long, last_us: Long)
 
   final case class SessAcc(
       n: Long, types: Seq[String], firstUs: Long, lastUs: Long)
@@ -79,9 +79,10 @@ object EventStream {
               math.min(a.firstUs, us), math.max(a.lastUs, us))
           }
           st.update(acc)
+          // micros carried as raw longs end-to-end — a ms-precision
+          // java.sql.Timestamp here would silently truncate event times
           Iterator.single(UserSession(uid, acc.n, acc.types.size,
-            new java.sql.Timestamp(acc.firstUs / 1000),
-            new java.sql.Timestamp(acc.lastUs / 1000)))
+            acc.firstUs, acc.lastUs))
       }
   }
 
@@ -159,14 +160,18 @@ object EventStream {
       .orderBy("event_type")
   }
 
-  /** Judged query ST2: stateful per-user sessions (top users by events). */
+  /** Judged query ST2: stateful per-user sessions (top users by events).
+    * With AvailableNow over the single-file replay the state sees every
+    * event exactly once, so the drained output is a pure per-user profile
+    * of the events table — SQL-expressible, so the custom-state operator
+    * is HASH-verified against DuckDB. */
   def sessionProfile(spark: SparkSession, sfDir: String): DataFrame =
     drainToTable(
       userSessions(readEvents(spark, sfDir)).toDF(),
       s"st2_sess_${java.util.UUID.randomUUID().toString.replace("-", "")}",
       OutputMode.Append())
-      .selectExpr("user_id", "n_events", "n_types",
-        "unix_micros(first_ts) AS first_us", "unix_micros(last_ts) AS last_us")
+      .selectExpr("user_id", "n_events", "cast(n_types AS bigint) AS n_types",
+        "first_us", "last_us")
       .orderBy(col("n_events").desc, col("user_id"))
       .limit(50)
 }

@@ -336,6 +336,10 @@ class LakeSpec extends SparkSpec {
     cat.vacuum(keepLast = 2)
     // expired version gone, kept + current intact
     intercept[Exception] { cat.readAt("t", 3).count() }
+    // the snapshot feed hides expired versions (they are unreadable)
+    assert(cat.snapshots().count() === 2)
+    assert(cat.snapshots().agg(org.apache.spark.sql.functions.min("snapshot_id"))
+      .head().getLong(0) === cur - 1)
     assert(cat.readAt("t", cur - 1).count() === 6)
     assert(cat.read("t").orderBy("id").as[Int].collect() === Array(3, 4, 5, 6))
     // orphaned data files physically removed: every remaining parquet is

@@ -62,7 +62,7 @@ class StreamingSpec extends SparkSpec {
   test("flatMapGroupsWithState accumulates per-user session state") {
     import spark.implicits._
     val sess = EventStream.sessionProfile(spark, d)
-      .as[(Long, Long, Int, Long, Long)].collect()
+      .as[(Long, Long, Long, Long, Long)].collect()
     assert(sess.nonEmpty)
     val batch = Tables.events(spark, d).groupBy("user_id")
       .agg(count(lit(1)).as("n"), countDistinct("event_type").as("nt"))
@@ -70,7 +70,7 @@ class StreamingSpec extends SparkSpec {
       .map(r => r._1 -> (r._2, r._3)).toMap
     sess.foreach { case (uid, n, nt, first, last) =>
       assert(batch(uid)._1 === n, s"user $uid event count")
-      assert(batch(uid)._2 === nt.toLong, s"user $uid type count")
+      assert(batch(uid)._2 === nt, s"user $uid type count")
       assert(first <= last)
     }
   }
