@@ -71,6 +71,10 @@ def main(sf_dir, out_dir):
             passed += 1
             if not grows:
                 print(f"  note: {name} matches but returns 0 rows")
+    # an oracle whose query never produced a dump is a FAILED query (the
+    # Verify run logged the error) — do not let it vanish silently
+    for name in sorted(set(oracle) - set(names)):
+        failures.append((name, "oracle present but no spark output dir"))
     print(f"PASS={passed} SKIP(no-oracle)={skipped} FAIL={len(failures)}")
     for n, msg in failures:
         print(f"FAIL {n}: {msg}")

@@ -80,15 +80,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // oracle-comparable subset: per-query ratio + floor/heavy decomposition.
-    // Streaming queries (st*) are split into their own leg: their oracle
-    // proves CORRECTNESS (the drained stream must hash-match a batch
-    // statement), but the duckdb time is that one-shot batch statement —
-    // comparing it against micro-batch replay + state-store machinery is
-    // not engine-vs-engine, so the floor/heavy legs cover the batch subset.
+    // Two groups are split into their own legs because their oracle proves
+    // CORRECTNESS without doing equivalent work: streaming queries (st* —
+    // the duckdb side is a one-shot batch statement, not micro-batch
+    // replay + state-store machinery) and contract-verified queries (ss3 —
+    // the duckdb side derives the query set while the Spark side runs the
+    // IVF search PLUS the brute-force recall audit). The floor/heavy legs
+    // cover the engine-vs-engine batch subset.
+    val contractOnly = Set("ss3_ann_ivf")
     val oracled = results.filter { case (k, _) => duck.contains(k) }
     val ratios = oracled.map { case (k, v) =>
       s"\"$k\":${j(v / duck(k))}" }.mkString("{", ",", "}")
-    val (streaming, batch) = oracled.partition(_._1.startsWith("st"))
+    val (streaming, batch0) = oracled.partition(_._1.startsWith("st"))
+    val (contract, batch) = batch0.partition(x => contractOnly.contains(x._1))
     val (floor, heavy) = batch.partition(_._2 < FloorSec)
     def leg(xs: Seq[(String, Double)]): String = {
       val s = xs.map(_._2).sum; val d = xs.map(x => duck(x._1)).sum
@@ -98,7 +102,7 @@ object Bench {
     val duckOracle = oracled.map(x => duck(x._1)).sum
     val summary =
       if (duck.isEmpty) "\"duckdb_baseline\":\"missing\""
-      else s""""oracle_subset":${leg(oracled)},"batch":${leg(batch)},"floor":${leg(floor)},"heavy":${leg(heavy)},"streaming":${leg(streaming)}"""
+      else s""""oracle_subset":${leg(oracled)},"batch":${leg(batch)},"floor":${leg(floor)},"heavy":${leg(heavy)},"streaming":${leg(streaming)},"contract":${leg(contract)}"""
     val head = s""""metric":"total","value":${j(total)},"unit":"sec","runs_per_query":$runs,"agg":"min","spark_oracle_s":${j(sparkOracle)},"duckdb_oracle_s":${j(duckOracle)},$summary"""
     // Full detail (incl. the 67-entry per-query ratio map) goes to a file:
     // the driver archives only a size-bounded stdout tail, and a line that

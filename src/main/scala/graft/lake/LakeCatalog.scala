@@ -373,6 +373,12 @@ class LakeCatalog(val spark: SparkSession, val root: String,
   def compact(table: String, targetFileBytes: Long = 128L << 20): Unit =
     transaction(_.compact(table, targetFileBytes))
 
+  /** Cluster the table's data layout on `cols` (range-partition + sort) so
+    * manifest-stats pruning becomes surgical — see [[Tx.cluster]]. */
+  def cluster(table: String, cols: Seq[String],
+      targetFileBytes: Long = 128L << 20): Unit =
+    transaction(_.cluster(table, cols, targetFileBytes))
+
   /** Snapshot expiry + orphan cleanup (the `expire_snapshots`/vacuum
     * maintenance op): drop manifests older than the `keepLast` most
     * recent snapshots and delete data files no kept snapshot references.

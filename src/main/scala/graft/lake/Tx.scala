@@ -335,6 +335,30 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     change("tables_compacted", table)
   }
 
+  /** Data-layout maintenance — the OPTIMIZE ... ZORDER/cluster analog:
+    * rewrite the live files RANGE-PARTITIONED + sorted on `cols`, so each
+    * file's manifest min/max for the lead key becomes (near-)disjoint and
+    * stats pruning (`readRange`, PK-overlap checks) skips every file
+    * outside the queried range. At 100 TB this is what turns a key-range
+    * query from "scan 10^6 files" into "scan the handful that overlap" —
+    * the rewrite itself is one distributed range-shuffle + sorted write,
+    * proportional work done once, amortized over every later read. */
+  def cluster(table: String, cols: Seq[String], targetFileBytes: Long): Unit = {
+    flushInlined(table)
+    val st = state(table)
+    require(cols.nonEmpty && cols.forall(c => st.columns.exists(_.name == c)),
+      s"cluster columns must exist on $table")
+    if (st.files.isEmpty) return
+    val total = st.files.map(_.sizeBytes).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
+    val key = cols.map(col)
+    val df = read(table).repartitionByRange(n, key: _*)
+      .sortWithinPartitions(key: _*)
+    val written = writeFiles(table, df, st.schemaVersion)
+    tables(table) = st.copy(files = written)
+    change("tables_clustered", table)
+  }
+
   // ------------------------------------------------------------- internals
 
   /** Align an incoming DataFrame to the table schema: by-name matching,

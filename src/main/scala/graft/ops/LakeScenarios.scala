@@ -564,6 +564,39 @@ object LakeScenarios {
           t(metric, value)
         ORDER BY metric""")),
 
+    // L14 — data-layout maintenance + stats-pruned range scan, end to
+    // end: load a table with the key ranges INTERLEAVED across files
+    // (every file overlaps every range query — worst-case layout), then
+    // cluster on the key (Tx.cluster: range-partition + sort rewrite)
+    // and answer a key-range query through readRange, which hands Spark
+    // only the files whose manifest [min,max] overlap — at 100 TB the
+    // difference between scanning 10^6 files and the overlapping few.
+    // Oracle: DuckDB recomputes the range aggregate from the raw table;
+    // LakeSpec pins that the pruned file set really is the minimal one.
+    QDef("l14_cluster_prune",
+      (s, d) => {
+        val cat = freshLake(s)
+        val src = T.orders(s, d)
+          .selectExpr("cast(o_orderkey AS bigint) AS id",
+            "o_totalprice AS amount", "o_orderpriority AS prio")
+        cat.createTableAs("o", src.repartition(8)) // interleaved layout
+        cat.cluster("o", Seq("id"), targetFileBytes = 16L << 10)
+        cat.readRange("o", "id", "1000", "5000")
+          .agg(count(lit(1)).as("n"),
+            sum(col("id")).as("sum_id"),
+            min(col("id")).as("min_id"),
+            max(col("id")).as("max_id"),
+            sum(col("amount").cast(DecimalType(18, 2))).cast(DoubleType)
+              .as("sum_amount"))
+      }, Some("""
+        SELECT count(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_id,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_id,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_id,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_amount
+        FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000""")),
+
     // T6 — engine introspection as DataFrames (ref exploration/
     // ducklake_analysis.sh:186-191: duckdb_functions()/duckdb_settings()).
     // The settings probe reports PRESENCE (set/unset), not the value —

@@ -547,6 +547,73 @@ object Pipeline {
         "THEN 1 ELSE 0 END)::BIGINT AS n_sampled " +
         "FROM documents GROUP BY source ORDER BY source")),
 
+    // X9 stratified hash sampling — per-stratum rates (the curation move:
+    // downsample overrepresented sources harder). Membership stays a pure
+    // function of (source, doc_id) so the sample is reproducible and
+    // join-stable at any cluster size; rates vary by stratum class.
+    // Map-only + one hash-agg — no per-stratum passes.
+    QDef("x9_stratified_sample",
+      (s, d) => {
+        val keyS = h32s.format("concat(source, ':', cast(doc_id AS string))")
+        T.documents(s, d)
+          .withColumn("rate", expr(
+            "CASE cast(substring(source, 4) AS int) % 3 " +
+              "WHEN 0 THEN 2 WHEN 1 THEN 5 ELSE 8 END"))
+          .filter(expr(s"$keyS % 10") < col("rate"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("chars_kept"),
+            max(col("rate")).cast(LongType).as("rate_pct10"))
+          .orderBy("source")
+      },
+      Some("WITH s AS (SELECT *, CASE CAST(substring(source, 4) AS INT) % 3 " +
+        "WHEN 0 THEN 2 WHEN 1 THEN 5 ELSE 8 END AS rate FROM documents) " +
+        "SELECT source, count(*) AS n_kept, " +
+        "CAST(SUM(n_chars) AS BIGINT) AS chars_kept, " +
+        "CAST(MAX(rate) AS BIGINT) AS rate_pct10 FROM s " +
+        s"WHERE ${h32d.format("source || ':' || CAST(doc_id AS VARCHAR)")} % 10 < rate " +
+        "GROUP BY source ORDER BY source")),
+
+    // X10 column profiling — the SUMMARIZE/data-profile op every curation
+    // pipeline runs before training: per column, row/null/distinct counts
+    // + min/max (string-rendered). One pass per profiled column batch,
+    // all partial-aggregatable — at 100 TB this is 3 hash-aggs, no
+    // shuffle of raw rows.
+    QDef("x10_profile",
+      (s, d) => {
+        val li = T.lineitem(s, d)
+        def prof(c: String, v: org.apache.spark.sql.Column) = li.agg(
+          lit(c).as("column_name"),
+          count(lit(1)).as("n_rows"),
+          sum(when(v.isNull, 1).otherwise(0)).as("n_null"),
+          countDistinct(v).as("n_distinct"),
+          min(v).cast("string").as("min_value"),
+          max(v).cast("string").as("max_value"))
+        prof("l_quantity", col("l_quantity").cast("int"))
+          .unionByName(prof("l_returnflag", col("l_returnflag")))
+          .unionByName(prof("l_linestatus", col("l_linestatus")))
+          .orderBy("column_name")
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT 'l_quantity' AS column_name, count(*) AS n_rows,
+                 CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                 count(DISTINCT CAST(l_quantity AS INT)) AS n_distinct,
+                 CAST(MIN(CAST(l_quantity AS INT)) AS VARCHAR) AS min_value,
+                 CAST(MAX(CAST(l_quantity AS INT)) AS VARCHAR) AS max_value
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_returnflag', count(*),
+                 CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 count(DISTINCT l_returnflag), MIN(l_returnflag), MAX(l_returnflag)
+          FROM lineitem
+          UNION ALL
+          SELECT 'l_linestatus', count(*),
+                 CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                 count(DISTINCT l_linestatus), MIN(l_linestatus), MAX(l_linestatus)
+          FROM lineitem)
+        ORDER BY column_name""")),
+
     // X7 TF-IDF top terms — classic content-signature extraction: term
     // frequency per doc, document frequency per term, top-3 terms per doc
     // by tf*ln(N/df). Two hash-aggs + a broadcast of the tiny df-filtered

@@ -825,6 +825,88 @@ object Relational {
         "l_quantity - 5 AS qty_less FROM lineitem " +
         "WHERE l_orderkey % 200 = 0 ORDER BY l_orderkey, l_linenumber")),
 
+    // A13 PIVOT — long-to-wide reshaping (explicit value list so the
+    // output schema is static, as a production pivot should be; one
+    // hash-agg underneath, same 100-TB shape as any groupBy). Empty
+    // cells surface as NULL from pivot — coalesced to 0 on both sides.
+    QDef("a13_pivot",
+      (s, d) => T.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("rev"))
+        .select(col("o_orderpriority"),
+          coalesce(col("F_n"), lit(0L)).as("n_f"),
+          coalesce(col("F_rev"), lit(0.0)).as("rev_f"),
+          coalesce(col("O_n"), lit(0L)).as("n_o"),
+          coalesce(col("O_rev"), lit(0.0)).as("rev_o"),
+          coalesce(col("P_n"), lit(0L)).as("n_p"),
+          coalesce(col("P_rev"), lit(0.0)).as("rev_p"))
+        .orderBy("o_orderpriority"),
+      Some("SELECT o_orderpriority, " +
+        "COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS n_f, " +
+        "COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) " +
+        "FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 0.0) AS rev_f, " +
+        "COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS n_o, " +
+        "COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) " +
+        "FILTER (WHERE o_orderstatus = 'O') AS DOUBLE), 0.0) AS rev_o, " +
+        "COALESCE(COUNT(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS n_p, " +
+        "COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) " +
+        "FILTER (WHERE o_orderstatus = 'P') AS DOUBLE), 0.0) AS rev_p " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+
+    // A14 GROUPING SETS — arbitrary grouping combinations in ONE pass
+    // (rollup/cube's general form; Spark plans a single Expand + hash
+    // agg, so the input is read once no matter how many sets).
+    QDef("a14_grouping_sets",
+      (s, d) => T.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      Some("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        s"${moneySumSql("o_totalprice")} AS revenue FROM orders " +
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +
+        "ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST")),
+
+    // F16 array aggregation — collect_list/set with deterministic order
+    // (sorted, string-joined: engine-portable rendering of a LIST agg).
+    QDef("f16_array_agg",
+      (s, d) => T.lineitem(s, d)
+        .filter(col("l_orderkey") % 500 === 0)
+        .groupBy("l_orderkey")
+        .agg(
+          array_join(sort_array(collect_list(col("l_linenumber").cast("string"))), ",")
+            .as("lines"),
+          array_join(sort_array(array_distinct(collect_list(col("l_returnflag")))), ",")
+            .as("flags"),
+          size(collect_set(col("l_suppkey"))).cast(LongType).as("n_supp"))
+        .orderBy("l_orderkey"),
+      Some("SELECT l_orderkey, " +
+        "array_to_string(list_sort(list(CAST(l_linenumber AS VARCHAR))), ',') AS lines, " +
+        "array_to_string(list_sort(list_distinct(list(l_returnflag))), ',') AS flags, " +
+        "count(DISTINCT l_suppkey) AS n_supp " +
+        "FROM lineitem WHERE l_orderkey % 500 = 0 " +
+        "GROUP BY l_orderkey ORDER BY l_orderkey")),
+
+    // F17 explode/unnest — one row per word of p_name (the lateral
+    // fan-out primitive; generator runs inside codegen, no shuffle until
+    // the agg).
+    QDef("f17_explode_words",
+      (s, d) => T.part(s, d)
+        .filter(col("p_partkey") <= 200)
+        .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"), min(col("p_partkey")).as("first_part"))
+        .filter(col("n") >= 5)
+        .orderBy("word"),
+      Some("SELECT word, count(*) AS n, min(p_partkey) AS first_part " +
+        "FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word " +
+        "FROM part WHERE p_partkey <= 200) " +
+        "GROUP BY word HAVING count(*) >= 5 ORDER BY word")),
+
     // Headline composite: TPC-H Q1-shaped pricing summary (bench workhorse;
     // exercises scan→filter→hash-agg→sort in one whole-stage-codegen span).
     QDef("q1_pricing_summary",

@@ -290,6 +290,34 @@ class LakeSpec extends SparkSpec {
     assert(cat.tableStats().filter($"column_name" === "v").count() > 0)
   }
 
+  test("cluster rewrites the layout so range pruning is surgical") {
+    val cat = newLake()
+    // worst-case layout: ids interleaved across 6 files — every file
+    // overlaps every range, so stats pruning can skip nothing
+    val src = spark.range(0, 3000).selectExpr("id", "id * 2 AS v")
+    cat.createTableAs("t", src.repartition(6))
+    val before = cat.current.tables("t").files
+    assert(before.size === 6)
+    val beforeOverlap = before.count(e =>
+      graft.lake.Stats.overlaps(e.stats.get("id"),
+        graft.lake.ColumnDef(0, "id", "\"long\"", None), "100", "200"))
+    assert(beforeOverlap === 6, "interleaved layout overlaps everywhere")
+    cat.cluster("t", Seq("id"), targetFileBytes = 4L << 10)
+    val after = cat.current.tables("t").files
+    assert(after.size > 2, "small target must yield several files")
+    // ranges are (near-)disjoint: only a bounded few files overlap a
+    // narrow range, and the data comes back exact
+    val afterOverlap = after.count(e =>
+      graft.lake.Stats.overlaps(e.stats.get("id"),
+        graft.lake.ColumnDef(0, "id", "\"long\"", None), "100", "200"))
+    assert(afterOverlap <= 2,
+      s"clustered layout should prune to <=2 of ${after.size} files")
+    assert(cat.readRange("t", "id", "100", "200").count() === 101)
+    assert(cat.read("t").count() === 3000)
+    // previous (unclustered) version still time-travels
+    assert(cat.readAt("t", cat.currentVersion - 1).count() === 3000)
+  }
+
   test("ad-hoc SQL runs over the lake snapshot, views included") {
     val cat = newLake()
     cat.createTable("p", StructType(Seq(
