@@ -626,11 +626,15 @@ object Pipeline {
         val terms = docsWithToks(s, d)
           .select(col("doc_id"), explode(col("toks")).as("term"))
         val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        // df as a window count over the tf table: referencing tf from a
+        // second aggregate branch would recompute the explode+agg subtree
+        // AND pay a self-join — the window reads the tf shuffle once
+        val withDf = tf.withColumn("df",
+          count(lit(1)).over(Window.partitionBy("term")))
         // corpus size as a broadcast 1-row frame — declarative (no driver
         // action), and the plan stays a single job
         val n = T.documents(s, d).agg(count(lit(1)).cast(DoubleType).as("n"))
-        val scored = tf.join(df, "term")
+        val scored = withDf
           .filter(col("df") >= 2)
           .crossJoin(broadcast(n))
           .withColumn("score", round(col("tf") * log(col("n") / col("df")), 6))
