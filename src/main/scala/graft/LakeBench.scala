@@ -86,6 +86,14 @@ object LakeBench {
         spark.range(1).selectExpr(s"cast(20000 + $i AS int) AS id",
           "'x' AS value")))
     }
+    // 9. layout maintenance: cluster the large table on its key, then a
+    // stats-pruned range read over the clustered layout
+    timed("cluster_50k") {
+      cat.cluster("bench_large", Seq("id"), 256L << 10)
+    }
+    timed("range_read_pruned") {
+      cat.readRange("bench_large", "id", "1000", "2000").count()
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -145,4 +145,46 @@ class PlanSpec extends SparkSpec {
     assert(n <= 2, s"expected <=2 exchanges (window + tiny agg), got $n\n" + s.take(2000))
     assert(s.contains("Window"), s.take(1000))
   }
+
+  test("grouping sets plan ONE Expand + hash aggregate (single input pass)") {
+    val s = planString("a14_grouping_sets")
+    assert("Expand".r.findAllIn(s).size >= 1, s.take(2000))
+    // one expand, not one scan per grouping set: the orders scan appears once
+    assert("Scan parquet".r.findAllIn(s).size === 1,
+      "grouping sets must read the input once\n" + s.take(2000))
+    assert(s.contains("HashAggregate"), s.take(1000))
+  }
+
+  test("pivot compiles to one hash aggregate over the static value list") {
+    val s = planString("a13_pivot")
+    assert("Scan parquet".r.findAllIn(s).size === 1,
+      "pivot must read the input once\n" + s.take(2000))
+    assert(s.contains("HashAggregate"), s.take(1000))
+  }
+
+  test("explode runs as a Generate inside the scan stage (no pre-shuffle)") {
+    val s = planString("f17_explode_words")
+    assert(s.contains("Generate"), s.take(1000))
+    // fan-out happens map-side; the only exchange is for the aggregate
+    val gen = s.indexOf("Generate")
+    val exch = s.indexOf("Exchange")
+    assert(exch < gen || exch === -1,
+      "Generate must sit below the first exchange (map-side fan-out)\n" +
+        s.take(2000))
+  }
+
+  test("tf-idf computes df as a window over tf — no self-join, no recompute") {
+    val s = planString("x7_tfidf_topterms")
+    // the documents corpus is read for tokens + the 1-row count: 2 scans,
+    // never 3 (the old two-branch shape recomputed the explode+agg)
+    assert("Scan parquet".r.findAllIn(s).size <= 2,
+      "df branch must reuse the tf shuffle\n" + s.take(2000))
+  }
+
+  test("stratified sampling is map-only until the final aggregate") {
+    val s = planString("x9_stratified_sample")
+    assert("Exchange hashpartitioning".r.findAllIn(s).size <= 1,
+      "sampling filter must run map-side, one agg exchange only\n" +
+        s.take(2000))
+  }
 }
