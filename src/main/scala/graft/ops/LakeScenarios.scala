@@ -597,6 +597,57 @@ object LakeScenarios {
                  AS sum_amount
         FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000""")),
 
+    // L15 — incremental ingest with cross-batch dedup against the lake:
+    // the training-corpus loop every pipeline runs. A corpus table holds
+    // fingerprints of already-ingested docs; a new (overlapping) batch is
+    // deduped within itself (keep min doc_id per fingerprint — a window,
+    // deterministic) and anti-joined against the CORPUS fingerprints, and
+    // only genuinely new docs are appended — one atomic lake commit. At
+    // scale the anti-join is a shuffle on the fingerprint (or a bloom
+    // prefilter, see j8); never a full-corpus rewrite. Oracle: the same
+    // base∪batch set algebra replayed as DuckDB CTEs.
+    QDef("l15_ingest_dedup",
+      (s, d) => {
+        val cat = freshLake(s)
+        val fpExpr = "cast(conv(substr(md5(regexp_replace(lower(trim(text)), " +
+          "'\\\\s+', ' ')), 1, 8), 16, 10) AS bigint)"
+        val all = T.documents(s, d)
+          .selectExpr("doc_id", "source", s"$fpExpr AS fp")
+        cat.createTableAs("corpus", all.filter(col("doc_id") < 300))
+        val batch = all.filter(col("doc_id") >= 200)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("fp").orderBy("doc_id")
+        val batchDeduped = batch
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .drop("rn")
+        val fresh = batchDeduped
+          .join(cat.read("corpus").select("fp"), Seq("fp"), "left_anti")
+        cat.insert("corpus", fresh)
+        cat.read("corpus")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("fp")).as("n_uniq"),
+            sum(col("doc_id")).as("sum_ids"))
+          .orderBy("source")
+      }, Some("""
+        WITH f AS (SELECT doc_id, source,
+                     ('0x' || substr(md5(regexp_replace(lower(trim(text)),
+                        '\s+', ' ', 'g')), 1, 8))::BIGINT AS fp
+                   FROM documents),
+             base AS (SELECT * FROM f WHERE doc_id < 300),
+             batch AS (SELECT * FROM f WHERE doc_id >= 200),
+             bd AS (SELECT doc_id, source, fp FROM
+                      (SELECT *, row_number() OVER
+                         (PARTITION BY fp ORDER BY doc_id) AS rn FROM batch)
+                    WHERE rn = 1),
+             fresh AS (SELECT * FROM bd
+                       WHERE fp NOT IN (SELECT fp FROM base)),
+             corpus AS (SELECT * FROM base UNION ALL SELECT * FROM fresh)
+        SELECT source, count(*) AS n_docs,
+               count(DISTINCT fp) AS n_uniq,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM corpus GROUP BY source ORDER BY source""")),
+
     // T6 — engine introspection as DataFrames (ref exploration/
     // ducklake_analysis.sh:186-191: duckdb_functions()/duckdb_settings()).
     // The settings probe reports PRESENCE (set/unset), not the value —

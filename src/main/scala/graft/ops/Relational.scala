@@ -907,6 +907,39 @@ object Relational {
         "FROM part WHERE p_partkey <= 200) " +
         "GROUP BY word HAVING count(*) >= 5 ORDER BY word")),
 
+    // J8 broadcast-bloom semi-join — the 100-TB pattern for "fact rows
+    // whose key appears in a selective dim": build a bloom over the dim
+    // keys (distributed treeAggregate, KB-sized result), test it
+    // MAP-SIDE on the fact scan (codegen'd BloomFilterMightContain), so
+    // the shuffle carries only probable matches; the exact semi-join
+    // after it removes false positives. The oracle is the plain
+    // semi-join — bit-identical results prove the bloom is a pure
+    // prefilter, never a correctness change.
+    QDef("j8_bloom_semi",
+      (s, d) => {
+        graft.functions.BloomContains.register(s)
+        val dim = T.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        val bloom = graft.functions.BloomContains.serialize(
+          dim.stat.bloomFilter("o_orderkey", 100000L, 0.01))
+        T.lineitem(s, d)
+          .filter(call_function("graft_bloom_contains",
+            lit(bloom), col("l_orderkey")))
+          .join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity")).cast(DoubleType).as("sum_qty"),
+            moneySum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("SELECT l_returnflag, count(*) AS n, " +
+        "CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, " +
+        s"${moneySumSql("l_extendedprice")} AS sum_price " +
+        "FROM lineitem WHERE l_orderkey IN " +
+        "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag")),
+
     // Headline composite: TPC-H Q1-shaped pricing summary (bench workhorse;
     // exercises scan→filter→hash-agg→sort in one whole-stage-codegen span).
     QDef("q1_pricing_summary",

@@ -181,6 +181,17 @@ class PlanSpec extends SparkSpec {
       "df branch must reuse the tf shuffle\n" + s.take(2000))
   }
 
+  test("bloom semi-join tests the filter map-side, below every exchange") {
+    val s = planString("j8_bloom_semi")
+    assert(s.contains("might_contain"), s.take(1000))
+    // the bloom test must sit in the fact scan stage (printed deeper than
+    // the first exchange), so the shuffle carries only probable matches
+    val exch = s.indexOf("Exchange")
+    val bloom = s.indexOf("might_contain")
+    assert(exch === -1 || bloom > exch,
+      "bloom filter must run below the shuffle\n" + s.take(2000))
+  }
+
   test("stratified sampling is map-only until the final aggregate") {
     val s = planString("x9_stratified_sample")
     assert("Exchange hashpartitioning".r.findAllIn(s).size <= 1,
