@@ -907,6 +907,47 @@ object Relational {
         "FROM part WHERE p_partkey <= 200) " +
         "GROUP BY word HAVING count(*) >= 5 ORDER BY word")),
 
+    // F18 datetime extraction sweep — year/month/day/hour/minute/dow/doy
+    // + hour truncation over event timestamps (day-of-week normalized to
+    // DuckDB's Sunday=0 convention on the Spark side).
+    QDef("f18_datetime_extract",
+      (s, d) => T.events(s, d)
+        .filter(col("event_id") <= 200)
+        .select(col("event_id"),
+          year(col("ts")).cast(LongType).as("y"),
+          month(col("ts")).cast(LongType).as("mo"),
+          dayofmonth(col("ts")).cast(LongType).as("dom"),
+          hour(col("ts")).cast(LongType).as("h"),
+          minute(col("ts")).cast(LongType).as("mi"),
+          (dayofweek(col("ts")) - 1).cast(LongType).as("dow"),
+          dayofyear(col("ts")).cast(LongType).as("doy"),
+          date_trunc("hour", col("ts")).as("hour_bucket"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, " +
+        "CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS mo, " +
+        "CAST(day(ts) AS BIGINT) AS dom, CAST(hour(ts) AS BIGINT) AS h, " +
+        "CAST(minute(ts) AS BIGINT) AS mi, " +
+        "CAST(dayofweek(ts) AS BIGINT) AS dow, " +
+        "CAST(dayofyear(ts) AS BIGINT) AS doy, " +
+        "date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_bucket " +
+        "FROM events WHERE event_id <= 200 ORDER BY event_id")),
+
+    // F19 regex capture groups — structured extraction from free text
+    // (no-match renders as '' on both sides).
+    QDef("f19_regex_extract",
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "([0-9]+)", 1).as("first_num"),
+          regexp_extract(col("text"), "\\b([a-z]{7,})\\b", 1).as("first_long_word"),
+          regexp_count(col("text"), lit("\\b[a-z]{7,}\\b")).cast(LongType)
+            .as("n_long_words"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, " +
+        "COALESCE(regexp_extract(text, '([0-9]+)', 1), '') AS first_num, " +
+        "COALESCE(regexp_extract(text, '\\b([a-z]{7,})\\b', 1), '') AS first_long_word, " +
+        "CAST(len(regexp_extract_all(text, '\\b[a-z]{7,}\\b')) AS BIGINT) AS n_long_words " +
+        "FROM documents ORDER BY doc_id")),
+
     // J8 broadcast-bloom semi-join — the 100-TB pattern for "fact rows
     // whose key appears in a selective dim": build a bloom over the dim
     // keys (distributed treeAggregate, KB-sized result), test it
