@@ -774,6 +774,25 @@ object LakeScenarios {
         FROM events GROUP BY user_id
         ORDER BY n_events DESC, user_id LIMIT 50""")),
 
+    // ST4 — stream-stream interval join (click→purchase attribution
+    // within 1 hour): watermarked two-stream join with a time-range
+    // condition; the oracle replays the identical interval join as a
+    // DuckDB batch self-join, so the join's completeness (every
+    // qualifying pair, exactly once) is HASH-verified.
+    QDef("st4_stream_join",
+      (s, d) => graft.streaming.EventStream.streamJoinProfile(s, d), Some("""
+        WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+                   FROM events WHERE event_type = 'click'),
+             p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+                   FROM events WHERE event_type = 'purchase'),
+             j AS (SELECT c.user_id, c.event_id AS cid, p.event_id AS pid
+                   FROM c JOIN p ON c.user_id = p.user_id
+                   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+        SELECT user_id, count(*) AS n_pairs,
+               count(DISTINCT cid) AS n_clicks_converted,
+               count(DISTINCT pid) AS n_purchases_attributed
+        FROM j GROUP BY user_id ORDER BY user_id""")),
+
     // ST3 — streaming exact dedup: the events stream unioned with a
     // replay of itself (every event arrives twice), watermark-bounded
     // dropDuplicatesWithinWatermark keeps one copy per event_id. The

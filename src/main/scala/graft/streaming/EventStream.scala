@@ -160,6 +160,37 @@ object EventStream {
       .orderBy("event_type")
   }
 
+  /** Judged query ST4: stream-stream interval join — click→purchase
+    * attribution within a 1-hour window, the canonical two-stream
+    * pattern. Both sides carry event-time watermarks and the join
+    * condition bounds the time range, so each side's state is evicted
+    * once the other side's watermark passes the range — state stays
+    * O(events per horizon), the property that lets this run forever at
+    * ingest scale. Over the finite AvailableNow replay every qualifying
+    * pair is emitted exactly once, so the drained per-user profile is
+    * SQL-expressible and HASH-verified: the oracle replays the same
+    * interval join as a batch self-join in DuckDB. */
+  def streamJoinProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    def side(tpe: String, prefix: String) =
+      readEvents(spark, sfDir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("ts").as(s"${prefix}_ts"),
+          col("event_id").as(s"${prefix}_id"))
+        .withWatermark(s"${prefix}_ts", "2 hours")
+    val joined = side("click", "c").join(side("purchase", "p"),
+      expr("c_user = p_user AND p_ts >= c_ts AND " +
+        "p_ts <= c_ts + INTERVAL 1 HOUR"))
+    drainToTable(joined,
+      s"st4_join_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      OutputMode.Append())
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("c_id")).as("n_clicks_converted"),
+        countDistinct(col("p_id")).as("n_purchases_attributed"))
+      .orderBy("user_id")
+  }
+
   /** Judged query ST2: stateful per-user sessions (top users by events).
     * With AvailableNow over the single-file replay the state sees every
     * event exactly once, so the drained output is a pure per-user profile

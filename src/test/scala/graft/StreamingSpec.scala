@@ -75,6 +75,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join emits every qualifying pair exactly once") {
+    import spark.implicits._
+    val streamed = EventStream.streamJoinProfile(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(streamed.nonEmpty, "replay should produce attribution pairs")
+    val ev = Tables.events(spark, d)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("cid"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"), col("event_id").as("pid"))
+    val batch = c.join(p, col("cu") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR"))
+      .groupBy(col("cu").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("cid")).as("n_clicks_converted"),
+        countDistinct(col("pid")).as("n_purchases_attributed"))
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(streamed === batch)
+  }
+
   test("streaming dedup collapses a duplicated stream back to the batch profile") {
     import spark.implicits._
     val streamed = EventStream.dedupProfile(spark, d)
