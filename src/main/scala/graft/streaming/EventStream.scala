@@ -87,16 +87,36 @@ object EventStream {
   }
 
   /** Drain a streaming DataFrame through a memory sink with AvailableNow
-    * (process-everything-then-stop) and return the materialized result. */
+    * (process-everything-then-stop) and return the materialized result.
+    *
+    * The stateful-operator partition count is pinned from
+    * `spark.graft.streaming.statePartitions` (default 8) for the duration
+    * of the stream: every stateful exchange materializes one state store
+    * PER shuffle partition PER operator (a stream-stream join keeps four),
+    * and each store commits a delta file every micro-batch — so the
+    * per-batch fixed cost is linear in the partition count regardless of
+    * data volume. 8 partitions saturate a single-node replay; on a
+    * 1000-executor cluster set the conf to ~2x total cores so state
+    * shards match the hardware (the count is pinned into the checkpoint
+    * at first start, exactly like production Spark). The session's batch
+    * `spark.sql.shuffle.partitions` is restored before the drained table
+    * is read back, so downstream batch plans are unaffected. */
   def drainToTable(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+    val spark = df.sparkSession
+    val statePartitions =
+      spark.conf.get("spark.graft.streaming.statePartitions", "8")
+    val batchPartitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", batchPartitions)
+    spark.table(name)
   }
 
   /** Streaming → lake sink with exactly-once semantics: every micro-batch
