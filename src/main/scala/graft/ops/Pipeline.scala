@@ -79,6 +79,34 @@ object Pipeline {
   private val docShinglesXD =
     s"SELECT doc_id, unnest(sh) AS s FROM ($docShinglesD)"
 
+  /** MinHash LSH band signatures from an exploded (doc_id, s) shingle
+    * frame: 16 portable min-hashes as ONE hash-aggregate with 16 native
+    * min() columns (single shuffle on doc_id, no per-element lambdas),
+    * banded 4×4 → (doc_id, band, bsig). Shared by dd3 (verify-then-emit
+    * pairs) and dd6 (cluster the candidate graph). */
+  private def minhashBands(shd: DataFrame): DataFrame = {
+    val h = shd.select(col("doc_id"),
+      expr(s"${h32s.format("s")} % $P").as("h"))
+    val minCols = (0 until 16).map(i =>
+      min(expr(s"((1 + $i * 7919) * h + 7 + $i * 104729) % $P")).as(s"m$i"))
+    val sig = h.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    sig.selectExpr("doc_id", "stack(4, " +
+      (0 until 4).map(b => s"$b, concat_ws('-', " +
+        (0 until 4).map(j => s"m${b * 4 + j}").mkString(", ") + ")")
+        .mkString(", ") + ") AS (band, bsig)")
+  }
+
+  /** The dd3/dd6 oracle's band CTEs (bit-exact mirror of minhashBands). */
+  private val bandsD =
+    s"sigs AS (SELECT doc_id, " +
+      s"list_transform(range(0, 16), i -> list_min(list_transform(hv, " +
+      s"h -> ((1 + i * 7919) * h + 7 + i * 104729) % $P))) AS sig " +
+      s"FROM (SELECT doc_id, list_transform(sh, s -> ${h32d.format("s")} % $P) AS hv " +
+      s"FROM ($docShinglesD) WHERE len(sh) > 0)), " +
+      "bands AS (SELECT doc_id, t.band, " +
+      "array_to_string(sig[t.band * 4 + 1 : t.band * 4 + 4], '-') AS bsig " +
+      "FROM sigs, (SELECT unnest(range(0, 4)) AS band) t)"
+
   // ----------------------------------------------------- embedding helpers
   // (defined before `defs` — object-body vals initialize top-to-bottom)
 
@@ -198,6 +226,67 @@ object Pipeline {
         "count(*) OVER (PARTITION BY md5(array_to_string(toks[1:10], ' '))) AS n_head_dup " +
         s"FROM (SELECT doc_id, text, $toksD AS toks FROM documents) ORDER BY doc_id")),
 
+    // X11 repetition filters — the Gopher-style quality signals that
+    // catch degenerate/boilerplate text: top-word fraction (>= 1/8),
+    // duplicate-word fraction (>= 16/25), top-bigram token fraction
+    // (>= 21/200). All three thresholds compare INTEGER products (the
+    // round-2 parity recipe — no float threshold can disagree between
+    // engines). Shape: two explode→hash-agg pipelines (words, bigrams)
+    // joined on doc_id — every shuffle key contains doc_id, so at 100 TB
+    // the whole thing co-locates per document and partial aggregation
+    // caps the fan-out at tokens-per-doc.
+    QDef("x11_repetition",
+      (s, d) => {
+        val t = docsWithToks(s, d)
+        val wc = t.select(col("doc_id"), col("source"),
+            explode(col("toks")).as("tok"))
+          .groupBy("doc_id", "source", "tok").agg(count(lit(1)).as("n"))
+        val wp = wc.groupBy("doc_id", "source").agg(
+          sum("n").as("nt"), max("n").as("mxw"), count(lit(1)).as("nd"))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val bp = T.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+          .select(col("doc_id"), col("tok"), lead("tok", 1).over(w).as("t1"))
+          .filter(col("t1").isNotNull)
+          .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1")).as("b"))
+          .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id").agg(max("n").as("mxb0"))
+        wp.join(bp, Seq("doc_id"), "left")
+          .selectExpr("source",
+            "mxw * 8 >= nt AS f_top_word",
+            "(nt - nd) * 25 >= nt * 16 AS f_dup_words",
+            "400 * coalesce(mxb0, 0L) >= 21 * nt AS f_top_bigram")
+          .groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("f_top_word") || col("f_dup_words") ||
+              col("f_top_bigram"), 1).otherwise(0)).as("n_flagged"),
+            sum(when(col("f_top_word"), 1).otherwise(0)).as("n_top_word"),
+            sum(when(col("f_dup_words"), 1).otherwise(0)).as("n_dup_words"),
+            sum(when(col("f_top_bigram"), 1).otherwise(0)).as("n_top_bigram"))
+          .orderBy("source")
+      },
+      Some(s"WITH t AS (SELECT doc_id, source, $toksD AS toks FROM documents), " +
+        "e AS (SELECT doc_id, source, unnest(toks) AS tok FROM t), " +
+        "wc AS (SELECT doc_id, source, tok, count(*) AS n FROM e GROUP BY 1, 2, 3), " +
+        "wp AS (SELECT doc_id, source, sum(n) AS nt, max(n) AS mxw, " +
+        "count(*) AS nd FROM wc GROUP BY 1, 2), " +
+        "bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS b " +
+        "FROM t, unnest(range(1, len(toks))) AS r(i)), " +
+        "bc AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2), " +
+        "bp AS (SELECT doc_id, max(n) AS mxb0 FROM bc GROUP BY 1), " +
+        "m AS (SELECT wp.source, (mxw * 8 >= nt) AS f_top_word, " +
+        "((nt - nd) * 25 >= nt * 16) AS f_dup_words, " +
+        "(400 * coalesce(mxb0, 0) >= 21 * nt) AS f_top_bigram " +
+        "FROM wp LEFT JOIN bp ON wp.doc_id = bp.doc_id) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(SUM(CASE WHEN f_top_word OR f_dup_words OR f_top_bigram " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged, " +
+        "CAST(SUM(CASE WHEN f_top_word THEN 1 ELSE 0 END) AS BIGINT) AS n_top_word, " +
+        "CAST(SUM(CASE WHEN f_dup_words THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_words, " +
+        "CAST(SUM(CASE WHEN f_top_bigram THEN 1 ELSE 0 END) AS BIGINT) AS n_top_bigram " +
+        "FROM m GROUP BY source ORDER BY source")),
+
     // ------------------------------------------------------- deduplication
     // DD1 exact dedup: hash-groupBy on the head fingerprint; groups with
     // >1 member keep min(doc_id) as canonical. One shuffle on the hash —
@@ -270,17 +359,7 @@ object Pipeline {
         // persisted once for its four consumers (signature build, both
         // verify sides, per-doc counts) — same rationale as dd2
         val shd = docShinglesX(s, d).persist()
-        // 16 min-hashes as ONE hash-aggregate with 16 native min() columns
-        // — a single shuffle on doc_id, no per-element lambdas
-        val h = shd.select(col("doc_id"),
-          expr(s"${h32s.format("s")} % $P").as("h"))
-        val minCols = (0 until 16).map(i =>
-          min(expr(s"((1 + $i * 7919) * h + 7 + $i * 104729) % $P")).as(s"m$i"))
-        val sig = h.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-        val bands = sig.selectExpr("doc_id", "stack(4, " +
-          (0 until 4).map(b => s"$b, concat_ws('-', " +
-            (0 until 4).map(j => s"m${b * 4 + j}").mkString(", ") + ")")
-            .mkString(", ") + ") AS (band, bsig)")
+        val bands = minhashBands(shd)
         val cand = bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
               col("a.doc_id") < col("b.doc_id"))
@@ -301,14 +380,7 @@ object Pipeline {
           .filter(col("common") * 2 >= col("uni"))
           .orderBy("d1", "d2")
       },
-      Some(s"WITH sigs AS (SELECT doc_id, " +
-        s"list_transform(range(0, 16), i -> list_min(list_transform(hv, " +
-        s"h -> ((1 + i * 7919) * h + 7 + i * 104729) % $P))) AS sig " +
-        s"FROM (SELECT doc_id, list_transform(sh, s -> ${h32d.format("s")} % $P) AS hv " +
-        s"FROM ($docShinglesD) WHERE len(sh) > 0)), " +
-        "bands AS (SELECT doc_id, t.band, " +
-        "array_to_string(sig[t.band * 4 + 1 : t.band * 4 + 4], '-') AS bsig " +
-        "FROM sigs, (SELECT unnest(range(0, 4)) AS band) t), " +
+      Some(s"WITH $bandsD, " +
         "cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2 " +
         "FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig " +
         "AND a.doc_id < b.doc_id), " +
@@ -406,6 +478,70 @@ object Pipeline {
         "FROM cand JOIN e a ON id1 = a.vec_id JOIN e b ON id2 = b.vec_id " +
         s"WHERE round($cosDuckAB, 6) >= 0.45 ORDER BY id1, id2")),
 
+    // DD6 fuzzy-dedup CLUSTERING — the step after pair-finding that every
+    // production corpus dedup runs (C4/CCNet-style): MinHash-LSH band
+    // buckets give the candidate-pair graph, connected components group
+    // transitively-linked docs into clusters, and each cluster keeps one
+    // canonical doc (min doc_id). Components via distributed min-label
+    // propagation: each round is ONE hash-join shuffle (labels ⋈ edges) +
+    // a min-aggregate, and rounds needed = cluster diameter — dedup
+    // clusters are shallow (pairs/triples), so this converges in 2-4
+    // rounds regardless of corpus size; at 10^9 docs the same loop runs
+    // with the alternating large-star/small-star optimization cutting
+    // rounds to O(log n). localCheckpoint truncates lineage each round so
+    // the plan stays O(1) instead of growing per iteration.
+    QDef("dd6_dedup_clusters",
+      (s, d) => {
+        val bands = minhashBands(docShinglesX(s, d))
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+        // symmetrized edge list, persisted: the propagation loop reads it
+        // every round (ContextCleaner reclaims the blocks afterwards)
+        val sym = cand.union(
+          cand.select(col("d2").as("d1"), col("d1").as("d2"))).persist()
+        var labels = sym.select(col("d1").as("id")).distinct()
+          .withColumn("lbl", col("id")).localCheckpoint()
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 30) {
+          val nbrMin = sym.join(labels, sym("d2") === labels("id"))
+            .groupBy("d1").agg(min("lbl").as("nlbl"))
+            .withColumnRenamed("d1", "id")
+          val step = labels.join(nbrMin, Seq("id"), "left")
+            .select(col("id"), col("lbl"),
+              least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nxt"))
+            .localCheckpoint()
+          changed = step.filter(col("nxt") < col("lbl")).count()
+          labels = step.select(col("id"), col("nxt").as("lbl"))
+          rounds += 1
+        }
+        labels.groupBy(col("lbl").as("cluster_id"))
+          .agg(count(lit(1)).as("n_members"),
+            expr("array_join(transform(sort_array(collect_list(id)), " +
+              "x -> cast(x AS string)), ',')").as("members"))
+          .filter(col("n_members") > 1)
+          .orderBy("cluster_id")
+      },
+      // oracle: the same LSH edges, closed transitively by a recursive
+      // CTE — each node's cluster id is the min id it can reach
+      Some(s"WITH RECURSIVE $bandsD, " +
+        "cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2 " +
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig " +
+        "AND a.doc_id < b.doc_id), " +
+        "edges AS (SELECT d1 AS src, d2 AS dst FROM cand " +
+        "UNION ALL SELECT d2, d1 FROM cand), " +
+        "reach(src, dst) AS (" +
+        "SELECT DISTINCT src, src FROM edges " +
+        "UNION " +
+        "SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
+        "lbl AS (SELECT src AS id, min(dst) AS lbl FROM reach GROUP BY src) " +
+        "SELECT lbl AS cluster_id, count(*) AS n_members, " +
+        "string_agg(id::VARCHAR, ',' ORDER BY id) AS members " +
+        "FROM lbl GROUP BY 1 HAVING count(*) > 1 ORDER BY cluster_id")),
+
     // -------------------------------------------------- similarity search
     // SS1 brute-force cosine top-k: small query set × full table, window
     // rank per query. The baseline every ANN variant is measured against.
@@ -475,6 +611,76 @@ object Pipeline {
         "rk AS (SELECT qid, nid, cos, row_number() OVER " +
         "(PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM sc) " +
         "SELECT qid, rank, nid, cos FROM rk WHERE rank <= 3 ORDER BY qid, rank")),
+
+    // SS4 quantized ANN with exact re-rank — the memory-bandwidth scale
+    // path: vectors scalar-quantized to 4-bit ints (v → clamp(floor
+    // (v·16), -8, 7); 8× smaller than float64), LSH-bucketed candidates
+    // ranked first by the cheap INTEGER quantized dot product (exact on
+    // both engines — no float parity risk), and only the top-10 shortlist
+    // per query pays the exact float cosine. At 10^9 vectors the scan
+    // reads the quantized table only; the full-precision vectors are
+    // fetched for ~10 rows per query. Deterministic end to end, so the
+    // whole two-stage result is HASH-verified (unlike ss3's
+    // engine-specific KMeans, which is judged by its recall contract).
+    QDef("ss4_sq_rerank",
+      (s, d) => {
+        val e = embNorm(s, d).withColumn("qv",
+          expr("transform(v, x -> cast(greatest(-8L, least(7L, floor(x * 16))) AS double))"))
+        val bands = e.selectExpr("vec_id",
+          "explode(transform(sequence(0, 3), b -> struct(b AS band, " +
+            "aggregate(sequence(0, 7), 0L, (acc, j) -> acc + " +
+            "IF(element_at(v, b * 16 + j + 1) >= cast(0 AS double), " +
+            "shiftleft(1L, j), 0L)) AS bv))) AS x")
+          .selectExpr("vec_id", "x.band AS band", "x.bv AS bv")
+        val cand = bands.as("qb").join(bands.as("nb"),
+            col("qb.band") === col("nb.band") && col("qb.bv") === col("nb.bv") &&
+              col("qb.vec_id") =!= col("nb.vec_id"))
+          .filter(col("qb.vec_id") % 100 === 0)
+          .select(col("qb.vec_id").as("qid"), col("nb.vec_id").as("nid"))
+          .distinct()
+        // stage 1: integer quantized dot (graft_dot over small-int arrays
+        // is exact in doubles), top-10 shortlist per query
+        val short = cand
+          .join(e.as("a"), col("qid") === col("a.vec_id"))
+          .join(e.as("b"), col("nid") === col("b.vec_id"))
+          .selectExpr("qid", "nid",
+            "cast(graft_dot(a.qv, b.qv) AS bigint) AS adot")
+          .withColumn("arank", row_number().over(
+            Window.partitionBy("qid").orderBy(col("adot").desc, col("nid"))))
+          .filter(col("arank") <= 10)
+        // stage 2: exact cosine re-rank of the shortlist only
+        short
+          .join(e.as("a"), col("qid") === col("a.vec_id"))
+          .join(e.as("b"), col("nid") === col("b.vec_id"))
+          .selectExpr("qid", "nid", "adot", s"round($cosSparkAB, 6) AS cos")
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
+          .filter(col("rank") <= 3)
+          .select("qid", "rank", "nid", "adot", "cos")
+          .orderBy("qid", "rank")
+      },
+      Some(s"WITH e AS (SELECT vec_id, v, nrm, " +
+        "list_transform(v, x -> greatest(-8, least(7, floor(x * 16)))::BIGINT) AS qv " +
+        s"FROM ($embNormD)), " +
+        "bands AS (SELECT vec_id, t.band, " +
+        "list_sum(list_transform(range(0, 8), j -> CASE WHEN " +
+        "v[t.band * 16 + j + 1] >= 0 THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS bv " +
+        "FROM e, (SELECT unnest(range(0, 4)) AS band) t), " +
+        "cand AS (SELECT DISTINCT qb.vec_id qid, nb.vec_id nid " +
+        "FROM bands qb JOIN bands nb ON qb.band = nb.band AND qb.bv = nb.bv " +
+        "AND qb.vec_id <> nb.vec_id WHERE qb.vec_id % 100 = 0), " +
+        "approx AS (SELECT qid, nid, " +
+        "list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i]))::BIGINT AS adot " +
+        "FROM cand JOIN e a ON qid = a.vec_id JOIN e b ON nid = b.vec_id), " +
+        "short AS (SELECT qid, nid, adot, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY adot DESC, nid) AS arank FROM approx), " +
+        s"rer AS (SELECT s.qid, s.nid, s.adot, round($cosDuckAB, 6) AS cos " +
+        "FROM short s JOIN e a ON s.qid = a.vec_id JOIN e b ON s.nid = b.vec_id " +
+        "WHERE s.arank <= 10), " +
+        "rk AS (SELECT qid, nid, adot, cos, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM rer) " +
+        "SELECT qid, rank, nid, adot, cos FROM rk WHERE rank <= 3 " +
+        "ORDER BY qid, rank")),
 
     // T7 time-series profile: hourly event buckets (batch analog of the
     // streaming windowed agg; date_trunc is µs-identical on both engines).
@@ -573,6 +779,58 @@ object Pipeline {
         "CAST(MAX(rate) AS BIGINT) AS rate_pct10 FROM s " +
         s"WHERE ${h32d.format("source || ':' || CAST(doc_id AS VARCHAR)")} % 10 < rate " +
         "GROUP BY source ORDER BY source")),
+
+    // X12 dataset-mixture sampling — the "data mixing" step that turns
+    // raw source corpora into a training mixture: per-source token
+    // counts, a weighted token allocation against a global budget (2/5
+    // of the corpus, split by per-source weights — all INTEGER
+    // arithmetic), a per-mille sampling rate per source, then the
+    // deterministic hash sample at that rate. The plan is two passes:
+    // one hash-agg for the per-source ledger (the rates table is
+    // O(sources) — broadcast), one map-side filtered re-aggregation for
+    // the achieved sample. Reproducible at any cluster size: membership
+    // is a pure function of (source, doc_id).
+    QDef("x12_mixture_sample",
+      (s, d) => {
+        val t = docsWithToks(s, d).select(col("doc_id"), col("source"),
+          size(col("toks")).cast(LongType).as("nt"))
+        val rates = t.groupBy("source")
+          .agg(sum("nt").as("tokens_total"))
+          .withColumn("weight", expr("cast(CASE cast(substring(source, 4) AS int) % 3 " +
+            "WHEN 0 THEN 5 WHEN 1 THEN 3 ELSE 2 END AS bigint)"))
+          .withColumn("budget", expr("(sum(tokens_total) OVER ()) * 2 div 5"))
+          .withColumn("w_all", expr("sum(weight) OVER ()"))
+          .selectExpr("source", "tokens_total", "weight",
+            "least(1000L, (((budget * weight) div w_all) * 1000) div tokens_total) AS rate_pmil")
+        val sampled = t
+          .join(broadcast(rates.select("source", "rate_pmil")), Seq("source"))
+          .filter(expr(s"${h32s.format("concat(source, ':', cast(doc_id AS string))")} % 1000")
+            < col("rate_pmil"))
+          .groupBy("source").agg(count(lit(1)).as("n_sampled"),
+            sum("nt").as("tokens_sampled"))
+        rates.join(sampled, Seq("source"), "left")
+          .selectExpr("source", "tokens_total", "weight", "rate_pmil",
+            "coalesce(n_sampled, 0L) AS n_sampled",
+            "coalesce(tokens_sampled, 0L) AS tokens_sampled")
+          .orderBy("source")
+      },
+      Some(s"WITH t AS (SELECT doc_id, source, len($toksD)::BIGINT AS nt " +
+        "FROM documents), " +
+        "per AS (SELECT source, sum(nt)::BIGINT AS tokens_total, " +
+        "(CASE CAST(substring(source, 4) AS INT) % 3 " +
+        "WHEN 0 THEN 5 WHEN 1 THEN 3 ELSE 2 END)::BIGINT AS weight " +
+        "FROM t GROUP BY source), " +
+        "plan AS (SELECT *, ((sum(tokens_total) OVER ()) * 2 // 5) AS budget, " +
+        "sum(weight) OVER () AS w_all FROM per), " +
+        "rates AS (SELECT source, tokens_total, weight, " +
+        "least(1000, (((budget * weight) // w_all) * 1000) // tokens_total)::BIGINT AS rate_pmil " +
+        "FROM plan), " +
+        "sampled AS (SELECT t.source, t.nt FROM t JOIN rates USING (source) " +
+        s"WHERE ${h32d.format("t.source || ':' || CAST(t.doc_id AS VARCHAR)")} % 1000 < rates.rate_pmil) " +
+        "SELECT r.source, r.tokens_total, r.weight, r.rate_pmil, " +
+        "count(s.nt) AS n_sampled, coalesce(sum(s.nt), 0)::BIGINT AS tokens_sampled " +
+        "FROM rates r LEFT JOIN sampled s ON r.source = s.source " +
+        "GROUP BY 1, 2, 3, 4 ORDER BY r.source")),
 
     // X10 column profiling — the SUMMARIZE/data-profile op every curation
     // pipeline runs before training: per column, row/null/distinct counts

@@ -29,6 +29,62 @@ class PipelineSpec extends SparkSpec {
     assert((jac & sh).nonEmpty)
   }
 
+  test("dedup clustering groups every verified near-dup pair transitively") {
+    import spark.implicits._
+    val clusters = run("dd6_dedup_clusters").collect()
+    assert(clusters.nonEmpty, "LSH candidate graph should have components")
+    val byDoc = clusters.flatMap { r =>
+      val c = r.getAs[Long]("cluster_id")
+      r.getAs[String]("members").split(",").map(_.toLong -> c)
+    }.toMap
+    // the cluster label IS the component minimum (min-label propagation
+    // converged), and every member maps to exactly one cluster
+    clusters.foreach { r =>
+      val members = r.getAs[String]("members").split(",").map(_.toLong)
+      assert(members.length === r.getAs[Long]("n_members"))
+      assert(members.min === r.getAs[Long]("cluster_id"))
+    }
+    // dd3's VERIFIED pairs are a subset of the candidate edges, so each
+    // pair must land in the same component
+    run("dd3_minhash_lsh").select("d1", "d2").as[(Long, Long)].collect()
+      .foreach { case (a, b) =>
+        assert(byDoc.get(a) === byDoc.get(b),
+          s"verified near-dups ($a,$b) in different clusters")
+      }
+  }
+
+  test("quantized re-rank: ordered ranks, shortlist never beats brute force") {
+    import spark.implicits._
+    val sq = run("ss4_sq_rerank")
+      .select("qid", "rank", "nid", "cos")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(sq.nonEmpty)
+    val bfBest = run("ss1_cosine_topk").filter(col("rank") === 1)
+      .select("qid", "cos").as[(Long, Double)].collect().toMap
+    sq.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2).map(_._4)
+      assert(sorted.zip(sorted.drop(1)).forall { case (a, b) => a >= b })
+      bfBest.get(q).foreach(best => assert(sorted.head <= best + 1e-9))
+    }
+  }
+
+  test("repetition and mixture ledgers are internally consistent") {
+    run("x11_repetition").collect().foreach { r =>
+      val (docs, flagged) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_flagged"))
+      val parts = Seq("n_top_word", "n_dup_words", "n_top_bigram")
+        .map(r.getAs[Long](_))
+      assert(flagged <= docs && parts.forall(_ <= flagged))
+      assert(flagged <= parts.sum)
+    }
+    run("x12_mixture_sample").collect().foreach { r =>
+      val rate = r.getAs[Long]("rate_pmil")
+      assert(rate >= 0 && rate <= 1000)
+      assert(r.getAs[Long]("tokens_sampled") <= r.getAs[Long]("tokens_total"))
+      if (rate == 1000)
+        assert(r.getAs[Long]("tokens_sampled") === r.getAs[Long]("tokens_total"))
+    }
+  }
+
   test("exact dedup groups contain identical head fingerprints only") {
     import spark.implicits._
     val groups = run("dd1_exact_dedup").collect()

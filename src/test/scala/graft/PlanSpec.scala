@@ -48,7 +48,8 @@ class PlanSpec extends SparkSpec {
 
   test("no dedup/similarity query degenerates to a cartesian product") {
     Seq("dd2_ngram_jaccard", "dd3_minhash_lsh", "dd4_simhash",
-      "dd5_embed_neardup", "ss2_ann_lsh").foreach { q =>
+      "dd5_embed_neardup", "dd6_dedup_clusters", "ss2_ann_lsh",
+      "ss4_sq_rerank").foreach { q =>
       val s = planString(q)
       assert(!s.contains("CartesianProduct"),
         s"$q must stay band/bucket-local\n" + s.take(2000))
@@ -190,6 +191,23 @@ class PlanSpec extends SparkSpec {
     val bloom = s.indexOf("might_contain")
     assert(exch === -1 || bloom > exch,
       "bloom filter must run below the shuffle\n" + s.take(2000))
+  }
+
+  test("mixture sampling broadcasts the rates table to a map-side filter") {
+    val s = planString("x12_mixture_sample")
+    // the O(sources) rates ledger must broadcast; the corpus-side sample
+    // filter then runs in the scan stage, not behind a rates shuffle
+    assert(s.contains("BroadcastExchange"), s.take(2000))
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+  }
+
+  test("dedup clustering converges with hash-join label propagation") {
+    // the per-round join (labels x edges) must stay a hash join — a
+    // nested-loop here would be O(V x E) per round at corpus scale
+    val df = SparkEntry.queries("dd6_dedup_clusters")(spark, d)
+    val s = df.queryExecution.executedPlan.toString()
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s.take(2000))
   }
 
   test("stratified sampling is map-only until the final aggregate") {
