@@ -134,6 +134,14 @@ class LakeCatalog(val spark: SparkSession, val root: String,
   def readAsOf(table: String, tsMs: Long): DataFrame =
     readAt(table, versionAsOf(tsMs))
 
+  /** Time-travel scan by TAG — `AT (VERSION => v)` with a stable name. */
+  def readTag(table: String, tagName: String): DataFrame =
+    readAt(table, resolveRef(tagName))
+
+  def resolveRef(tagName: String): Long =
+    current.refs.getOrElse(tagName,
+      throw new NoSuchElementException(s"no such tag: $tagName"))
+
   def versionAsOf(tsMs: Long): Long = {
     // the current snapshot embeds every version's header — one read
     val live = current.history.filter(_.timestampMs <= tsMs)
@@ -186,9 +194,10 @@ class LakeCatalog(val spark: SparkSession, val root: String,
   def snapshots(): DataFrame = {
     import spark.implicits._
     // expired versions vanish from the feed too (vacuum deleted their
-    // manifests — listing unreadable history would be a lie)
-    val oldest = store.minAvailableVersion()
-    current.history.filter(_.snapshotId >= oldest).map { h =>
+    // manifests — listing unreadable history would be a lie). Membership,
+    // not a min bound: tag retention leaves holes in the sequence.
+    val avail = store.availableVersions().toSet
+    current.history.filter(h => avail.contains(h.snapshotId)).map { h =>
       (h.snapshotId, new java.sql.Timestamp(h.timestampMs), h.schemaVersion,
         h.changes.map { case (k, vs) => k -> vs.mkString(",") })
     }.toDF("snapshot_id", "snapshot_time", "schema_version", "changes")
@@ -258,6 +267,12 @@ class LakeCatalog(val spark: SparkSession, val root: String,
       split(appeared, "update_postimage", "insert")
         .unionByName(split(vanished, "update_preimage", "delete"))
     }
+  }
+
+  /** Tag ledger: (ref_name, snapshot_id), the `refs` metadata table. */
+  def refs(): DataFrame = {
+    import spark.implicits._
+    current.refs.toSeq.sortBy(_._1).toDF("ref_name", "snapshot_id")
   }
 
   /** `information_schema.tables` analog (D11). */
@@ -367,6 +382,14 @@ class LakeCatalog(val spark: SparkSession, val root: String,
   def createView(name: String, sql: String): Unit =
     transaction(_.createView(name, sql))
 
+  /** Tag `version` (default: the current snapshot) with a stable name —
+    * see [[Tx.tag]]. Tagged snapshots survive [[vacuum]]. */
+  def tag(name: String, version: Long = -1L): Unit =
+    transaction(tx => tx.tag(name,
+      if (version < 0) currentVersion else version))
+
+  def dropTag(name: String): Unit = transaction(_.dropTag(name))
+
   /** Compaction: fold a table's many small files into size-targeted ones —
     * the maintenance half of the small-file story (M8 — ref
     * demos/04_small_file_optimization/FINDINGS.md:21-27). */
@@ -391,13 +414,18 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     val cur = currentVersion
     if (cur == 0) return
     val cutoff = math.max(1L, cur - keepLast + 1)
-    val keptSnaps = (cutoff to cur).map(snapshot)
+    // tagged snapshots are PINNED: expiry skips them (the Iceberg
+    // expire-snapshots-retains-refs contract), so a tagged training
+    // corpus stays reproducible however far history rolls forward
+    val pinned = current.refs.values.toSet
+    val keptVs = ((cutoff to cur) ++ pinned.filter(_ < cutoff)).distinct.sorted
+    val keptSnaps = keptVs.map(snapshot)
     // normalize through absPath so both relative and (legacy) absolute
     // manifest entries compare correctly
     val live = keptSnaps
       .flatMap(_.tables.values.flatMap(_.files.map(e =>
         absPath(e.path).toUri.getPath))).toSet
-    (1L until cutoff).foreach { v =>
+    (1L until cutoff).filterNot(pinned.contains).foreach { v =>
       store.deleteVersion(v)
       snapCache.remove(v)
     }

@@ -118,7 +118,8 @@ final case class Snapshot(
     changes: Map[String, Seq[String]],    // e.g. tables_deleted_from -> [t]
     tables: Map[String, TableState],
     views: Map[String, String],           // view name -> SQL text
-    history: Seq[SnapHeader] = Nil)       // headers of v1..this, in order
+    history: Seq[SnapHeader] = Nil,       // headers of v1..this, in order
+    refs: Map[String, Long] = Map.empty)  // tag name -> snapshot id
 
 /** Typed comparisons over the string-encoded file stats. Only types whose
   * string casts order-compare safely are harvested (integral, double,
@@ -174,7 +175,8 @@ object Manifest {
       changes: Map[String, Seq[String]],
       tables: Map[String, TableDoc],
       views: Map[String, String],
-      history: Seq[SnapHeader])
+      history: Seq[SnapHeader],
+      refs: Map[String, Long] = Map.empty)
 
   /** Immutable blob contents, cached process-wide; keys are namespaced by
     * store location. Entries are dropped when vacuum deletes the blob. */
@@ -203,6 +205,11 @@ trait ManifestStore {
     * visible snapshot history starts here (expired versions are listed
     * nowhere and refuse time travel). 1 when nothing was ever expired. */
   def minAvailableVersion(): Long
+  /** Every version still materialized. Tag-retained vacuums leave HOLES
+    * (an old tagged snapshot outlives its untagged neighbors), so the
+    * snapshot feed filters on membership, not on a min bound. One
+    * metadata listing — never O(versions) document reads. */
+  def availableVersions(): Seq[Long]
   def deleteVersion(v: Long): Unit
   protected def readDoc(v: Long): String
   /** Atomically claim version `v`; false when another writer owns it. */
@@ -241,7 +248,7 @@ trait ManifestStore {
         td.nextColId, td.inlined, td.blobs)
     }
     Snapshot(doc.snapshotId, doc.timestampMs, doc.schemaVersion, doc.changes,
-      tables, doc.views, doc.history)
+      tables, doc.views, doc.history, doc.refs)
   }
 
   /** Atomically publish `s` as version `v`, deltaing each table's file
@@ -278,7 +285,7 @@ trait ManifestStore {
       storedTables.map { case (n, st) =>
         n -> TableDoc(st.schemaVersion, st.schemas, st.primaryKey,
           st.notNull, st.nextColId, st.inlined, st.blobs)
-      }, stored.views, stored.history)
+      }, stored.views, stored.history, stored.refs)
     if (writeDocExclusive(v, Serialization.write(doc))) Some(stored)
     else {
       written.foreach(dropBlob)
@@ -329,6 +336,8 @@ final class FileManifestStore(root: String, conf: Configuration)
     val vs = listVersions()
     if (vs.isEmpty) 1L else vs.min
   }
+
+  def availableVersions(): Seq[Long] = listVersions()
 
   def deleteVersion(v: Long): Unit = f.delete(versionPath(v), false)
 
@@ -431,6 +440,16 @@ final class JdbcManifestStore(dsn: String) extends ManifestStore {
     try {
       val rs = st.executeQuery("SELECT MIN(version) FROM graft_manifests")
       if (rs.next() && rs.getObject(1) != null) rs.getLong(1) else 1L
+    } finally st.close()
+  }
+
+  def availableVersions(): Seq[Long] = withConn { c =>
+    val st = c.createStatement()
+    try {
+      val rs = st.executeQuery("SELECT version FROM graft_manifests")
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (rs.next()) out += rs.getLong(1)
+      out.toSeq
     } finally st.close()
   }
 

@@ -28,6 +28,7 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
   private val spark: SparkSession = cat.spark
   private val tables = mutable.LinkedHashMap.from(base.tables)
   private val views = mutable.LinkedHashMap.from(base.views)
+  private val tagRefs = mutable.LinkedHashMap.from(base.refs)
   private val changes = mutable.LinkedHashMap.empty[String, mutable.LinkedHashSet[String]]
   private val stagedDirs = mutable.ArrayBuffer.empty[Path]
   private var ddlCount = 0
@@ -171,6 +172,26 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
 
   /** Has a stream batch tag already been committed in the base history?
     * O(1) metadata — headers ride in every snapshot document. */
+  /** Tag a snapshot with a stable name (Iceberg-style ref): the tag rides
+    * the catalog snapshot like views do, resolves in `readTag`, and — the
+    * operational point — PINS its snapshot through vacuum, so "the corpus
+    * we trained run 47 on" stays reproducible while untagged history is
+    * expired. */
+  def tag(name: String, version: Long): Unit = {
+    require(version >= 1 && version <= base.snapshotId,
+      s"tag target $version outside committed range [1, ${base.snapshotId}]")
+    require(version >= cat.store.minAvailableVersion(),
+      s"tag target $version already expired")
+    tagRefs(name) = version
+    change("tags_created", name)
+  }
+
+  def dropTag(name: String): Unit = {
+    require(tagRefs.contains(name), s"no such tag: $name")
+    tagRefs.remove(name)
+    change("tags_dropped", name)
+  }
+
   def streamBatchApplied(tag: String): Boolean =
     base.history.exists(_.changes.getOrElse("stream_batches", Nil).contains(tag))
 
@@ -533,6 +554,7 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
       changes = ch,
       tables = tables.toMap,
       views = views.toMap,
-      history = base.history :+ SnapHeader(id, ts, sv, ch))
+      history = base.history :+ SnapHeader(id, ts, sv, ch),
+      refs = tagRefs.toMap)
   }
 }

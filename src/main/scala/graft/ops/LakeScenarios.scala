@@ -564,6 +564,58 @@ object LakeScenarios {
           t(metric, value)
         ORDER BY metric""")),
 
+    // L16 — snapshot TAGS + tag-retained expiry: name a snapshot
+    // ("baseline" = the corpus a model trained on), keep committing and
+    // expiring history — the tagged snapshot is pinned through vacuum
+    // (the Iceberg expire-snapshots-retains-refs contract) and stays
+    // readable by name while its untagged neighbors are gone. Oracle:
+    // the tag ledger as literals + the tagged/current table states
+    // recomputed from the raw documents table.
+    QDef("l16_tag_retention",
+      (s, d) => {
+        import s.implicits._
+        val cat = freshLake(s)
+        val src = T.documents(s, d)
+          .filter(col("doc_id") < 100)
+          .selectExpr("doc_id", "source", "cast(n_chars AS bigint) AS n_chars")
+        cat.createTableAs("docs", src.filter(col("doc_id") < 40))     // v1
+        cat.insert("docs", src.filter(
+          col("doc_id") >= 40 && col("doc_id") < 70))                 // v2
+        cat.tag("baseline")                                           // v3
+        cat.insert("docs", src.filter(col("doc_id") >= 70))           // v4
+        cat.delete("docs", col("doc_id") < 10)                        // v5
+        cat.vacuum(keepLast = 2)
+        val tagged = cat.readTag("docs", "baseline")
+        val expired1 =
+          try { cat.readAt("docs", 1).count(); 0L }
+          catch { case _: Exception => 1L }
+        Seq(
+          ("1_tag_resolves_to", cat.resolveRef("baseline")),
+          ("2_rows_at_tag", tagged.count()),
+          ("3_chars_at_tag",
+            tagged.agg(sum("n_chars")).as[Long].head()),
+          ("4_rows_current", cat.read("docs").count()),
+          ("5_expired_v1_fails", expired1),
+          ("6_n_refs", cat.refs().count()),
+          ("7_snapshots_listed", cat.snapshots().count()))
+          .toDF("metric", "value").orderBy("metric")
+      }, Some("""
+        SELECT * FROM (VALUES
+          ('1_tag_resolves_to', CAST(2 AS BIGINT)),
+          ('2_rows_at_tag',
+            (SELECT count(*) FROM documents WHERE doc_id < 70)),
+          ('3_chars_at_tag',
+            (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
+             WHERE doc_id < 70)),
+          ('4_rows_current',
+            (SELECT count(*) FROM documents
+             WHERE doc_id >= 10 AND doc_id < 100)),
+          ('5_expired_v1_fails', CAST(1 AS BIGINT)),
+          ('6_n_refs', CAST(1 AS BIGINT)),
+          ('7_snapshots_listed', CAST(3 AS BIGINT)))
+          t(metric, value)
+        ORDER BY metric""")),
+
     // L14 — data-layout maintenance + stats-pruned range scan, end to
     // end: load a table with the key ranges INTERLEAVED across files
     // (every file overlaps every range query — worst-case layout), then

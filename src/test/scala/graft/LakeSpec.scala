@@ -384,6 +384,32 @@ class LakeSpec extends SparkSpec {
     assert(onDisk === live)
   }
 
+  test("tags pin snapshots through vacuum; dropTag releases them") {
+    val cat = newLake()
+    cat.createTable("t", StructType(Seq(StructField("id", IntegerType))))
+    (1 to 4).foreach(i => cat.insert("t", Seq(i).toDF("id")))   // v2..v5
+    cat.tag("trained-on", 3)                                    // v6
+    (5 to 6).foreach(i => cat.insert("t", Seq(i).toDF("id")))   // v7,v8
+    cat.vacuum(keepLast = 2)
+    // untagged old versions are gone, the tagged one survives the sweep
+    intercept[Exception] { cat.readAt("t", 2).count() }
+    intercept[Exception] { cat.readAt("t", 4).count() }
+    assert(cat.readTag("t", "trained-on").as[Int].collect().sorted === Array(1, 2))
+    assert(cat.resolveRef("trained-on") === 3)
+    // the snapshot feed lists exactly the readable set (with the hole)
+    assert(cat.snapshots().select("snapshot_id").as[Long].collect().sorted
+      === Array(3L, 7L, 8L))
+    // its data files survived blob/file GC too: the tagged read scans
+    assert(cat.readAt("t", 3).count() === 2)
+    // releasing the tag lets the next vacuum expire it
+    cat.dropTag("trained-on")
+    cat.vacuum(keepLast = 2)
+    intercept[Exception] { cat.readAt("t", 3).count() }
+    intercept[Exception] { cat.resolveRef("trained-on") }
+    // tagging an expired version is refused
+    intercept[IllegalArgumentException] { cat.tag("too-late", 2) }
+  }
+
   test("multi-environment config pattern (demo 5): per-env catalogs + migrate") {
     // ref demos/05_catalog_portability/demo.py:369-428: the same config
     // table shape per environment, promoted dev -> prod
