@@ -96,6 +96,39 @@ object Pipeline {
         .mkString(", ") + ") AS (band, bsig)")
   }
 
+  /** Distributed connected components over an undirected edge list
+    * (d1, d2) — min-label propagation: each round joins labels to the
+    * symmetrized edges (one hash-shuffle), takes the min neighbor label,
+    * and localCheckpoints to truncate lineage (plans stay O(1) across
+    * rounds). Rounds needed = component diameter; dedup-cluster graphs
+    * are shallow so this converges in 2-4 rounds at any corpus size
+    * (the alternating large-star/small-star variant would bound rounds
+    * at O(log n) for adversarially deep graphs). Returns (id, lbl) with
+    * lbl = min id of the component. Used by dd6; property-tested against
+    * a driver-side union-find in PipelineSpec. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("d1"), col("d2")).union(
+      edges.select(col("d2").as("d1"), col("d1").as("d2"))).persist()
+    var labels = sym.select(col("d1").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 30) {
+      val nbrMin = sym.join(labels, sym("d2") === labels("id"))
+        .groupBy("d1").agg(min("lbl").as("nlbl"))
+        .withColumnRenamed("d1", "id")
+      val step = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("lbl"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nxt"))
+        .localCheckpoint()
+      changed = step.filter(col("nxt") < col("lbl")).count()
+      labels = step.select(col("id"), col("nxt").as("lbl"))
+      rounds += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** The dd3/dd6 oracle's band CTEs (bit-exact mirror of minhashBands). */
   private val bandsD =
     s"sigs AS (SELECT doc_id, " +
@@ -286,6 +319,53 @@ object Pipeline {
         "CAST(SUM(CASE WHEN f_dup_words THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_words, " +
         "CAST(SUM(CASE WHEN f_top_bigram THEN 1 ELSE 0 END) AS BIGINT) AS n_top_bigram " +
         "FROM m GROUP BY source ORDER BY source")),
+
+    // X13 eval-set decontamination — the benchmark-leakage check every
+    // training pipeline runs before a corpus ships: a held-out eval set
+    // (here the deterministic doc_id % 97 slice) is joined to the
+    // training docs through the SAME capped shingle inverted index as
+    // dd2 (df <= 64: ubiquitous shingles carry no leakage signal and
+    // would make the join quadratic), train docs sharing >= 2 distinct
+    // 3-gram shingles with any single eval doc are flagged. At 100 TB
+    // the eval side is tiny and the join is shuffle-on-shingle —
+    // work stays ~sum(df_train x df_eval) per surviving shingle,
+    // never corpus x eval.
+    QDef("x13_decontaminate",
+      (s, d) => {
+        val shd = docShinglesX(s, d)
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
+          .filter(col("df") <= 64).drop("df")
+        val ev = shd.filter(col("doc_id") % 97 === 0)
+        val tr = shd.filter(col("doc_id") % 97 =!= 0)
+        val perTrain = tr.as("t").join(ev.as("e"), col("t.s") === col("e.s"))
+          .groupBy(col("t.doc_id").as("train_id"),
+            col("e.doc_id").as("eval_id"))
+          .agg(count(lit(1)).as("common"))
+          .groupBy("train_id")
+          .agg(max("common").as("max_common"))
+        T.documents(s, d).filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id").as("train_id"), col("source"))
+          .join(perTrain, Seq("train_id"), "left")
+          .groupBy("source").agg(
+            count(lit(1)).as("n_train"),
+            sum(when(col("max_common") >= 2, 1).otherwise(0)).as("n_flagged"),
+            max(coalesce(col("max_common"), lit(0L))).as("max_overlap"))
+          .orderBy("source")
+      },
+      Some(s"WITH shd0 AS ($docShinglesXD), " +
+        "shd AS (SELECT shd0.* FROM shd0 JOIN (SELECT s, count(*) AS df " +
+        "FROM shd0 GROUP BY 1 HAVING count(*) <= 64) k USING (s)), " +
+        "ev AS (SELECT * FROM shd WHERE doc_id % 97 = 0), " +
+        "tr AS (SELECT * FROM shd WHERE doc_id % 97 <> 0), " +
+        "pairs AS (SELECT t.doc_id AS train_id, e.doc_id AS eval_id, " +
+        "count(*) AS common FROM tr t JOIN ev e ON t.s = e.s GROUP BY 1, 2), " +
+        "pt AS (SELECT train_id, max(common) AS max_common FROM pairs GROUP BY 1) " +
+        "SELECT source, count(*) AS n_train, " +
+        "CAST(SUM(CASE WHEN max_common >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged, " +
+        "CAST(MAX(coalesce(max_common, 0)) AS BIGINT) AS max_overlap " +
+        "FROM (SELECT doc_id AS train_id, source FROM documents " +
+        "WHERE doc_id % 97 <> 0) tdocs LEFT JOIN pt USING (train_id) " +
+        "GROUP BY source ORDER BY source")),
 
     // ------------------------------------------------------- deduplication
     // DD1 exact dedup: hash-groupBy on the head fingerprint; groups with
@@ -498,27 +578,7 @@ object Pipeline {
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
           .distinct()
-        // symmetrized edge list, persisted: the propagation loop reads it
-        // every round (ContextCleaner reclaims the blocks afterwards)
-        val sym = cand.union(
-          cand.select(col("d2").as("d1"), col("d1").as("d2"))).persist()
-        var labels = sym.select(col("d1").as("id")).distinct()
-          .withColumn("lbl", col("id")).localCheckpoint()
-        var changed = 1L
-        var rounds = 0
-        while (changed > 0 && rounds < 30) {
-          val nbrMin = sym.join(labels, sym("d2") === labels("id"))
-            .groupBy("d1").agg(min("lbl").as("nlbl"))
-            .withColumnRenamed("d1", "id")
-          val step = labels.join(nbrMin, Seq("id"), "left")
-            .select(col("id"), col("lbl"),
-              least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("nxt"))
-            .localCheckpoint()
-          changed = step.filter(col("nxt") < col("lbl")).count()
-          labels = step.select(col("id"), col("nxt").as("lbl"))
-          rounds += 1
-        }
-        labels.groupBy(col("lbl").as("cluster_id"))
+        connectedComponents(cand).groupBy(col("lbl").as("cluster_id"))
           .agg(count(lit(1)).as("n_members"),
             expr("array_join(transform(sort_array(collect_list(id)), " +
               "x -> cast(x AS string)), ',')").as("members"))

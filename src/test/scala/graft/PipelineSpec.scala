@@ -53,6 +53,34 @@ class PipelineSpec extends SparkSpec {
       }
   }
 
+  test("connected components match a union-find oracle on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60 + trial * 40
+      val edges = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find reference
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // min id per component (find() gives A root, not necessarily min —
+      // normalize by grouping)
+      val expect = nodes.groupBy(find).values
+        .flatMap(g => g.map(_ -> g.min)).toMap
+      val got = ops.Pipeline.connectedComponents(edges.toDF("d1", "d2"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expect, s"trial $trial (n=$n)")
+    }
+  }
+
   test("quantized re-rank: ordered ranks, shortlist never beats brute force") {
     import spark.implicits._
     val sq = run("ss4_sq_rerank")
