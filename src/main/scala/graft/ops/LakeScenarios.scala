@@ -227,6 +227,76 @@ object LakeScenarios {
         SELECT change_type, n, CAST(coalesce(sum_id, 0) AS BIGINT) AS sum_id
         FROM m ORDER BY change_type""")),
 
+    // L17 — CDC APPLY: the consumer half of the change feed. A source
+    // table evolves through insert/update/delete commits; a replica in a
+    // SECOND catalog is kept in sync by consuming tableChanges() version
+    // by version and applying each step as ONE atomic commit (pure
+    // deletes remove their keys, inserts + update_postimages land as a
+    // MERGE). The judged output proves replica == source with a
+    // symmetric difference of 0 plus independently recomputed row/sum
+    // profiles. Scale shape: each apply step handles the step's DIFF
+    // (broadcast-sized by nature), never the table; the collected delete
+    // key list is bounded by that same diff.
+    QDef("l17_cdc_apply",
+      (s, d) => {
+        import s.implicits._
+        val src = freshLake(s)
+        val dst = freshLake(s)
+        val schema = StructType(Seq(
+          StructField("id", LongType),
+          StructField("name", StringType),
+          StructField("bal", DoubleType)))
+        val c = T.customer(s, d).filter(col("c_custkey") <= 150)
+          .selectExpr("cast(c_custkey AS bigint) AS id", "c_name AS name",
+            "c_acctbal AS bal")
+        src.createTable("c", schema, primaryKey = Seq("id"))     // v1
+        dst.createTable("c", schema, primaryKey = Seq("id"))
+        src.insert("c", c)                                       // v2
+        src.update("c", col("id") <= 10, Map("bal" -> lit(-1.0))) // v3
+        src.delete("c", col("id") > 140)                         // v4
+        src.insert("c", Seq((9991L, "new_1", 10.0),
+          (9992L, "new_2", 20.0), (9993L, "new_3", 30.0))
+          .toDF("id", "name", "bal"))                            // v5
+        (1L until src.currentVersion).foreach { v =>
+          val ch = src.tableChanges("c", v, v + 1)
+          val upserts = ch
+            .filter(col("change_type").isin("insert", "update_postimage"))
+            .drop("change_type")
+          val delKeys = ch.filter(col("change_type") === "delete")
+            .select("id").as[Long].collect().toSeq // bounded by the step diff
+          dst.transaction { tx =>
+            if (delKeys.nonEmpty) tx.delete("c", col("id").isin(delKeys: _*))
+            if (!upserts.isEmpty) tx.merge("c", upserts, Seq("id"))
+          }
+        }
+        val a = src.read("c")
+        val b = dst.read("c")
+        val symDiff = a.exceptAll(b).count() + b.exceptAll(a).count()
+        Seq(
+          ("1_rows_source", a.count()),
+          ("2_rows_replica", b.count()),
+          ("3_sym_diff", symDiff),
+          ("4_upd_rows_replica", b.filter(col("bal") === -1.0).count()),
+          ("5_replica_commits", dst.currentVersion),
+          ("6_sum_ids_replica", b.agg(sum("id")).as[Long].head()))
+          .toDF("metric", "value").orderBy("metric")
+      }, Some("""
+        WITH c0 AS (SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+                    WHERE c_custkey <= 150),
+             fin AS (SELECT id FROM c0 WHERE id <= 140
+                     UNION ALL SELECT * FROM (VALUES (9991), (9992), (9993))),
+             m AS (
+               SELECT '1_rows_source' AS metric, count(*) AS value FROM fin
+               UNION ALL SELECT '2_rows_replica', count(*) FROM fin
+               UNION ALL SELECT '3_sym_diff', 0
+               UNION ALL SELECT '4_upd_rows_replica',
+                 (SELECT count(*) FROM c0 WHERE id <= 10)
+               UNION ALL SELECT '5_replica_commits', 5
+               UNION ALL SELECT '6_sum_ids_replica',
+                 (SELECT sum(id) FROM fin))
+        SELECT metric, CAST(value AS BIGINT) AS value FROM m
+        ORDER BY metric""")),
+
     // S8/D11 — migrate a catalog (tables + constraints + views) and report
     // the destination's schema catalog
     // (ref demos/05_catalog_portability/demo.py:199-252). Oracle: the
