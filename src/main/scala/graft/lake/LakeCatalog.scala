@@ -402,6 +402,12 @@ class LakeCatalog(val spark: SparkSession, val root: String,
       targetFileBytes: Long = 128L << 20): Unit =
     transaction(_.cluster(table, cols, targetFileBytes))
 
+  /** Z-ORDER the layout on multiple columns so stats prune on each of
+    * them independently — see [[Tx.zorder]]. */
+  def zorder(table: String, cols: Seq[String],
+      targetFileBytes: Long = 128L << 20): Unit =
+    transaction(_.zorder(table, cols, targetFileBytes))
+
   /** Snapshot expiry + orphan cleanup (the `expire_snapshots`/vacuum
     * maintenance op): drop manifests older than the `keepLast` most
     * recent snapshots and delete data files no kept snapshot references.

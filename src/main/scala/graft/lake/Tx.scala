@@ -380,6 +380,59 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     change("tables_clustered", table)
   }
 
+  /** Z-ORDER layout rewrite: multi-dimensional clustering so manifest
+    * stats prune on EVERY clustered column, not just the first.
+    * Lexicographic [[cluster]] gives tight per-file ranges on the leading
+    * key only (each file spans the full range of the others); Z-order
+    * interleaves the bits of all keys into one curve position, so a
+    * file's rows are close in every dimension at once and a range query
+    * on any single key skips most files.
+    *
+    * Mechanics: each key is normalized to 16 bits by uniform min-max
+    * bucketing (one distributed agg for the bounds — the rewrite itself
+    * dwarfs it), bits are interleaved round-robin into the z-key, and
+    * the data is range-partitioned + sorted on that key, all map-side
+    * integer math in codegen. Uniform bucketing keeps the op fully
+    * declarative (no per-column global sort); heavily skewed keys would
+    * want rank-based bucketing (range-partition ids per column) — same
+    * plan shape, noted as the upgrade path. */
+  def zorder(table: String, cols: Seq[String], targetFileBytes: Long): Unit = {
+    flushInlined(table)
+    val st = state(table)
+    require(cols.size >= 2, "zorder needs >= 2 columns (use cluster for 1)")
+    require(cols.forall(c => st.columns.exists(_.name == c)),
+      s"zorder columns must exist on $table")
+    if (st.files.isEmpty) return
+    val df0 = read(table)
+    // min/max bounds per key, one distributed agg
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast(DoubleType).as(s"mn_$c"),
+        max(col(c)).cast(DoubleType).as(s"mx_$c")))
+    val row = df0.agg(aggs.head, aggs.tail: _*).head()
+    val k = cols.size
+    val bucketExprs = cols.zipWithIndex.map { case (c, i) =>
+      val mn = row.getAs[Double](s"mn_$c")
+      val mx = row.getAs[Double](s"mx_$c")
+      val span = if (mx > mn) mx - mn else 1.0
+      s"greatest(0L, least(65535L, cast((cast(`$c` AS double) - $mn) " +
+        s"* 65535.0 / $span AS bigint))) AS __b$i"
+    }
+    val zbits = (for (j <- 0 until 16; i <- 0 until k)
+      yield s"(shiftleft(shiftright(__b$i, $j) & 1, ${j * k + i}))")
+      .mkString(" + ")
+    val total = st.files.map(_.sizeBytes).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
+    val df = df0
+      .selectExpr((df0.columns.map(c => s"`$c`") ++ bucketExprs): _*)
+      .selectExpr((df0.columns.map(c => s"`$c`") :+ s"$zbits AS __zkey"): _*)
+      .repartitionByRange(n, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+    val written = writeFiles(table, df, st.schemaVersion)
+    tables(table) = st.copy(files = written)
+    change("tables_clustered", table)
+  }
+
   // ------------------------------------------------------------- internals
 
   /** Align an incoming DataFrame to the table schema: by-name matching,

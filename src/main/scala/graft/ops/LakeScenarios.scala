@@ -719,6 +719,69 @@ object LakeScenarios {
                  AS sum_amount
         FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000""")),
 
+    // L18 — Z-ORDER layout + per-dimension stats pruning: load with both
+    // keys interleaved across files (worst case), Z-ORDER on (id,
+    // amount), then answer a range query on EACH key alone through
+    // readRange. Lexicographic clustering would leave every file
+    // spanning the full amount range (only the leading key prunes);
+    // the z-curve gives every file a tight box in BOTH dimensions, so
+    // both queries skip files — the multi-dimensional half of the l14
+    // story. Oracle: both range aggregates recomputed from the raw
+    // table; the pruning facts are computed from the manifest stats.
+    QDef("l18_zorder_prune",
+      (s, d) => {
+        import s.implicits._
+        val cat = freshLake(s)
+        val src = T.orders(s, d).filter(col("o_orderkey") < 15000)
+          .selectExpr("cast(o_orderkey AS bigint) AS id",
+            "o_totalprice AS amount")
+        cat.createTableAs("o", src.repartition(8)) // interleaved layout
+        // 4 KB target => >= ~10 files at every SF: with k=2 interleaved
+        // dims the leading z splits alternate dimensions, so single-dim
+        // pruning needs at least 2 splits of EACH dim materialized
+        cat.zorder("o", Seq("id", "amount"), targetFileBytes = 4L << 10)
+        def overlapping(c: String, lo: Double, hi: Double): Long =
+          cat.tableStats()
+            .filter(col("table_name") === "o" && col("column_name") === c &&
+              col("min_value").cast(DoubleType) <= hi &&
+              col("max_value").cast(DoubleType) >= lo)
+            .count()
+        val total = cat.tableStats()
+          .filter(col("table_name") === "o" && col("column_name") === "id")
+          .count()
+        val byId = cat.readRange("o", "id", "1000", "2500")
+          .agg(count(lit(1)).as("n"), sum(col("id")).as("s")).head()
+        val byAmt = cat.readRange("o", "amount", "100000", "125000")
+          .agg(count(lit(1)).as("n"),
+            sum(col("id")).as("s")).head()
+        Seq(
+          ("1_id_range_n", byId.getAs[Long]("n")),
+          ("2_id_range_sum", byId.getAs[Long]("s")),
+          ("3_amount_range_n", byAmt.getAs[Long]("n")),
+          ("4_amount_range_sum", byAmt.getAs[Long]("s")),
+          ("5_id_prunes_files",
+            if (overlapping("id", 1000, 2500) < total) 1L else 0L),
+          ("6_amount_prunes_files",
+            if (overlapping("amount", 100000, 125000) < total) 1L else 0L))
+          .toDF("metric", "value").orderBy("metric")
+      }, Some("""
+        WITH o AS (SELECT CAST(o_orderkey AS BIGINT) AS id,
+                          o_totalprice AS amount
+                   FROM orders WHERE o_orderkey < 15000),
+             m AS (
+               SELECT '1_id_range_n' AS metric, count(*) AS value FROM o
+               WHERE id BETWEEN 1000 AND 2500
+               UNION ALL SELECT '2_id_range_sum', sum(id) FROM o
+               WHERE id BETWEEN 1000 AND 2500
+               UNION ALL SELECT '3_amount_range_n', count(*) FROM o
+               WHERE amount BETWEEN 100000 AND 125000
+               UNION ALL SELECT '4_amount_range_sum', sum(id) FROM o
+               WHERE amount BETWEEN 100000 AND 125000
+               UNION ALL SELECT '5_id_prunes_files', 1
+               UNION ALL SELECT '6_amount_prunes_files', 1)
+        SELECT metric, CAST(value AS BIGINT) AS value FROM m
+        ORDER BY metric""")),
+
     // L15 — incremental ingest with cross-batch dedup against the lake:
     // the training-corpus loop every pipeline runs. A corpus table holds
     // fingerprints of already-ingested docs; a new (overlapping) batch is

@@ -86,12 +86,15 @@ object Relational {
 
     // S10 JSON-lines source/sink round-trip — same contract for the other
     // standard ingest format (one JSON object per line; splittable,
-    // explicit schema on read).
+    // explicit schema on read). A deterministic quarter-slice: the
+    // round-trip mechanics are size-free, so the bench measures the
+    // format path, not raw write volume.
     QDef("s10_jsonl_roundtrip",
       (s, d) => {
         val dir = java.nio.file.Files
           .createTempDirectory("graft_jsonl_").toString
         T.orders(s, d)
+          .filter(col("o_orderkey") % 4 === 0)
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
           .write.mode("overwrite").json(dir)
         s.read
@@ -105,7 +108,8 @@ object Relational {
       },
       Some("SELECT o_orderstatus, count(*) AS n, " +
         "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
-        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus")),
+        "FROM orders WHERE o_orderkey % 4 = 0 " +
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus")),
 
     // ---------------------------------------------------------------- §2.2
     // P1 projection with aliases — ref exploration/ducklake_analysis.sh:109-117

@@ -384,6 +384,43 @@ class LakeSpec extends SparkSpec {
     assert(onDisk === live)
   }
 
+  test("zorder prunes on every clustered dimension; lexicographic only on the first") {
+    def overlap(cat: LakeCatalog, c: String, lo: Double, hi: Double): Long =
+      cat.tableStats()
+        .filter(col("table_name") === "t" && col("column_name") === c &&
+          col("min_value").cast("double") <= hi &&
+          col("max_value").cast("double") >= lo).count()
+    def files(cat: LakeCatalog): Long =
+      cat.tableStats().filter(col("column_name") === "a").count()
+    def load(cat: LakeCatalog): Unit = {
+      // deterministic 2-d grid: a and b independent, both uniform
+      val df = spark.range(4096)
+        .selectExpr("id AS a", "cast((id * 2654435761L) % 4096 AS bigint) AS b")
+      cat.createTableAs("t", df.repartition(4))
+    }
+    val lex = newLake(); load(lex)
+    lex.cluster("t", Seq("a", "b"), targetFileBytes = 8L << 10)
+    val zed = newLake(); load(zed)
+    zed.zorder("t", Seq("a", "b"), targetFileBytes = 8L << 10)
+    assert(files(zed) > 2, "need several files for the pruning claim")
+    // query on the SECOND dimension: lexicographic layout leaves every
+    // file spanning b's full range (no pruning); z-order boxes it
+    val (bLo, bHi) = (100.0, 500.0)
+    assert(overlap(lex, "b", bLo, bHi) === files(lex),
+      "lexicographic files all overlap a b-range")
+    assert(overlap(zed, "b", bLo, bHi) < files(zed),
+      "z-order must prune on the second dimension")
+    // both dimensions prune on the z-ordered table
+    assert(overlap(zed, "a", 100.0, 500.0) < files(zed))
+    // and results are identical to a full-scan filter
+    val viaRange = zed.readRange("t", "b", "100", "500")
+      .agg(sum(col("a"))).head().getLong(0)
+    val viaScan = zed.read("t")
+      .filter(col("b") >= 100 && col("b") <= 500)
+      .agg(sum(col("a"))).head().getLong(0)
+    assert(viaRange === viaScan)
+  }
+
   test("tags pin snapshots through vacuum; dropTag releases them") {
     val cat = newLake()
     cat.createTable("t", StructType(Seq(StructField("id", IntegerType))))
