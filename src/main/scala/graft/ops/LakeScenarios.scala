@@ -978,6 +978,32 @@ object LakeScenarios {
                count(DISTINCT pid) AS n_purchases_attributed
         FROM j GROUP BY user_id ORDER BY user_id""")),
 
+    // ST5 — native session windows (session_window + watermark): the
+    // engine-managed gap-session operator, next to st2's hand-rolled
+    // state machine. Oracle: lag/cumsum gap replay + the same
+    // emission rule, so merge semantics AND watermark behavior hash.
+    QDef("st5_stream_gap_sessions",
+      (s, d) => graft.streaming.EventStream.gapSessionProfile(s, d), Some("""
+        WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                   FROM events),
+             m AS (SELECT max(ts) AS mx FROM e),
+             g AS (SELECT *, CASE WHEN lag(ts) OVER
+                     (PARTITION BY user_id ORDER BY ts) IS NULL
+                     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk FROM e),
+             sx AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+             w AS (SELECT user_id, sid, min(ts) AS s_start,
+                          max(ts) + INTERVAL 30 MINUTE AS s_end,
+                          count(*) AS n,
+                          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                            AS sum_value
+                   FROM sx GROUP BY 1, 2)
+        SELECT s_start, s_end, user_id, n, sum_value FROM w, m
+        WHERE s_end <= mx - INTERVAL 2 HOUR
+        ORDER BY user_id, s_start""")),
+
     // ST3 — streaming exact dedup: the events stream unioned with a
     // replay of itself (every event arrives twice), watermark-bounded
     // dropDuplicatesWithinWatermark keeps one copy per event_id. The

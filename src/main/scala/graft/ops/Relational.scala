@@ -1033,6 +1033,32 @@ object Relational {
         "CAST(len(regexp_extract_all(text, '\\b[a-z]{7,}\\b')) AS BIGINT) AS n_long_words " +
         "FROM documents ORDER BY doc_id")),
 
+    // F20 array higher-order-function sweep — transform / filter /
+    // aggregate (sequential left fold — same association order as
+    // DuckDB's list_reduce, so doubles match bit-for-bit before the
+    // 6-decimal rounding) / zip_with+reverse / array_max. Scalar outputs
+    // only (array-typed result columns render engine-specifically).
+    QDef("f20_array_hof",
+      (s, d) => T.embeddings(s, d)
+        .selectExpr("vec_id", "cast(embedding AS array<double>) AS v")
+        .selectExpr("vec_id",
+          "cast(size(filter(v, x -> x >= cast(0 AS double))) AS bigint) AS n_pos",
+          "round(aggregate(v, cast(0 AS double), (acc, x) -> acc + x * x), 6) AS sumsq",
+          "round(array_max(v), 6) AS mx",
+          "round(aggregate(zip_with(v, reverse(v), (a, b) -> a * b), " +
+            "cast(0 AS double), (acc, x) -> acc + x), 6) AS revdot")
+        .orderBy("vec_id"),
+      Some("WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) " +
+        "SELECT vec_id, " +
+        "CAST(len(list_filter(v, x -> x >= 0)) AS BIGINT) AS n_pos, " +
+        "round(list_reduce(list_prepend(0.0::DOUBLE, " +
+        "list_transform(v, x -> x * x)), (acc, x) -> acc + x), 6) AS sumsq, " +
+        "round(list_aggregate(v, 'max'), 6) AS mx, " +
+        "round(list_reduce(list_prepend(0.0::DOUBLE, " +
+        "list_transform(range(1, len(v) + 1), i -> v[i] * v[len(v) + 1 - i])), " +
+        "(acc, x) -> acc + x), 6) AS revdot " +
+        "FROM e ORDER BY vec_id")),
+
     // J8 broadcast-bloom semi-join — the 100-TB pattern for "fact rows
     // whose key appears in a selective dim": build a bloom over the dim
     // keys (distributed treeAggregate, KB-sized result), test it

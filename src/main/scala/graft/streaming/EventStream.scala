@@ -211,6 +211,32 @@ object EventStream {
       .orderBy("user_id")
   }
 
+  /** Judged query ST5: NATIVE session windows — `session_window(ts, gap)`
+    * is Spark's built-in gap-based session operator (merging windows +
+    * state eviction handled by the engine, unlike st2's hand-rolled
+    * flatMapGroupsWithState state machine). Sessions close when the
+    * event-time watermark passes last_event + gap; with AvailableNow
+    * over the finite replay the final watermark (max ts - 2h) closes all
+    * but the trailing sessions deterministically. Oracle: DuckDB
+    * re-derives the same sessions with a lag/cumsum gap split (break at
+    * gap >= 30min, matching Spark's exclusive session end) and applies
+    * the same emission rule — so both the merge semantics and the
+    * watermark behavior are HASH-verified. */
+  def gapSessionProfile(spark: SparkSession, sfDir: String): DataFrame =
+    drainToTable(
+      readEvents(spark, sfDir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+            .as("sum_value"))
+        .select(col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"),
+          col("user_id"), col("n"), col("sum_value")),
+      s"st5_gap_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      OutputMode.Append())
+      .orderBy("user_id", "s_start")
+
   /** Judged query ST2: stateful per-user sessions (top users by events).
     * With AvailableNow over the single-file replay the state sees every
     * event exactly once, so the drained output is a pure per-user profile
