@@ -107,8 +107,13 @@ object Pipeline {
     * lbl = min id of the component. Used by dd6; property-tested against
     * a driver-side union-find in PipelineSpec. */
   def connectedComponents(edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("d1"), col("d2")).union(
-      edges.select(col("d2").as("d1"), col("d1").as("d2"))).persist()
+    // materialize the edge list ONCE before symmetrizing: the union's two
+    // branches would otherwise each recompute the (expensive) candidate
+    // join that produced it
+    val e = edges.select(col("d1"), col("d2")).persist()
+    e.count()
+    val sym = e.union(
+      e.select(col("d2").as("d1"), col("d1").as("d2"))).persist()
     var labels = sym.select(col("d1").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
     var changed = 1L
@@ -126,6 +131,7 @@ object Pipeline {
       rounds += 1
     }
     sym.unpersist()
+    e.unpersist()
     labels
   }
 
@@ -572,7 +578,10 @@ object Pipeline {
     // the plan stays O(1) instead of growing per iteration.
     QDef("dd6_dedup_clusters",
       (s, d) => {
-        val bands = minhashBands(docShinglesX(s, d))
+        // persisted: both sides of the candidate self-join read it, and
+        // the signature subtree (posexplode+window+16-min agg) is the
+        // expensive part
+        val bands = minhashBands(docShinglesX(s, d)).persist()
         val cand = bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
               col("a.doc_id") < col("b.doc_id"))
