@@ -412,13 +412,18 @@ class LakeSpec extends SparkSpec {
       "z-order must prune on the second dimension")
     // both dimensions prune on the z-ordered table
     assert(overlap(zed, "a", 100.0, 500.0) < files(zed))
-    // and results are identical to a full-scan filter
-    val viaRange = zed.readRange("t", "b", "100", "500")
-      .agg(sum(col("a"))).head().getLong(0)
-    val viaScan = zed.read("t")
-      .filter(col("b") >= 100 && col("b") <= 500)
-      .agg(sum(col("a"))).head().getLong(0)
-    assert(viaRange === viaScan)
+    // and results are identical to a full-scan filter, on random ranges
+    // over both dimensions (pruning must never change answers)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3; c <- Seq("a", "b")) {
+      val lo = rnd.nextInt(3000); val hi = lo + 200 + rnd.nextInt(1000)
+      val viaRange = zed.readRange("t", c, lo.toString, hi.toString)
+        .agg(coalesce(sum(col("a")), lit(0L))).head().getLong(0)
+      val viaScan = zed.read("t")
+        .filter(col(c) >= lo && col(c) <= hi)
+        .agg(coalesce(sum(col("a")), lit(0L))).head().getLong(0)
+      assert(viaRange === viaScan, s"range [$lo,$hi] on $c")
+    }
   }
 
   test("tags pin snapshots through vacuum; dropTag releases them") {

@@ -70,7 +70,7 @@ class TxPropertySpec extends SparkSpec {
     // sequence, a FRESH catalog (cold caches, state rebuilt purely from
     // stored documents + blobs) sees byte-identical tables at EVERY
     // version as the catalog that wrote them
-    val dmlGen: Gen[Int] = Gen.choose(0, 4) // 0=insert 1=update 2=delete 3=compact 4=cluster
+    val dmlGen: Gen[Int] = Gen.choose(0, 5) // 0=insert 1=update 2=delete 3=compact 4=cluster 5=zorder
     val prop = Prop.forAllNoShrink(Gen.listOfN(8, dmlGen)) { ops =>
       val cat = freshCat()
       val v0 = cat.currentVersion // ord exists from here on
@@ -84,6 +84,7 @@ class TxPropertySpec extends SparkSpec {
         case 2 => cat.delete("ord", col("oid") % 3 === 0)
         case 3 => cat.compact("ord", 1L << 20)
         case 4 => cat.cluster("ord", Seq("oid"), 8L << 10)
+        case 5 => cat.zorder("ord", Seq("oid", "n"), 8L << 10)
         case _ => ()
       }
       val cold = new LakeCatalog(spark, cat.root)
