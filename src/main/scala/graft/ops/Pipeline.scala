@@ -326,6 +326,72 @@ object Pipeline {
         "CAST(SUM(CASE WHEN f_top_bigram THEN 1 ELSE 0 END) AS BIGINT) AS n_top_bigram " +
         "FROM m GROUP BY source ORDER BY source")),
 
+    // X14 sliding-window chunking — the RAG/embedding prep step: docs
+    // split into 40-token windows at stride 20 (each chunk overlaps its
+    // neighbor by half), fingerprinted for cross-chunk dedup. Map-only
+    // fan-out (sequence+explode+slice are native codegen'd array ops) +
+    // one hash-agg — the per-doc work is bounded by doc length, so the
+    // plan is embarrassingly parallel at any corpus size.
+    QDef("x14_chunk_windows",
+      (s, d) => docsWithToks(s, d)
+        .select(col("doc_id"), col("source"), col("toks"),
+          size(col("toks")).cast(LongType).as("n"))
+        .selectExpr("source",
+          "explode(sequence(0L, greatest(0L, (n - 21) div 20))) AS k",
+          "toks")
+        .selectExpr("source",
+          "size(slice(toks, cast(k * 20 + 1 AS int), 40)) AS c_len",
+          "md5(concat_ws(' ', slice(toks, cast(k * 20 + 1 AS int), 40))) AS fp")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_chunks"),
+          sum(col("c_len")).as("chunk_tokens"),
+          countDistinct(col("fp")).as("n_uniq_chunks"),
+          min(col("c_len")).as("min_chunk"))
+        .orderBy("source"),
+      Some(s"WITH t AS (SELECT doc_id, source, $toksD AS toks, " +
+        s"len($toksD) AS n FROM documents), " +
+        "k AS (SELECT doc_id, source, toks, n, " +
+        "unnest(range(0, greatest(0, (n - 21) // 20) + 1)) AS k FROM t), " +
+        "ch AS (SELECT source, len(toks[k*20+1 : k*20+40]) AS c_len, " +
+        "md5(array_to_string(toks[k*20+1 : k*20+40], ' ')) AS fp FROM k) " +
+        "SELECT source, count(*) AS n_chunks, " +
+        "CAST(sum(c_len) AS BIGINT) AS chunk_tokens, " +
+        "count(DISTINCT fp) AS n_uniq_chunks, " +
+        "CAST(min(c_len) AS BIGINT) AS min_chunk " +
+        "FROM ch GROUP BY source ORDER BY source")),
+
+    // X15 unigram-logprob quality scoring — the CCNet-style LM-proxy
+    // filter: per-token surprise -ln(p(tok)) against the corpus unigram
+    // distribution, averaged per source. Two hash-aggs + one join
+    // against the vocab-bounded frequency table (auto-broadcast at
+    // realistic vocab sizes). Parity recipe: each summand is rounded
+    // then summed as DECIMAL, so the aggregate is order-independent —
+    // no float-accumulation drift between engines.
+    QDef("x15_unigram_logprob",
+      (s, d) => {
+        val e = docsWithToks(s, d)
+          .select(col("source"), explode(col("toks")).as("tok"))
+        val u = e.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val tot = e.agg(count(lit(1)).cast(DoubleType).as("tot"))
+        e.join(u, "tok").crossJoin(broadcast(tot))
+          .selectExpr("source",
+            "cast(round(-ln(cnt / tot), 6) AS decimal(20,6)) AS sp")
+          .groupBy("source").agg(
+            count(lit(1)).as("n_tokens"),
+            round(sum(col("sp")).cast(DoubleType) / count(lit(1)), 6)
+              .as("avg_surprise"))
+          .orderBy("source")
+      },
+      Some(s"WITH e AS (SELECT source, unnest($toksD) AS tok FROM documents), " +
+        "u AS (SELECT tok, count(*) AS cnt FROM e GROUP BY tok), " +
+        "tot AS (SELECT count(*) AS tot FROM e), " +
+        "sc AS (SELECT e.source, " +
+        "CAST(round(-ln(cnt * 1.0 / tot), 6) AS DECIMAL(20,6)) AS sp " +
+        "FROM e JOIN u USING (tok), tot) " +
+        "SELECT source, count(*) AS n_tokens, " +
+        "round(CAST(sum(sp) AS DOUBLE) / count(*), 6) AS avg_surprise " +
+        "FROM sc GROUP BY source ORDER BY source")),
+
     // X13 eval-set decontamination — the benchmark-leakage check every
     // training pipeline runs before a corpus ships: a held-out eval set
     // (here the deterministic doc_id % 97 slice) is joined to the
