@@ -369,8 +369,11 @@ object Pipeline {
     // no float-accumulation drift between engines.
     QDef("x15_unigram_logprob",
       (s, d) => {
+        // persisted: three consumers (the scoring join, the vocab agg,
+        // the corpus total) would each recompute the explode otherwise
         val e = docsWithToks(s, d)
           .select(col("source"), explode(col("toks")).as("tok"))
+          .persist()
         val u = e.groupBy("tok").agg(count(lit(1)).as("cnt"))
         val tot = e.agg(count(lit(1)).cast(DoubleType).as("tot"))
         e.join(u, "tok").crossJoin(broadcast(tot))

@@ -210,6 +210,22 @@ class PlanSpec extends SparkSpec {
       !s.contains("BroadcastNestedLoopJoin"), s.take(2000))
   }
 
+  test("chunking fans out map-side: Generate below every exchange") {
+    val s = planString("x14_chunk_windows")
+    val gen = s.indexOf("Generate")
+    val exch = s.indexOf("Exchange")
+    assert(gen >= 0, s.take(1000))
+    assert(exch === -1 || exch < gen,
+      "chunk fan-out must run in the scan stage\n" + s.take(2000))
+  }
+
+  test("unigram scoring broadcasts the vocab table, never goes cartesian") {
+    val s = planString("x15_unigram_logprob")
+    assert(s.contains("BroadcastHashJoin"),
+      "vocab-bounded frequency table must broadcast\n" + s.take(2000))
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+  }
+
   test("stratified sampling is map-only until the final aggregate") {
     val s = planString("x9_stratified_sample")
     assert("Exchange hashpartitioning".r.findAllIn(s).size <= 1,
