@@ -75,6 +75,25 @@ class SqlCatalogSpec extends SparkSpec {
     assert(fresh.read("t").orderBy("id").as[Int].collect() === Array(3, 4, 5))
   }
 
+  test("tags persist as database rows and pin vacuum on the SQL backend") {
+    val cat = dsnLake()
+    cat.createTable("t", StructType(Seq(StructField("id", IntegerType))))
+    (1 to 4).foreach(i => cat.insert("t", Seq(i).toDF("id")))   // v2..v5
+    cat.tag("baseline", 3)                                      // v6
+    cat.insert("t", Seq(5).toDF("id"))                          // v7
+    cat.vacuum(keepLast = 2)
+    // a FRESH catalog over the DSN resolves the tag from database rows
+    val dsn = s"jdbc:derby:${cat.root}/catalog_db"
+    val fresh = new LakeCatalog(spark, cat.root, Some(dsn))
+    assert(fresh.resolveRef("baseline") === 3)
+    assert(fresh.readTag("t", "baseline").as[Int].collect().sorted
+      === Array(1, 2))
+    intercept[Exception] { fresh.readAt("t", 2).count() }
+    // snapshot feed shows the retention hole truthfully
+    assert(fresh.snapshots().select("snapshot_id").as[Long].collect().sorted
+      === Array(3L, 6L, 7L))
+  }
+
   test("catalog migrates losslessly between file and SQL backends") {
     val fileCat = new LakeCatalog(spark, tmpDir("file_lake"))
     fileCat.createTable("m", StructType(Seq(
