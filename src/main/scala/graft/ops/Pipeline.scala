@@ -680,6 +680,70 @@ object Pipeline {
         "string_agg(id::VARCHAR, ',' ORDER BY id) AS members " +
         "FROM lbl GROUP BY 1 HAVING count(*) > 1 ORDER BY cluster_id")),
 
+    // DD7 survivor selection — the decision step after clustering: each
+    // near-dup cluster keeps its HIGHEST-QUALITY member (the production
+    // rule — min-id is an arbitrary tiebreak; quality-aware selection
+    // keeps the best copy of every duplicated document). Clusters come
+    // from the dd6 component labels; quality is the x2 composite, ROUNDED
+    // to 6 decimals before ranking so the ordering key is bit-identical
+    // across engines; unclustered docs are their own singleton. One extra
+    // window over the cluster key on top of dd6's plan.
+    QDef("dd7_survivor_select",
+      (s, d) => {
+        val bands = minhashBands(docShinglesX(s, d)).persist()
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+        val labels = connectedComponents(cand)
+          .withColumnRenamed("id", "doc_id")
+        val scored = docsWithToks(s, d).selectExpr(
+          "doc_id", "source", "cast(size(toks) AS bigint) AS n_tokens",
+          "round(0.4e0 * least(1.0e0, cast(size(toks) AS double) / 40.0e0) + " +
+            "0.3e0 * (cast(size(array_distinct(toks)) AS double) / size(toks)) + " +
+            "0.3e0 * (1.0e0 - cast(size(filter(toks, t -> t IN " +
+            "('the','a','of','and','to'))) AS double) / size(toks)), 6) AS score")
+        val withCluster = scored.join(labels, Seq("doc_id"), "left")
+          .withColumn("cluster", coalesce(col("lbl"), col("doc_id")))
+        val surv = withCluster
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("cluster")
+              .orderBy(col("score").desc, col("doc_id"))))
+          .filter(col("rn") === 1)
+        surv.groupBy("source").agg(
+          count(lit(1)).as("n_survivors"),
+          sum("n_tokens").as("survivor_tokens"),
+          round(sum(col("score").cast(DecimalType(20, 6))).cast(DoubleType) /
+            count(lit(1)), 6).as("avg_score"))
+          .orderBy("source")
+      },
+      Some(s"WITH RECURSIVE $bandsD, " +
+        "cand AS (SELECT DISTINCT a.doc_id d1, b.doc_id d2 " +
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig " +
+        "AND a.doc_id < b.doc_id), " +
+        "edges AS (SELECT d1 AS src, d2 AS dst FROM cand " +
+        "UNION ALL SELECT d2, d1 FROM cand), " +
+        "reach(src, dst) AS (SELECT DISTINCT src, src FROM edges " +
+        "UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src), " +
+        "lbl AS (SELECT src AS doc_id, min(dst) AS lbl FROM reach GROUP BY src), " +
+        "scored AS (SELECT doc_id, source, len(toks)::BIGINT AS n_tokens, " +
+        "round(0.4e0 * least(1.0e0, len(toks)::DOUBLE / 40.0e0) + " +
+        "0.3e0 * (len(list_distinct(toks))::DOUBLE / len(toks)) + " +
+        "0.3e0 * (1.0e0 - len(list_filter(toks, t -> t IN " +
+        "('the','a','of','and','to')))::DOUBLE / len(toks)), 6) AS score " +
+        s"FROM (SELECT doc_id, source, $toksD AS toks FROM documents)), " +
+        "wc AS (SELECT s.*, coalesce(l.lbl, s.doc_id) AS cluster " +
+        "FROM scored s LEFT JOIN lbl l USING (doc_id)), " +
+        "surv AS (SELECT * FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY cluster ORDER BY score DESC, doc_id) AS rn FROM wc) " +
+        "WHERE rn = 1) " +
+        "SELECT source, count(*) AS n_survivors, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS survivor_tokens, " +
+        "round(CAST(sum(CAST(score AS DECIMAL(20,6))) AS DOUBLE) / count(*), 6) " +
+        "AS avg_score " +
+        "FROM surv GROUP BY source ORDER BY source")),
+
     // -------------------------------------------------- similarity search
     // SS1 brute-force cosine top-k: small query set × full table, window
     // rank per query. The baseline every ANN variant is measured against.

@@ -81,6 +81,18 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("survivor selection keeps exactly one doc per cluster, best first") {
+    import spark.implicits._
+    val nDocs = Tables.documents(spark, d).count()
+    val clusters = run("dd6_dedup_clusters").collect()
+    val clustered = clusters.map(_.getAs[Long]("n_members")).sum
+    val nClusters = clusters.length
+    val survivors = run("dd7_survivor_select")
+      .agg(org.apache.spark.sql.functions.sum("n_survivors")).head().getLong(0)
+    // every cluster keeps exactly one; singletons keep themselves
+    assert(survivors === nDocs - clustered + nClusters)
+  }
+
   test("quantized re-rank: ordered ranks, shortlist never beats brute force") {
     import spark.implicits._
     val sq = run("ss4_sq_rerank")
