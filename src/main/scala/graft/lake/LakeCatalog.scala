@@ -422,8 +422,11 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     val cutoff = math.max(1L, cur - keepLast + 1)
     // tagged snapshots are PINNED: expiry skips them (the Iceberg
     // expire-snapshots-retains-refs contract), so a tagged training
-    // corpus stays reproducible however far history rolls forward
-    val pinned = current.refs.values.toSet
+    // corpus stays reproducible however far history rolls forward.
+    // Intersected with the available set defensively — a ref that
+    // somehow points at a missing manifest must not break vacuum.
+    val avail = store.availableVersions().toSet
+    val pinned = current.refs.values.toSet.intersect(avail)
     val keptVs = ((cutoff to cur) ++ pinned.filter(_ < cutoff)).distinct.sorted
     val keptSnaps = keptVs.map(snapshot)
     // normalize through absPath so both relative and (legacy) absolute

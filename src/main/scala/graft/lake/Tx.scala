@@ -168,19 +168,19 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     change("tables_dropped", name)
   }
 
-  // ------------------------------------------------- streaming exactly-once
+  // --------------------------------------------------------- snapshot tags
 
-  /** Has a stream batch tag already been committed in the base history?
-    * O(1) metadata — headers ride in every snapshot document. */
   /** Tag a snapshot with a stable name (Iceberg-style ref): the tag rides
     * the catalog snapshot like views do, resolves in `readTag`, and — the
     * operational point — PINS its snapshot through vacuum, so "the corpus
     * we trained run 47 on" stays reproducible while untagged history is
-    * expired. */
+    * expired. Membership (not a min bound) guards the target: tag-retained
+    * vacuums leave HOLES in the version sequence, and a tag pointing into
+    * a hole would be unreadable and would break later vacuums. */
   def tag(name: String, version: Long): Unit = {
     require(version >= 1 && version <= base.snapshotId,
       s"tag target $version outside committed range [1, ${base.snapshotId}]")
-    require(version >= cat.store.minAvailableVersion(),
+    require(cat.store.availableVersions().contains(version),
       s"tag target $version already expired")
     tagRefs(name) = version
     change("tags_created", name)
@@ -192,6 +192,10 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     change("tags_dropped", name)
   }
 
+  // ------------------------------------------------- streaming exactly-once
+
+  /** Has a stream batch tag already been committed in the base history?
+    * O(1) metadata — headers ride in every snapshot document. */
   def streamBatchApplied(tag: String): Boolean =
     base.history.exists(_.changes.getOrElse("stream_batches", Nil).contains(tag))
 
@@ -400,6 +404,9 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     flushInlined(table)
     val st = state(table)
     require(cols.size >= 2, "zorder needs >= 2 columns (use cluster for 1)")
+    // 16 bits per key x 4 keys = the 64-bit z-key budget; shiftleft wraps
+    // shift amounts mod 64, so more columns would silently alias bits
+    require(cols.size <= 4, "zorder supports at most 4 columns")
     require(cols.forall(c => st.columns.exists(_.name == c)),
       s"zorder columns must exist on $table")
     if (st.files.isEmpty) return

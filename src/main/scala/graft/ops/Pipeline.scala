@@ -132,6 +132,11 @@ object Pipeline {
     }
     sym.unpersist()
     e.unpersist()
+    // never return silently-truncated components: a cluster graph deeper
+    // than the round cap means wrong (split) clusters downstream
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $rounds rounds")
     labels
   }
 
@@ -407,9 +412,12 @@ object Pipeline {
     // never corpus x eval.
     QDef("x13_decontaminate",
       (s, d) => {
+        // persisted: both join sides (train + eval) derive from it — the
+        // dd2/dd3 convention for the shingle extraction's consumers
         val shd = docShinglesX(s, d)
           .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
           .filter(col("df") <= 64).drop("df")
+          .persist()
         val ev = shd.filter(col("doc_id") % 97 === 0)
         val tr = shd.filter(col("doc_id") % 97 =!= 0)
         val perTrain = tr.as("t").join(ev.as("e"), col("t.s") === col("e.s"))

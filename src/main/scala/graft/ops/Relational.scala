@@ -65,8 +65,10 @@ object Relational {
     // doubles survive because Spark writes shortest-round-trip reprs.
     QDef("s9_csv_roundtrip",
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_csv_").toString
+        // deterministic per-SF path + overwrite: repeated bench/verify
+        // runs replace the dump instead of accumulating temp dirs
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
         T.supplier(s, d)
           .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
           .write.mode("overwrite").option("header", "true").csv(dir)
@@ -91,8 +93,8 @@ object Relational {
     // format path, not raw write volume.
     QDef("s10_jsonl_roundtrip",
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_jsonl_").toString
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
         T.orders(s, d)
           .filter(col("o_orderkey") % 4 === 0)
           .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))

@@ -443,6 +443,9 @@ class LakeSpec extends SparkSpec {
       === Array(3L, 7L, 8L))
     // its data files survived blob/file GC too: the tagged read scans
     assert(cat.readAt("t", 3).count() === 2)
+    // tagging INTO the retention hole is refused (v4 is expired even
+    // though v3 below it survives — membership, not a min bound)
+    intercept[IllegalArgumentException] { cat.tag("in-hole", 4) }
     // releasing the tag lets the next vacuum expire it
     cat.dropTag("trained-on")
     cat.vacuum(keepLast = 2)

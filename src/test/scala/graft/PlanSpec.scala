@@ -166,11 +166,13 @@ class PlanSpec extends SparkSpec {
   test("explode runs as a Generate inside the scan stage (no pre-shuffle)") {
     val s = planString("f17_explode_words")
     assert(s.contains("Generate"), s.take(1000))
-    // fan-out happens map-side; the only exchange is for the aggregate
+    // fan-out happens map-side: EVERY exchange must print above (before)
+    // the Generate in the root-first tree — lastIndexOf, so a shuffle
+    // inserted between scan and fan-out can't hide behind the agg's
     val gen = s.indexOf("Generate")
-    val exch = s.indexOf("Exchange")
+    val exch = s.lastIndexOf("Exchange")
     assert(exch < gen || exch === -1,
-      "Generate must sit below the first exchange (map-side fan-out)\n" +
+      "Generate must sit below every exchange (map-side fan-out)\n" +
         s.take(2000))
   }
 
@@ -201,19 +203,44 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s.take(2000))
   }
 
-  test("dedup clustering converges with hash-join label propagation") {
-    // the per-round join (labels x edges) must stay a hash join — a
-    // nested-loop here would be O(V x E) per round at corpus scale
-    val df = SparkEntry.queries("dd6_dedup_clusters")(spark, d)
-    val s = df.queryExecution.executedPlan.toString()
-    assert(!s.contains("CartesianProduct") &&
-      !s.contains("BroadcastNestedLoopJoin"), s.take(2000))
+  test("dedup clustering: NO executed job goes cartesian (listener audit)") {
+    // the returned frame's plan is truncated by localCheckpoint, so the
+    // per-round propagation joins are invisible to a plan-string check —
+    // capture EVERY query execution during the run instead (checkpoint
+    // materialization goes through withAction, so each round reports)
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString())
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      SparkEntry.queries("dd6_dedup_clusters")(spark, d).collect()
+      // listener delivery is async: wait for the plan feed to go quiet
+      val deadline = System.currentTimeMillis() + 10000
+      var last = -1
+      while (System.currentTimeMillis() < deadline && plans.size() != last) {
+        last = plans.size(); Thread.sleep(300)
+      }
+    } finally spark.listenerManager.unregister(listener)
+    assert(plans.size() > 0, "listener captured no executed plans")
+    import scala.jdk.CollectionConverters._
+    plans.asScala.foreach { p =>
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        "a dd6 job went cartesian/nested-loop\n" + p.take(1500))
+    }
   }
 
   test("chunking fans out map-side: Generate below every exchange") {
     val s = planString("x14_chunk_windows")
     val gen = s.indexOf("Generate")
-    val exch = s.indexOf("Exchange")
+    val exch = s.lastIndexOf("Exchange")
     assert(gen >= 0, s.take(1000))
     assert(exch === -1 || exch < gen,
       "chunk fan-out must run in the scan stage\n" + s.take(2000))
