@@ -833,6 +833,60 @@ object LakeScenarios {
                CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         FROM corpus GROUP BY source ORDER BY source""")),
 
+    // L19 — incremental FUZZY ingest: the production corpus loop with
+    // near-dup (not just exact) cross-batch dedup. The lake stores the
+    // corpus AND its MinHash band signatures as two tables; a new batch
+    // computes its own signatures, probes the STORED band table (hash
+    // join on the band key — the corpus is never re-shingled), and the
+    // surviving docs + their signatures land in ONE atomic multi-table
+    // commit, so the corpus and its index can never drift. Docs 200-299
+    // arrive as exact replays (all bands match themselves); some ≥300
+    // are planted near-dups of corpus docs and are caught by shared
+    // band buckets. Oracle: the same band algebra replayed as CTEs.
+    QDef("l19_fuzzy_ingest",
+      (s, d) => {
+        val cat = freshLake(s)
+        val bandsAll = Pipeline.minhashBands(Pipeline.docShinglesX(s, d))
+          .persist()
+        val docs = T.documents(s, d)
+          .selectExpr("doc_id", "source", "cast(n_chars AS bigint) AS n_chars")
+        cat.transaction { tx =>
+          tx.createTableAs("corpus", docs.filter(col("doc_id") < 300))
+          tx.createTableAs("corpus_sig",
+            bandsAll.filter(col("doc_id") < 300))
+        }
+        val batch = docs.filter(col("doc_id") >= 200)
+        val batchSig = bandsAll.filter(col("doc_id") >= 200)
+        val dupIds = batchSig.as("b")
+          .join(cat.read("corpus_sig").as("c"),
+            col("b.band") === col("c.band") && col("b.bsig") === col("c.bsig"))
+          .select(col("b.doc_id")).distinct()
+        val fresh = batch.join(dupIds, Seq("doc_id"), "left_anti")
+        val freshSig = batchSig.join(dupIds, Seq("doc_id"), "left_anti")
+        cat.transaction { tx =>
+          tx.insert("corpus", fresh)
+          tx.insert("corpus_sig", freshSig)
+        }
+        cat.read("corpus")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("sum_ids"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("source")
+      }, Some(s"WITH ${Pipeline.bandsD}, " +
+        "base AS (SELECT doc_id FROM documents WHERE doc_id < 300), " +
+        "batch AS (SELECT doc_id FROM documents WHERE doc_id >= 200), " +
+        "dup AS (SELECT DISTINCT b.doc_id FROM bands b " +
+        "JOIN bands c ON b.band = c.band AND b.bsig = c.bsig " +
+        "AND c.doc_id < 300 WHERE b.doc_id >= 200), " +
+        "corpus AS (SELECT doc_id FROM base UNION ALL " +
+        "SELECT doc_id FROM batch WHERE doc_id NOT IN (SELECT doc_id FROM dup)) " +
+        "SELECT d.source, count(*) AS n_docs, " +
+        "CAST(sum(d.doc_id) AS BIGINT) AS sum_ids, " +
+        "CAST(sum(d.n_chars) AS BIGINT) AS sum_chars " +
+        "FROM corpus JOIN documents d USING (doc_id) " +
+        "GROUP BY d.source ORDER BY d.source")),
+
     // T6 — engine introspection as DataFrames (ref exploration/
     // ducklake_analysis.sh:186-191: duckdb_functions()/duckdb_settings()).
     // The settings probe reports PRESENCE (set/unset), not the value —

@@ -59,7 +59,7 @@ object Pipeline {
     * the HOF version of the dd* queries took 30-300s at sf0.1, this shape
     * takes seconds. Docs with <3 tokens yield no shingles (as in the
     * array formulation). */
-  private def docShinglesX(s: SparkSession, d: String): DataFrame = {
+  private[ops] def docShinglesX(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     T.documents(s, d)
       .select(col("doc_id"),
@@ -84,7 +84,7 @@ object Pipeline {
     * min() columns (single shuffle on doc_id, no per-element lambdas),
     * banded 4×4 → (doc_id, band, bsig). Shared by dd3 (verify-then-emit
     * pairs) and dd6 (cluster the candidate graph). */
-  private def minhashBands(shd: DataFrame): DataFrame = {
+  private[ops] def minhashBands(shd: DataFrame): DataFrame = {
     val h = shd.select(col("doc_id"),
       expr(s"${h32s.format("s")} % $P").as("h"))
     val minCols = (0 until 16).map(i =>
@@ -141,7 +141,7 @@ object Pipeline {
   }
 
   /** The dd3/dd6 oracle's band CTEs (bit-exact mirror of minhashBands). */
-  private val bandsD =
+  private[ops] val bandsD =
     s"sigs AS (SELECT doc_id, " +
       s"list_transform(range(0, 16), i -> list_min(list_transform(hv, " +
       s"h -> ((1 + i * 7919) * h + 7 + i * 104729) % $P))) AS sig " +
