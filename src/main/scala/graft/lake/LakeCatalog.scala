@@ -193,11 +193,15 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     * for the whole feed, not one per version. */
   def snapshots(): DataFrame = {
     import spark.implicits._
-    // expired versions vanish from the feed too (vacuum deleted their
-    // manifests — listing unreadable history would be a lie). Membership,
-    // not a min bound: tag retention leaves holes in the sequence.
-    val avail = store.availableVersions().toSet
-    current.history.filter(h => avail.contains(h.snapshotId)).map { h =>
+    // expired versions vanish from the feed too (they are unreadable —
+    // listing them would be a lie). Resolved from the expiry LEDGER in
+    // the current snapshot, so the feed is one metadata read and is
+    // consistent even mid-vacuum (logically expired but not yet
+    // physically deleted versions are already hidden). Membership, not a
+    // min bound: tag retention leaves holes in the sequence.
+    val head = current
+    val expired = head.expiredVersions
+    head.history.filterNot(h => expired.contains(h.snapshotId)).map { h =>
       (h.snapshotId, new java.sql.Timestamp(h.timestampMs), h.schemaVersion,
         h.changes.map { case (k, vs) => k -> vs.mkString(",") })
     }.toDF("snapshot_id", "snapshot_time", "schema_version", "changes")
@@ -390,6 +394,10 @@ class LakeCatalog(val spark: SparkSession, val root: String,
 
   def dropTag(name: String): Unit = transaction(_.dropTag(name))
 
+  /** Deliberately re-point an existing tag — see [[Tx.replaceTag]]. */
+  def replaceTag(name: String, version: Long): Unit =
+    transaction(_.replaceTag(name, version))
+
   /** Compaction: fold a table's many small files into size-targeted ones —
     * the maintenance half of the small-file story (M8 — ref
     * demos/04_small_file_optimization/FINDINGS.md:21-27). */
@@ -409,37 +417,61 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     transaction(_.zorder(table, cols, targetFileBytes))
 
   /** Snapshot expiry + orphan cleanup (the `expire_snapshots`/vacuum
-    * maintenance op): drop manifests older than the `keepLast` most
-    * recent snapshots and delete data files no kept snapshot references.
+    * maintenance op), in two phases:
+    *
+    * 1. The expiry DECISION commits through the same OCC publish as any
+    *    transaction (the Iceberg expire-snapshots model): which versions
+    *    die is recorded in the new snapshot's change ledger. Tagged
+    *    snapshots are PINNED — expiry skips them (the
+    *    expire-snapshots-retains-refs contract). A racing tag() either
+    *    commits first (this commit loses the publish race, re-runs, and
+    *    honors the new pin) or re-runs on a base whose ledger already
+    *    names the expired target and is refused — a snapshot can never
+    *    be pinned and deleted at once.
+    * 2. Physical GC then deletes exactly the ledger-expired versions:
+    *    manifests first (crash mid-vacuum leaves orphan FILES — harmless,
+    *    re-collected by the next run off the ledger — never dangling
+    *    SNAPSHOTS), then unreferenced blobs and data files.
+    *
     * Time travel to expired versions then fails (by design); current
-    * reads are untouched. Deletion order is crash-safe: manifests go
-    * first, so a crash mid-vacuum leaves orphan FILES (harmless,
-    * re-collectable) never dangling SNAPSHOTS. */
-  def vacuum(keepLast: Int = 10): Unit = {
+    * reads are untouched. Data files referenced by NO snapshot at all
+    * (staged by an in-flight or crashed transaction) are only collected
+    * once older than `orphanGraceMs`, so a slow concurrent writer's
+    * staged-but-unpublished files survive the sweep. */
+  def vacuum(keepLast: Int = 10, orphanGraceMs: Long = 60L * 60 * 1000): Unit = {
     require(keepLast >= 1, "must keep at least the current snapshot")
-    val cur = currentVersion
-    if (cur == 0) return
-    val cutoff = math.max(1L, cur - keepLast + 1)
-    // tagged snapshots are PINNED: expiry skips them (the Iceberg
-    // expire-snapshots-retains-refs contract), so a tagged training
-    // corpus stays reproducible however far history rolls forward.
-    // Intersected with the available set defensively — a ref that
-    // somehow points at a missing manifest must not break vacuum.
-    val avail = store.availableVersions().toSet
-    val pinned = current.refs.values.toSet.intersect(avail)
-    val keptVs = ((cutoff to cur) ++ pinned.filter(_ < cutoff)).distinct.sorted
-    val keptSnaps = keptVs.map(snapshot)
-    // normalize through absPath so both relative and (legacy) absolute
-    // manifest entries compare correctly
-    val live = keptSnaps
-      .flatMap(_.tables.values.flatMap(_.files.map(e =>
+    if (currentVersion == 0) return
+    val startMs = System.currentTimeMillis()
+    // phase 1: commit the decision (skip the empty snapshot when there
+    // is nothing new to expire — GC below still re-collects leftovers)
+    object NothingToExpire extends Exception
+    try transaction { tx =>
+      if (tx.expireSnapshots(keepLast).isEmpty) throw NothingToExpire
+    } catch { case NothingToExpire => () }
+    // phase 2: physical GC, driven by the committed ledger
+    val head = current
+    val expired = head.expiredVersions
+    val toDelete = store.availableVersions().filter(expired.contains).sorted
+    // capture the dead snapshots' file sets before their manifests go:
+    // those files are KNOWN garbage (committed, then expired) and are
+    // deleted regardless of age; grace only protects never-referenced
+    // paths. Normalized through absPath so relative and (legacy)
+    // absolute manifest entries compare correctly.
+    val deadFiles = toDelete.flatMap(v =>
+      snapshot(v).tables.values.flatMap(_.files.map(e =>
         absPath(e.path).toUri.getPath))).toSet
-    (1L until cutoff).filterNot(pinned.contains).foreach { v =>
+    toDelete.foreach { v =>
       store.deleteVersion(v)
       snapCache.remove(v)
     }
     // blobs only kept snapshots reference stay; expired-only blobs go
-    store.gcBlobs(keptSnaps)
+    // (bounded at this vacuum's head version so a concurrent writer's
+    // staged blobs for a newer commit are never swept)
+    val keptSnaps = store.availableVersions().sorted.map(snapshot)
+    store.gcBlobs(keptSnaps, head.snapshotId)
+    val live = keptSnaps
+      .flatMap(_.tables.values.flatMap(_.files.map(e =>
+        absPath(e.path).toUri.getPath))).toSet
     // walk <root>/<table>/data/** and drop parquet files no kept
     // snapshot references (also catches dirs from dropped tables)
     val rootPath = fs.makeQualified(new Path(root))
@@ -447,11 +479,14 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     if (fs.exists(rootPath)) {
       val it = fs.listFiles(rootPath, true)
       while (it.hasNext) {
-        val f = it.next().getPath
+        val fst = it.next()
+        val f = fst.getPath
         val abs = f.toUri.getPath
         val rel = abs.stripPrefix(rootStr).stripPrefix("/")
         val isData = rel.contains("/data/") && !rel.startsWith("_manifest")
-        if (isData && rel.endsWith(".parquet") && !live.contains(abs))
+        if (isData && rel.endsWith(".parquet") && !live.contains(abs) &&
+            (deadFiles.contains(abs) ||
+              fst.getModificationTime < startMs - orphanGraceMs))
           fs.delete(f, false)
       }
     }

@@ -119,7 +119,19 @@ final case class Snapshot(
     tables: Map[String, TableState],
     views: Map[String, String],           // view name -> SQL text
     history: Seq[SnapHeader] = Nil,       // headers of v1..this, in order
-    refs: Map[String, Long] = Map.empty)  // tag name -> snapshot id
+    refs: Map[String, Long] = Map.empty) { // tag name -> snapshot id
+  /** Expiry ledger: every version a committed vacuum has expired, read
+    * from the O(1)-per-version header history. This — not a live store
+    * listing — is what tag() validates against: expiry decisions ride
+    * the same OCC snapshot chain as tags, so the two serialize instead
+    * of racing (a tag either commits before the expiry snapshot, which
+    * then retries and sees the pin, or after, on a base whose ledger
+    * already names the expired target). */
+  def expiredVersions: Set[Long] =
+    history.iterator
+      .flatMap(_.changes.getOrElse("snapshots_expired", Nil))
+      .map(_.toLong).toSet
+}
 
 /** Typed comparisons over the string-encoded file stats. Only types whose
   * string casts order-compare safely are harvested (integral, double,
@@ -294,10 +306,16 @@ trait ManifestStore {
   }
 
   /** Blob GC for vacuum: delete every blob not referenced by `kept`
-    * snapshots (and evict it from the cache). */
-  final def gcBlobs(kept: Seq[Snapshot]): Unit = {
+    * snapshots (and evict it from the cache). Blob names embed the
+    * version that wrote them (`b<v>-…`); only blobs from versions
+    * <= `maxVersion` are candidates, so a concurrent writer staging
+    * blobs for a NEWER commit can never have them swept mid-publish. */
+  final def gcBlobs(kept: Seq[Snapshot], maxVersion: Long): Unit = {
     val live = kept.flatMap(_.tables.values.flatMap(_.blobs)).toSet
-    listBlobNames().filterNot(live.contains).foreach(dropBlob)
+    listBlobNames().filter { n =>
+      val v = n.stripPrefix("b").takeWhile(_.isDigit)
+      v.nonEmpty && v.toLong <= maxVersion && !live.contains(n)
+    }.foreach(dropBlob)
   }
 }
 

@@ -178,18 +178,55 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     * vacuums leave HOLES in the version sequence, and a tag pointing into
     * a hole would be unreadable and would break later vacuums. */
   def tag(name: String, version: Long): Unit = {
+    require(!tagRefs.contains(name),
+      s"tag already exists: $name (dropTag it or use replaceTag — silent " +
+        "re-pointing would release the old snapshot's vacuum pin)")
+    tagTarget(name, version)
+    change("tags_created", name)
+  }
+
+  /** Explicitly re-point an existing tag (the Iceberg replace-tag
+    * contract): the OLD target loses its vacuum pin, so this is a
+    * deliberate separate verb, never an accidental overwrite. */
+  def replaceTag(name: String, version: Long): Unit = {
+    require(tagRefs.contains(name), s"no such tag: $name")
+    tagTarget(name, version)
+    change("tags_replaced", name)
+  }
+
+  /** Shared target validation: committed range + the base snapshot's
+    * expiry LEDGER (not a live store listing — the listing races vacuum's
+    * physical deletion; the ledger serializes through OCC publish). */
+  private def tagTarget(name: String, version: Long): Unit = {
     require(version >= 1 && version <= base.snapshotId,
       s"tag target $version outside committed range [1, ${base.snapshotId}]")
-    require(cat.store.availableVersions().contains(version),
+    require(!base.expiredVersions.contains(version),
       s"tag target $version already expired")
     tagRefs(name) = version
-    change("tags_created", name)
   }
 
   def dropTag(name: String): Unit = {
     require(tagRefs.contains(name), s"no such tag: $name")
     tagRefs.remove(name)
     change("tags_dropped", name)
+  }
+
+  /** The DECISION half of vacuum: record expiry of every unpinned
+    * snapshot older than the `keepLast` most recent into this commit's
+    * change ledger. Because the decision publishes through the same OCC
+    * swap as every transaction, a racing tag() either commits first
+    * (this commit loses the race, re-runs, and sees the new pin) or
+    * re-runs on a base that already carries the expiry and refuses the
+    * target — a snapshot can never be both pinned and expired. Physical
+    * deletion happens AFTER the commit, in [[LakeCatalog.vacuum]]. */
+  private[lake] def expireSnapshots(keepLast: Int): Seq[Long] = {
+    val cutoff = math.max(1L, base.snapshotId - keepLast + 1)
+    val already = base.expiredVersions
+    val pinned = tagRefs.values.toSet
+    val es = (1L until cutoff)
+      .filterNot(v => already.contains(v) || pinned.contains(v))
+    es.foreach(v => change("snapshots_expired", v.toString))
+    es
   }
 
   // ------------------------------------------------- streaming exactly-once
@@ -404,11 +441,19 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     flushInlined(table)
     val st = state(table)
     require(cols.size >= 2, "zorder needs >= 2 columns (use cluster for 1)")
-    // 16 bits per key x 4 keys = the 64-bit z-key budget; shiftleft wraps
-    // shift amounts mod 64, so more columns would silently alias bits
     require(cols.size <= 4, "zorder supports at most 4 columns")
     require(cols.forall(c => st.columns.exists(_.name == c)),
       s"zorder columns must exist on $table")
+    // z-bucketing is min-max arithmetic: a non-numeric column casts to
+    // NULL for every row and the rewrite would silently degenerate to one
+    // unordered partition — refuse instead
+    cols.foreach { c =>
+      val cd = st.columns.find(_.name == c).get
+      require(DataType.fromJson(cd.typeJson).isInstanceOf[NumericType],
+        s"zorder column $table.$c must be numeric " +
+          s"(got ${DataType.fromJson(cd.typeJson).simpleString}); " +
+          "cast dates/timestamps to a numeric column first")
+    }
     if (st.files.isEmpty) return
     val df0 = read(table)
     // min/max bounds per key, one distributed agg
@@ -417,14 +462,21 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
         max(col(c)).cast(DoubleType).as(s"mx_$c")))
     val row = df0.agg(aggs.head, aggs.tail: _*).head()
     val k = cols.size
+    // the interleaved key must stay inside the SIGNED 63-bit budget of
+    // the BIGINT sort key — bit 63 is the sign bit, and a bucket MSB
+    // landing there would invert ordering for the top half of that
+    // dimension. Max bit index is (bits-1)*k + (k-1): 16 bits/key is safe
+    // for 2-3 keys (<= 47), 4 keys drop to 15 bits/key (= 59).
+    val bits = if (k == 4) 15 else 16
+    val bmax = (1L << bits) - 1
     val bucketExprs = cols.zipWithIndex.map { case (c, i) =>
       val mn = row.getAs[Double](s"mn_$c")
       val mx = row.getAs[Double](s"mx_$c")
       val span = if (mx > mn) mx - mn else 1.0
-      s"greatest(0L, least(65535L, cast((cast(`$c` AS double) - $mn) " +
-        s"* 65535.0 / $span AS bigint))) AS __b$i"
+      s"greatest(0L, least(${bmax}L, cast((cast(`$c` AS double) - $mn) " +
+        s"* $bmax.0 / $span AS bigint))) AS __b$i"
     }
-    val zbits = (for (j <- 0 until 16; i <- 0 until k)
+    val zbits = (for (j <- 0 until bits; i <- 0 until k)
       yield s"(shiftleft(shiftright(__b$i, $j) & 1, ${j * k + i}))")
       .mkString(" + ")
     val total = st.files.map(_.sizeBytes).sum

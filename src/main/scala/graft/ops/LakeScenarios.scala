@@ -610,11 +610,14 @@ object LakeScenarios {
           .filter(col("table_name") === "t")
           .selectExpr("cast(file_count AS bigint)").as[Long].head()
         cat.vacuum(keepLast = 2)
+        // the expiry decision itself is an OCC commit, so the feed gains
+        // one snapshot: keepLast=2 of the 6-commit chain keeps v5,v6 plus
+        // the vacuum snapshot v7
         val after = cat.snapshots().count()
         val rowsCurrent = cat.read("t").count()
         val expiredFails =
           try { cat.readAt("t", 2).count(); 0L } catch { case _: Exception => 1L }
-        val liveOk = cat.readAt("t", cat.currentVersion - 1).count()
+        val liveOk = cat.readAt("t", 5).count() // oldest kept data version
         Seq(
           ("1_snapshots_before", before),
           ("2_data_files_before", dataFilesBefore),
@@ -627,7 +630,7 @@ object LakeScenarios {
         SELECT * FROM (VALUES
           ('1_snapshots_before',   CAST(6 AS BIGINT)),
           ('2_data_files_before',  CAST(5 AS BIGINT)),
-          ('3_snapshots_after',    CAST(2 AS BIGINT)),
+          ('3_snapshots_after',    CAST(3 AS BIGINT)),
           ('4_rows_current',       CAST(5 AS BIGINT)),
           ('5_expired_read_fails', CAST(1 AS BIGINT)),
           ('6_prev_version_rows',  CAST(4 AS BIGINT)))
@@ -682,7 +685,7 @@ object LakeScenarios {
              WHERE doc_id >= 10 AND doc_id < 100)),
           ('5_expired_v1_fails', CAST(1 AS BIGINT)),
           ('6_n_refs', CAST(1 AS BIGINT)),
-          ('7_snapshots_listed', CAST(3 AS BIGINT)))
+          ('7_snapshots_listed', CAST(4 AS BIGINT)))
           t(metric, value)
         ORDER BY metric""")),
 

@@ -65,9 +65,12 @@ object Relational {
     // doubles survive because Spark writes shortest-round-trip reprs.
     QDef("s9_csv_roundtrip",
       (s, d) => {
-        // deterministic per-SF path + overwrite: repeated bench/verify
-        // runs replace the dump instead of accumulating temp dirs
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+        // per-SF path keyed by the Spark application id: stable within a
+        // session (repeated bench runs overwrite, not accumulate) but
+        // unique per process, so two concurrent bench/verify runs at the
+        // same SF never read a directory the other is truncating
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_" +
+          s"${s.sparkContext.applicationId}_csv_" +
           d.replaceAll("[^A-Za-z0-9]", "_")
         T.supplier(s, d)
           .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
@@ -93,7 +96,9 @@ object Relational {
     // format path, not raw write volume.
     QDef("s10_jsonl_roundtrip",
       (s, d) => {
-        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
+        // same per-process path scheme as s9 (see comment there)
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_" +
+          s"${s.sparkContext.applicationId}_jsonl_" +
           d.replaceAll("[^A-Za-z0-9]", "_")
         T.orders(s, d)
           .filter(col("o_orderkey") % 4 === 0)

@@ -362,17 +362,18 @@ class LakeSpec extends SparkSpec {
     val cur = cat.currentVersion // 8 snapshots
     assert(cat.readAt("t", 3).count() === 2) // history readable pre-vacuum
     cat.vacuum(keepLast = 2)
-    // expired version gone, kept + current intact
+    // expired version gone, kept + current intact; the expiry decision
+    // itself committed one extra snapshot
     intercept[Exception] { cat.readAt("t", 3).count() }
     // the snapshot feed hides expired versions (they are unreadable)
-    assert(cat.snapshots().count() === 2)
+    assert(cat.snapshots().count() === 3)
     assert(cat.snapshots().agg(org.apache.spark.sql.functions.min("snapshot_id"))
       .head().getLong(0) === cur - 1)
     assert(cat.readAt("t", cur - 1).count() === 6)
     assert(cat.read("t").orderBy("id").as[Int].collect() === Array(3, 4, 5, 6))
     // orphaned data files physically removed: every remaining parquet is
     // referenced by a kept snapshot
-    val live = (cur - 1 to cur).map(cat.snapshot)
+    val live = (cur - 1 to cur + 1).map(cat.snapshot)
       .flatMap(_.tables.values.flatMap(_.files.map(_.path))).toSet
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration())
     val it = fs.listFiles(new org.apache.hadoop.fs.Path(cat.root), true)
@@ -438,9 +439,10 @@ class LakeSpec extends SparkSpec {
     intercept[Exception] { cat.readAt("t", 4).count() }
     assert(cat.readTag("t", "trained-on").as[Int].collect().sorted === Array(1, 2))
     assert(cat.resolveRef("trained-on") === 3)
-    // the snapshot feed lists exactly the readable set (with the hole)
+    // the snapshot feed lists exactly the readable set (with the hole;
+    // v9 is the vacuum's own expiry commit)
     assert(cat.snapshots().select("snapshot_id").as[Long].collect().sorted
-      === Array(3L, 7L, 8L))
+      === Array(3L, 7L, 8L, 9L))
     // its data files survived blob/file GC too: the tagged read scans
     assert(cat.readAt("t", 3).count() === 2)
     // tagging INTO the retention hole is refused (v4 is expired even
@@ -453,6 +455,88 @@ class LakeSpec extends SparkSpec {
     intercept[Exception] { cat.resolveRef("trained-on") }
     // tagging an expired version is refused
     intercept[IllegalArgumentException] { cat.tag("too-late", 2) }
+  }
+
+  test("tag names never silently re-point; replaceTag is the explicit verb") {
+    val cat = newLake()
+    cat.createTable("t", StructType(Seq(StructField("id", IntegerType))))
+    (1 to 3).foreach(i => cat.insert("t", Seq(i).toDF("id")))   // v2..v4
+    cat.tag("baseline", 2)
+    // accidental reuse would release v2's vacuum pin — refused
+    intercept[IllegalArgumentException] { cat.tag("baseline", 3) }
+    assert(cat.resolveRef("baseline") === 2)
+    // the deliberate verb re-points (and the pin moves with it)
+    cat.replaceTag("baseline", 3)
+    assert(cat.resolveRef("baseline") === 3)
+    cat.vacuum(keepLast = 1)
+    assert(cat.readTag("t", "baseline").count() === 2) // v3 survived
+    intercept[Exception] { cat.readAt("t", 2).count() } // old target expired
+    // replaceTag on a missing tag is refused too
+    intercept[IllegalArgumentException] { cat.replaceTag("nope", 3) }
+  }
+
+  test("a tag committed during vacuum is never left dangling (OCC serializes)") {
+    // Interleave tag() and vacuum() across threads many times: whatever
+    // the timing, a tag that COMMITS must resolve to a readable snapshot
+    // — the expiry decision rides the same OCC chain, so either the
+    // vacuum retries and honors the pin, or the tag is refused outright.
+    val cat = newLake()
+    cat.createTable("t", StructType(Seq(StructField("id", IntegerType))))
+    for (round <- 1 to 4) {
+      (1 to 3).foreach(i => cat.insert("t", Seq(round * 10 + i).toDF("id")))
+      val target = cat.currentVersion - 1
+      val tagger = new Thread(() => {
+        try cat.tag(s"pin-$round", target)
+        catch { case _: IllegalArgumentException => () } // refused = fine
+      })
+      val sweeper = new Thread(() => cat.vacuum(keepLast = 1))
+      tagger.start(); sweeper.start(); tagger.join(); sweeper.join()
+      // if the tag landed, its snapshot must be fully readable
+      cat.current.refs.get(s"pin-$round").foreach { v =>
+        assert(cat.readAt("t", v).count() >= 0)
+        assert(!cat.current.expiredVersions.contains(v),
+          s"round $round: tagged v$v is in the expiry ledger")
+      }
+    }
+  }
+
+  test("zorder refuses non-numeric columns instead of silently degenerating") {
+    val cat = newLake()
+    cat.createTableAs("t", spark.range(100)
+      .selectExpr("id AS a", "concat('k', id) AS s"))
+    intercept[IllegalArgumentException] {
+      cat.zorder("t", Seq("a", "s"))
+    }
+  }
+
+  test("4-column zorder keeps the key inside the signed-bit budget") {
+    // With 16 bits/key the 4th column's MSB would land on bit 63 (the
+    // BIGINT sign bit) and invert ordering for its top half; at 15
+    // bits/key the layout must still prune on the 4th dimension.
+    val cat = newLake()
+    val df = spark.range(4096).selectExpr(
+      "id AS a",
+      "cast((id * 2654435761L) % 4096 AS bigint) AS b",
+      "cast((id * 40503L) % 4096 AS bigint) AS c",
+      "cast(4095 - id AS bigint) AS d") // full-range dimension, MSB active
+    cat.createTableAs("t", df.repartition(4))
+    cat.zorder("t", Seq("a", "b", "c", "d"), targetFileBytes = 8L << 10)
+    val nFiles = cat.tableStats()
+      .filter(col("column_name") === "a").count()
+    assert(nFiles > 2, "need several files for the pruning claim")
+    // the 4th dimension prunes: files overlapping a d-range are a strict
+    // subset (sign-bit aliasing would smear d across every file)
+    val overlapping = cat.tableStats()
+      .filter(col("column_name") === "d" &&
+        col("min_value").cast("double") <= 700.0 &&
+        col("max_value").cast("double") >= 300.0).count()
+    assert(overlapping < nFiles, "d-dimension must prune")
+    // and answers stay exact vs a full scan
+    val viaRange = cat.readRange("t", "d", "300", "700")
+      .agg(sum(col("a"))).head().getLong(0)
+    val viaScan = cat.read("t").filter(col("d") >= 300 && col("d") <= 700)
+      .agg(sum(col("a"))).head().getLong(0)
+    assert(viaRange === viaScan)
   }
 
   test("multi-environment config pattern (demo 5): per-env catalogs + migrate") {
