@@ -129,6 +129,35 @@ class LakeCatalog(val spark: SparkSession, val root: String,
         col(colName) <= lit(hi).cast(DataType.fromJson(c.typeJson)))
   }
 
+  /** Partition-key equality scan with EXACT file pruning: only files
+    * whose recorded partition-value set contains every requested value
+    * are scanned (files without a recorded set are conservatively kept).
+    * With the write path hash-clustering on the declared partition
+    * columns, a partition read touches one file per batch — hive-style
+    * partition pruning at file granularity, driven by manifest metadata
+    * instead of directory layout. Values in string form (same contract
+    * as [[readRange]]); the row-level filter stays on top so pruning can
+    * only skip work, never change answers. */
+  def readPartition(table: String, eq: Map[String, String]): DataFrame = {
+    val st = stateOf(current, table)
+    val typed = eq.map { case (cn, v) =>
+      val c = st.columns.find(_.name == cn).getOrElse(
+        throw new NoSuchElementException(s"no such column: $table.$cn"))
+      (c, v)
+    }
+    val pruned = st.copy(files = st.files.filter(f =>
+      typed.forall { case (c, v) =>
+        f.pvals.get(c.name) match {
+          case Some(vs) if vs.nonEmpty => vs.contains(v)
+          case _ => // no value set recorded: fall back to min/max, then keep
+            Stats.overlaps(f.stats.get(c.name), c, v, v)
+        }
+      }))
+    typed.foldLeft(readState(pruned)) { case (df, (c, v)) =>
+      df.filter(col(c.name) === lit(v).cast(DataType.fromJson(c.typeJson)))
+    }
+  }
+
   /** Time-travel scan by timestamp: newest snapshot at or before `tsMs`
     * (S3, `AT (TIMESTAMP => ts)` — ref demos/02_time_travel/demo.py:196). */
   def readAsOf(table: String, tsMs: Long): DataFrame =
@@ -213,9 +242,9 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     current.tables.toSeq.sortBy(_._1).map { case (name, st) =>
       (name, st.files.size.toLong, st.files.map(_.sizeBytes).sum,
         st.files.map(_.rowCount).sum + st.inlinedRowCount, st.schemaVersion,
-        st.inlinedRowCount)
+        st.inlinedRowCount, st.partitionBy.mkString(","))
     }.toDF("table_name", "file_count", "total_size_bytes", "row_count",
-      "schema_version", "inlined_rows")
+      "schema_version", "inlined_rows", "partition_by")
   }
 
   /** `ducklake_table_stats` analog (ref README.md:202-209,
@@ -341,12 +370,14 @@ class LakeCatalog(val spark: SparkSession, val root: String,
   // --------------------------------------------- single-op convenience APIs
 
   def createTable(name: String, schema: StructType,
-      primaryKey: Seq[String] = Nil, notNull: Seq[String] = Nil): Unit =
-    transaction(_.createTable(name, schema, primaryKey, notNull))
+      primaryKey: Seq[String] = Nil, notNull: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): Unit =
+    transaction(_.createTable(name, schema, primaryKey, notNull, partitionBy))
 
   /** CTAS (D2 — ref utils/ducklake_utils.py:101-111). */
-  def createTableAs(name: String, df: DataFrame): Unit =
-    transaction(_.createTableAs(name, df))
+  def createTableAs(name: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil): Unit =
+    transaction(_.createTableAs(name, df, partitionBy))
 
   def insert(table: String, df: DataFrame): Unit =
     transaction(_.insert(table, df))
@@ -499,7 +530,8 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     val snap = current
     dst.transaction { tx =>
       snap.tables.toSeq.sortBy(_._1).foreach { case (name, st) =>
-        tx.createTable(name, structOf(st.columns), st.primaryKey, st.notNull)
+        tx.createTable(name, structOf(st.columns), st.primaryKey, st.notNull,
+          st.partitionBy)
         val rows = readState(st)
         if (st.files.nonEmpty) tx.insert(name, rows)
       }

@@ -78,7 +78,13 @@ final case class FileEntry(
     sizeBytes: Long,
     rowCount: Long,
     schemaVersion: Int,      // table schema version the file was written under
-    stats: Map[String, ColStat] = Map.empty) // colName -> footer min/max
+    stats: Map[String, ColStat] = Map.empty, // colName -> footer min/max
+    // partition-column value SETS present in this file (string form,
+    // sorted; the Iceberg partition-tuple analog, generalized to a small
+    // set) — exact-membership pruning for partition-key equality, which
+    // min/max ranges can't give for hash-clustered strings. Empty =
+    // unknown -> the file is scanned (correct, never wrong).
+    pvals: Map[String, Seq[String]] = Map.empty)
 
 /** Rows stored INSIDE the manifest instead of parquet — DuckLake's
   * "optional inlining" for high-frequency small writes (ref README.md:58-63,
@@ -98,7 +104,8 @@ final case class TableState(
     notNull: Seq[String],
     nextColId: Int,
     inlined: Seq[InlineBatch] = Nil,
-    blobs: Seq[String] = Nil) {          // blob names backing `files` (bookkeeping)
+    blobs: Seq[String] = Nil,            // blob names backing `files` (bookkeeping)
+    partitionBy: Seq[String] = Nil) {    // declared partition (clustering) columns
   def columns: Seq[ColumnDef] = schemas(schemaVersion.toString)
   def columnsAt(v: Int): Seq[ColumnDef] = schemas(v.toString)
   def inlinedRowCount: Long = inlined.map(_.rows.size.toLong).sum
@@ -179,7 +186,8 @@ object Manifest {
       notNull: Seq[String],
       nextColId: Int,
       inlined: Seq[InlineBatch],
-      blobs: Seq[String])
+      blobs: Seq[String],
+      partitionBy: Seq[String] = Nil)
   private[lake] final case class SnapshotDoc(
       snapshotId: Long,
       timestampMs: Long,
@@ -257,7 +265,7 @@ trait ManifestStore {
     val tables = doc.tables.map { case (name, td) =>
       name -> TableState(td.schemaVersion, td.schemas,
         td.blobs.flatMap(loadBlob), td.primaryKey, td.notNull,
-        td.nextColId, td.inlined, td.blobs)
+        td.nextColId, td.inlined, td.blobs, td.partitionBy)
     }
     Snapshot(doc.snapshotId, doc.timestampMs, doc.schemaVersion, doc.changes,
       tables, doc.views, doc.history, doc.refs)
@@ -296,7 +304,7 @@ trait ManifestStore {
       stored.schemaVersion, stored.changes,
       storedTables.map { case (n, st) =>
         n -> TableDoc(st.schemaVersion, st.schemas, st.primaryKey,
-          st.notNull, st.nextColId, st.inlined, st.blobs)
+          st.notNull, st.nextColId, st.inlined, st.blobs, st.partitionBy)
       }, stored.views, stored.history, stored.refs)
     if (writeDocExclusive(v, Serialization.write(doc))) Some(stored)
     else {

@@ -45,22 +45,35 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
 
   // ------------------------------------------------------------------- DDL
 
-  /** D1 `CREATE TABLE` (ref demos/01_transaction_rollback/demo.py:33-55). */
+  /** D1 `CREATE TABLE` (ref demos/01_transaction_rollback/demo.py:33-55).
+    *
+    * `partitionBy` declares partition (clustering) columns: every write
+    * hash-clusters rows on them, so each partition value lands in one
+    * file per batch and the manifest's per-file min/max turn a
+    * partition-key filter into an O(matching files) read — hive-style
+    * partition pruning at file granularity, with no directory coupling
+    * (the layout is metadata + stats, not paths). At 100 TB a scan of
+    * one day/source touches that slice's files, never the table. */
   def createTable(name: String, schema: StructType,
-      primaryKey: Seq[String] = Nil, notNull: Seq[String] = Nil): Unit = {
+      primaryKey: Seq[String] = Nil, notNull: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): Unit = {
     require(!tables.contains(name), s"table already exists: $name")
+    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c not in schema"))
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
       ColumnDef(i, f.name, f.dataType.json, None)
     }.toSeq
     tables(name) = TableState(1, Map("1" -> cols), Nil,
-      primaryKey, (notNull ++ primaryKey).distinct, cols.size)
+      primaryKey, (notNull ++ primaryKey).distinct, cols.size,
+      partitionBy = partitionBy)
     ddlCount += 1
     change("tables_created", name)
   }
 
   /** D2 CTAS (ref utils/ducklake_utils.py:101-111). */
-  def createTableAs(name: String, df: DataFrame): Unit = {
-    createTable(name, df.schema)
+  def createTableAs(name: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil): Unit = {
+    createTable(name, df.schema, partitionBy = partitionBy)
     insert(name, df)
   }
 
@@ -84,6 +97,8 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     flushInlined(table)
     val st = state(table)
     require(st.columns.exists(_.name == name), s"no such column: $name")
+    require(!st.partitionBy.contains(name),
+      s"cannot drop partition column $table.$name")
     val v2 = st.schemaVersion + 1
     tables(table) = st.copy(schemaVersion = v2,
       schemas = st.schemas + (v2.toString -> st.columns.filterNot(_.name == name)),
@@ -105,7 +120,8 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     tables(table) = st.copy(schemaVersion = v2,
       schemas = st.schemas + (v2.toString -> cols),
       primaryKey = st.primaryKey.map(c => if (c == from) to else c),
-      notNull = st.notNull.map(c => if (c == from) to else c))
+      notNull = st.notNull.map(c => if (c == from) to else c),
+      partitionBy = st.partitionBy.map(c => if (c == from) to else c))
     ddlCount += 1
     change("tables_altered", table)
   }
@@ -249,7 +265,8 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     val st = state(table)
     val aligned = alignToSchema(df, st)
     validate(table, st, aligned, checkPkAgainstExisting = true)
-    val written = writeFiles(table, aligned, st.schemaVersion)
+    val written =
+      writeFiles(table, applyPartitionLayout(st, aligned), st.schemaVersion)
     tables(table) = st.copy(files = st.files ++ written)
     change("tables_inserted_into", table)
   }
@@ -344,7 +361,8 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     validate(table, st, src, checkPkAgainstExisting = false)
     val keyCols = keys.map(col)
     if (st.files.isEmpty) {
-      val written = writeFiles(table, src, st.schemaVersion)
+      val written =
+        writeFiles(table, applyPartitionLayout(st, src), st.schemaVersion)
       tables(table) = st.copy(files = st.files ++ written)
     } else {
       val cur = cat.readState(st)
@@ -378,7 +396,8 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
           throw new ConstraintViolation(
             s"duplicate key after merge: $table(${st.primaryKey.mkString(",")})")
       }
-      val written = writeFiles(table, out, st.schemaVersion)
+      val written =
+        writeFiles(table, applyPartitionLayout(st, out), st.schemaVersion)
       tables(table) = st.copy(files = kept ++ written)
     }
     change("tables_merged", table)
@@ -391,7 +410,12 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     if (st.files.isEmpty) return
     val total = st.files.map(_.sizeBytes).sum
     val n = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
-    val df = read(table).repartition(n)
+    // partitioned tables compact WITHIN the partition layout (each value
+    // stays in one file) instead of round-robin across everything
+    val df =
+      if (st.partitionBy.isEmpty) read(table).repartition(n)
+      else read(table).repartition(n, st.partitionBy.map(col): _*)
+        .sortWithinPartitions(st.partitionBy.map(col): _*)
     val written = writeFiles(table, df, st.schemaVersion)
     tables(table) = st.copy(files = written)
     change("tables_compacted", table)
@@ -494,6 +518,22 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
 
   // ------------------------------------------------------------- internals
 
+  /** Partition layout for writes: hash-cluster on the declared partition
+    * columns (each value maps to exactly one shuffle bucket → one file
+    * per batch) and sort within, so per-file stats are tight on the
+    * partition key and pruning is surgical. One shuffle, map-side
+    * planned by Catalyst; tables without partitionBy pass through. */
+  private def applyPartitionLayout(st: TableState, df: DataFrame): DataFrame =
+    if (st.partitionBy.isEmpty) df
+    else {
+      val pcols = st.partitionBy.map(col)
+      // explicit partition count: an expression-only repartition is a
+      // coalesce TARGET for AQE, which would merge the buckets back into
+      // one file and erase the value->file isolation the layout exists for
+      val n = spark.sessionState.conf.numShufflePartitions
+      df.repartition(n, pcols: _*).sortWithinPartitions(pcols: _*)
+    }
+
   /** Align an incoming DataFrame to the table schema: by-name matching,
     * casts to declared types, missing columns filled from DEFAULT then NULL. */
   private def alignToSchema(df: DataFrame, st: TableState): DataFrame = {
@@ -586,7 +626,8 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
         throw new ConstraintViolation(
           s"duplicate key after update: $table(${st.primaryKey.mkString(",")})")
     }
-    val written = writeFiles(table, rewritten, st.schemaVersion)
+    val written =
+      writeFiles(table, applyPartitionLayout(st, rewritten), st.schemaVersion)
     tables(table) = st.copy(files = kept ++ written)
   }
 
@@ -610,23 +651,45 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     // gates the stats pass below
     val rootQ = cat.fs.makeQualified(new Path(cat.root)).toUri.getPath
       .stripSuffix("/")
-    val parts = cat.fs.globStatus(new Path(abs, "*.parquet")).toSeq.map { fst =>
+    val allParts = cat.fs.globStatus(new Path(abs, "*.parquet")).toSeq.map { fst =>
       val p = fst.getPath
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(p, cat.hadoopConf))
       val rows = try reader.getRecordCount finally reader.close()
       (p, fst.getLen, rows)
     }
+    // empty shuffle buckets (partition-layout writes with fewer values
+    // than partitions) still emit 0-row files — drop them: pure manifest
+    // and scan bloat. Keep one only when the WHOLE write is empty so the
+    // table state stays representable.
+    val parts =
+      if (allParts.forall(_._3 == 0L)) allParts.take(1)
+      else {
+        allParts.filter(_._3 == 0L).foreach(e => cat.fs.delete(e._1, false))
+        allParts.filter(_._3 > 0L)
+      }
     val statCols = tables.get(table).map { st =>
-      val pkFirst = st.columns.sortBy(c => !st.primaryKey.contains(c.name))
-      pkFirst.filter(Stats.comparable).take(8)
+      // partition columns first (their stats ARE the partition index),
+      // then PK, then the rest, capped to bound manifest size
+      val prioritized = st.columns.sortBy(c =>
+        (!st.partitionBy.contains(c.name), !st.primaryKey.contains(c.name)))
+      prioritized.filter(Stats.comparable).take(8)
     }.getOrElse(Nil)
-    val statsByPath: Map[String, Map[String, ColStat]] =
-      if (statCols.isEmpty || parts.map(_._3).sum < 64) Map.empty
+    // partition columns additionally harvest their per-file distinct
+    // VALUE SET (capped — a partition-pure or lightly-collided file has
+    // a handful; past the cap the set is dropped and pruning falls back
+    // to min/max, never to wrong answers)
+    val pvalCols = tables.get(table).map(_.partitionBy).getOrElse(Nil)
+    val MaxPvals = 64
+    val harvest: Map[String, (Map[String, ColStat], Map[String, Seq[String]])] =
+      if ((statCols.isEmpty && pvalCols.isEmpty) || parts.map(_._3).sum < 64)
+        Map.empty
       else {
         val aggs = statCols.flatMap { c =>
           Seq(min(col(c.name)).cast("string").as(s"min_${c.name}"),
             max(col(c.name)).cast("string").as(s"max_${c.name}"))
+        } ++ pvalCols.map { c =>
+          collect_set(col(c).cast("string")).as(s"pv_$c")
         }
         spark.read.parquet(abs.toString)
           .groupBy(input_file_name().as("__f"))
@@ -639,7 +702,12 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
               if (mn == null || mx == null) None
               else Some(c.name -> ColStat(mn, mx))
             }.toMap
-            new java.net.URI(r.getAs[String]("__f")).getPath -> stats
+            val pv = pvalCols.flatMap { c =>
+              val vs = r.getAs[scala.collection.Seq[String]](s"pv_$c")
+              if (vs == null || vs.size > MaxPvals) None
+              else Some(c -> vs.toSeq.sorted)
+            }.toMap
+            new java.net.URI(r.getAs[String]("__f")).getPath -> (stats, pv)
           }.toMap
       }
     // scheme-free path components on both sides: URI renderings differ
@@ -647,8 +715,8 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     // an absolute path
     parts.map { case (p, len, rows) =>
       val relPath = p.toUri.getPath.stripPrefix(rootQ).stripPrefix("/")
-      FileEntry(relPath, len, rows, schemaVersion,
-        statsByPath.getOrElse(p.toUri.getPath, Map.empty))
+      val (stats, pv) = harvest.getOrElse(p.toUri.getPath, (Map.empty[String, ColStat], Map.empty[String, Seq[String]]))
+      FileEntry(relPath, len, rows, schemaVersion, stats, pv)
     }
   }
 

@@ -890,6 +890,55 @@ object LakeScenarios {
         "FROM corpus JOIN documents d USING (doc_id) " +
         "GROUP BY d.source ORDER BY d.source")),
 
+    // L20 — PARTITIONED table layout + exact partition pruning: declare
+    // partition columns at CREATE TABLE, writes hash-cluster on them
+    // (each value -> one file per batch) and the manifest records every
+    // file's partition-value SET (the Iceberg partition-tuple analog);
+    // readPartition prunes by exact membership — hive-style partition
+    // pruning at file granularity with no directory coupling. At 100 TB
+    // a one-source scan touches that source's files, never the table.
+    // Oracle: the pruning facts are engine contracts (one file per
+    // value, strictly fewer than all files); the partition aggregates
+    // are recomputed from the raw table.
+    QDef("l20_partitioned_prune",
+      (s, d) => {
+        import s.implicits._
+        val cat = freshLake(s)
+        cat.createTable("docs", StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("source", StringType),
+          StructField("n_chars", LongType))),
+          partitionBy = Seq("source"))
+        cat.insert("docs", T.documents(s, d)
+          .selectExpr("doc_id", "source", "cast(n_chars AS bigint) AS n_chars"))
+        val st = cat.current.tables("docs")
+        val total = st.files.size.toLong
+        val matching = st.files.count(
+          _.pvals.get("source").exists(_.contains("src7"))).toLong
+        val part = cat.readPartition("docs", Map("source" -> "src7"))
+        Seq(
+          ("1_one_file_per_value", if (matching == 1) 1L else 0L),
+          ("2_pruning_surgical", if (matching < total) 1L else 0L),
+          ("3_rows_partition", part.count()),
+          ("4_chars_partition", part.agg(sum("n_chars")).as[Long].head()),
+          ("5_partition_meta",
+            if (cat.tableInfo().filter(col("table_name") === "docs")
+              .select("partition_by").as[String].head() == "source") 1L
+            else 0L))
+          .toDF("metric", "value").orderBy("metric")
+      }, Some("""
+        SELECT * FROM (VALUES
+          ('1_one_file_per_value', CAST(1 AS BIGINT)),
+          ('2_pruning_surgical',   CAST(1 AS BIGINT)),
+          ('3_rows_partition',
+            (SELECT count(*) FROM documents WHERE source = 'src7')),
+          ('4_chars_partition',
+            (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
+             WHERE source = 'src7')),
+          ('5_partition_meta',     CAST(1 AS BIGINT)))
+          t(metric, value)
+        ORDER BY metric""")),
+
     // T6 — engine introspection as DataFrames (ref exploration/
     // ducklake_analysis.sh:186-191: duckdb_functions()/duckdb_settings()).
     // The settings probe reports PRESENCE (set/unset), not the value —

@@ -500,6 +500,51 @@ class LakeSpec extends SparkSpec {
     }
   }
 
+  test("partitioned tables: exact file pruning, layout survives DML and compaction") {
+    val cat = newLake()
+    val mk = (lo: Int, hi: Int) => spark.range(lo, hi)
+      .selectExpr("id", "concat('s', id % 8) AS src", "id * 3 AS v")
+    cat.createTable("t", StructType(Seq(
+      StructField("id", LongType), StructField("src", StringType),
+      StructField("v", LongType))), partitionBy = Seq("src"))
+    cat.insert("t", mk(0, 800))
+    cat.insert("t", mk(800, 1600))
+    val st = cat.current.tables("t")
+    // every file recorded its partition-value set; each value lands in
+    // exactly one file PER INSERT BATCH (2 batches -> <= 2 files)
+    assert(st.files.forall(_.pvals.contains("src")))
+    val hit = st.files.count(_.pvals("src").contains("s3"))
+    assert(hit >= 1 && hit <= 2 && hit < st.files.size)
+    // readPartition answers exactly and scans only the pruned set
+    val part = cat.readPartition("t", Map("src" -> "s3"))
+    assert(part.count() === 200)
+    assert(part.agg(sum("v")).head().getLong(0) ===
+      (0L until 1600L).filter(_ % 8 == 3).map(_ * 3).sum)
+    // copy-on-write DML keeps the layout metadata on rewritten files
+    cat.update("t", col("src") === "s3" && col("id") < 100,
+      Map("v" -> lit(0L)))
+    val st2 = cat.current.tables("t")
+    assert(st2.files.forall(_.pvals.contains("src")))
+    assert(cat.readPartition("t", Map("src" -> "s3")).count() === 200)
+    // compaction folds files but respects the partition clustering
+    cat.compact("t")
+    val st3 = cat.current.tables("t")
+    assert(st3.files.size < st2.files.size)
+    assert(cat.readPartition("t", Map("src" -> "s3")).count() === 200)
+    assert(cat.read("t").count() === 1600)
+    // partition column is protected from DROP; rename follows
+    intercept[IllegalArgumentException] {
+      cat.transaction(_.dropColumn("t", "src"))
+    }
+    cat.transaction(_.renameColumn("t", "src", "origin"))
+    assert(cat.current.tables("t").partitionBy === Seq("origin"))
+    assert(cat.readPartition("t", Map("origin" -> "s3")).count() === 200)
+    // migration carries the partition spec
+    val dst = newLake()
+    cat.migrateTo(dst)
+    assert(dst.current.tables("t").partitionBy === Seq("origin"))
+  }
+
   test("zorder refuses non-numeric columns instead of silently degenerating") {
     val cat = newLake()
     cat.createTableAs("t", spark.range(100)
