@@ -105,7 +105,8 @@ final case class TableState(
     nextColId: Int,
     inlined: Seq[InlineBatch] = Nil,
     blobs: Seq[String] = Nil,            // blob names backing `files` (bookkeeping)
-    partitionBy: Seq[String] = Nil) {    // declared partition (clustering) columns
+    partitionBy: Seq[String] = Nil,      // declared partition (clustering) columns
+    props: Map[String, String] = Map.empty) { // table properties (Iceberg-style)
   def columns: Seq[ColumnDef] = schemas(schemaVersion.toString)
   def columnsAt(v: Int): Seq[ColumnDef] = schemas(v.toString)
   def inlinedRowCount: Long = inlined.map(_.rows.size.toLong).sum
@@ -187,7 +188,8 @@ object Manifest {
       nextColId: Int,
       inlined: Seq[InlineBatch],
       blobs: Seq[String],
-      partitionBy: Seq[String] = Nil)
+      partitionBy: Seq[String] = Nil,
+      props: Map[String, String] = Map.empty)
   private[lake] final case class SnapshotDoc(
       snapshotId: Long,
       timestampMs: Long,
@@ -265,7 +267,7 @@ trait ManifestStore {
     val tables = doc.tables.map { case (name, td) =>
       name -> TableState(td.schemaVersion, td.schemas,
         td.blobs.flatMap(loadBlob), td.primaryKey, td.notNull,
-        td.nextColId, td.inlined, td.blobs, td.partitionBy)
+        td.nextColId, td.inlined, td.blobs, td.partitionBy, td.props)
     }
     Snapshot(doc.snapshotId, doc.timestampMs, doc.schemaVersion, doc.changes,
       tables, doc.views, doc.history, doc.refs)
@@ -304,7 +306,8 @@ trait ManifestStore {
       stored.schemaVersion, stored.changes,
       storedTables.map { case (n, st) =>
         n -> TableDoc(st.schemaVersion, st.schemas, st.primaryKey,
-          st.notNull, st.nextColId, st.inlined, st.blobs, st.partitionBy)
+          st.notNull, st.nextColId, st.inlined, st.blobs, st.partitionBy,
+          st.props)
       }, stored.views, stored.history, stored.refs)
     if (writeDocExclusive(v, Serialization.write(doc))) Some(stored)
     else {

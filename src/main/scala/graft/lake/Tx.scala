@@ -184,6 +184,30 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     change("tables_dropped", name)
   }
 
+  /** Catalog version this transaction is built on (= the version the
+    * commit will be OCC-validated against). */
+  def baseVersion: Long = base.snapshotId
+
+  /** The version this transaction will PUBLISH as (recomputed on every
+    * OCC retry). A watermark recorded inside the transaction should use
+    * this: the commit's own snapshot reflects everything the body read. */
+  def commitVersion: Long = base.snapshotId + 1
+
+  /** Has `v` been expired by a committed vacuum, as of this
+    * transaction's base? (Pure ledger read — no store listing.) */
+  def versionExpired(v: Long): Boolean = base.expiredVersions.contains(v)
+
+  /** Set/overwrite a table property (Iceberg-style key/value metadata
+    * riding the snapshot — machine-readable, versioned, transactional). */
+  def setProperty(table: String, key: String, value: String): Unit = {
+    val st = state(table)
+    tables(table) = st.copy(props = st.props + (key -> value))
+    change("tables_altered", table)
+  }
+
+  /** Table properties as staged in this transaction. */
+  def properties(table: String): Map[String, String] = state(table).props
+
   // --------------------------------------------------------- snapshot tags
 
   /** Tag a snapshot with a stable name (Iceberg-style ref): the tag rides

@@ -939,6 +939,47 @@ object LakeScenarios {
           t(metric, value)
         ORDER BY metric""")),
 
+    // L21 — incrementally maintained MATERIALIZED VIEW: the MV table
+    // holds a grouped count/sum over a base table; commits (insert,
+    // update, delete) advance the base, and refresh applies only the
+    // CHANGE FEED between the MV's watermark version and now — signed
+    // per-group deltas merged copy-on-write, O(changed rows + changed
+    // groups), never O(table). At 100 TB a daily refresh costs the
+    // day's delta, not a scan. The `incremental` column is the path
+    // contract (a silent fall-back to full recompute breaks the hash);
+    // the values are the base DML replayed by DuckDB as CTEs.
+    QDef("l21_incremental_mv",
+      (s, d) => {
+        val cat = freshLake(s)
+        val src = T.orders(s, d).selectExpr(
+          "cast(o_orderkey AS bigint) AS id",
+          "cast(o_custkey % 20 AS bigint) AS k",
+          "cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint) AS v")
+        cat.createTable("sales", StructType(Seq(
+          StructField("id", LongType), StructField("k", LongType),
+          StructField("v", LongType))), primaryKey = Seq("id"))
+        cat.insert("sales", src.filter(col("id") <= 3000))
+        graft.lake.Mv.create(cat, "sales_by_k", "sales", Seq("k"), Seq("v"))
+        cat.insert("sales", src.filter(col("id") > 3000 && col("id") <= 4000))
+        cat.update("sales", col("id") <= 500, Map("v" -> (col("v") + 100L)))
+        cat.delete("sales", col("k") === 7L)
+        val mode = graft.lake.Mv.refresh(cat, "sales_by_k")
+        cat.read("sales_by_k")
+          .select(col("k"), col("n_rows"), col("sum_v"),
+            lit(mode == "incremental").as("incremental"))
+          .orderBy("k")
+      }, Some("""
+        WITH rows0 AS (
+          SELECT o_orderkey AS id, o_custkey % 20 AS k,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+          FROM orders WHERE o_orderkey <= 4000),
+        upd AS (SELECT id, k, CASE WHEN id <= 500 THEN v + 100 ELSE v END AS v
+                FROM rows0),
+        fin AS (SELECT * FROM upd WHERE k <> 7)
+        SELECT CAST(k AS BIGINT) AS k, count(*) AS n_rows,
+               CAST(sum(v) AS BIGINT) AS sum_v, TRUE AS incremental
+        FROM fin GROUP BY k ORDER BY k""")),
+
     // T6 — engine introspection as DataFrames (ref exploration/
     // ducklake_analysis.sh:186-191: duckdb_functions()/duckdb_settings()).
     // The settings probe reports PRESENCE (set/unset), not the value —
@@ -1051,6 +1092,32 @@ object LakeScenarios {
         SELECT w.win_start, w.event_type, w.n, w.sum_value FROM w, m
         WHERE w.win_start + INTERVAL 1 HOUR <= m.mx - INTERVAL 2 HOUR
         ORDER BY win_start, event_type""")),
+
+    // ST6 — stream-static enrichment join: the events stream decorated
+    // from a broadcast dimension (per-user tier), then the st1 window
+    // shape per tier. The oracle replays the enrichment as a plain
+    // batch join (exactly-once over the finite replay) and applies the
+    // same watermark emission rule — a hash match proves the
+    // stream-static join dropped, duplicated and re-ordered nothing.
+    QDef("st6_stream_enrich",
+      (s, d) => graft.streaming.EventStream.enrichedWindowProfile(s, d),
+      Some("""
+        WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, value
+                   FROM events),
+             t AS (SELECT user_id,
+                          CASE CAST(user_id % 4 AS INT)
+                            WHEN 0 THEN 'bronze' WHEN 1 THEN 'silver'
+                            WHEN 2 THEN 'gold' ELSE 'platinum' END AS tier
+                   FROM (SELECT DISTINCT user_id FROM e)),
+             m AS (SELECT max(ts) AS mx FROM e),
+             w AS (SELECT date_trunc('hour', e.ts) AS win_start, t.tier,
+                          count(*) AS n,
+                          CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+                            AS sum_value
+                   FROM e JOIN t USING (user_id) GROUP BY 1, 2)
+        SELECT w.win_start, w.tier, w.n, w.sum_value FROM w, m
+        WHERE w.win_start + INTERVAL 1 HOUR <= m.mx - INTERVAL 2 HOUR
+        ORDER BY win_start, tier""")),
 
     // ST2 — custom keyed streaming state via flatMapGroupsWithState.
     // Oracle: the per-user profile the state machine accumulates equals

@@ -400,6 +400,62 @@ object Pipeline {
         "round(CAST(sum(sp) AS DOUBLE) / count(*), 6) AS avg_surprise " +
         "FROM sc GROUP BY source ORDER BY source")),
 
+    // X16 PII redaction — the scrubbing pass every shipped corpus runs:
+    // emails and IPv4s replaced with typed placeholders, map-only
+    // (regexp_replace is codegen'd; at 100 TB this is a pure scan-write,
+    // no shuffle until the reporting agg). PII is synthesized onto the
+    // docs deterministically so coverage is exact and SF-stable; the
+    // patterns stay inside the RE2 ∩ java.util.regex common subset (no
+    // \b, no backrefs) so the DuckDB oracle replays them byte-for-byte.
+    // Redaction counts come from placeholder length deltas — integer
+    // math, no float compare.
+    QDef("x16_pii_redact",
+      (s, d) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+        val docs = T.documents(s, d).select(col("source"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@mail.example.com or 10.0."), col("doc_id") % 256,
+            lit(".7 now")).as("txt"))
+        val red = docs.withColumn("r",
+          regexp_replace(
+            regexp_replace(col("txt"), email, "<EMAIL>"), ip, "<IP>"))
+          .withColumn("n_em", ((length(col("r")) -
+            length(regexp_replace(col("r"), "<EMAIL>", ""))) / 7)
+            .cast(LongType))
+          .withColumn("n_ip", ((length(col("r")) -
+            length(regexp_replace(col("r"), "<IP>", ""))) / 4)
+            .cast(LongType))
+        red.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_em")).as("n_emails"),
+          sum(col("n_ip")).as("n_ips"),
+          sum(length(col("r"))).as("chars_clean"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH raw AS (
+          SELECT source,
+                 text || ' contact user' || doc_id ||
+                 '@mail.example.com or 10.0.' || (doc_id % 256) ||
+                 '.7 now' AS txt
+          FROM documents),
+        red AS (
+          SELECT source,
+                 regexp_replace(
+                   regexp_replace(txt,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                   '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS r
+          FROM raw)
+        SELECT source, count(*) AS n_docs,
+               CAST(SUM(CAST((length(r) - length(replace(r, '<EMAIL>', ''))) / 7
+                 AS BIGINT)) AS BIGINT) AS n_emails,
+               CAST(SUM(CAST((length(r) - length(replace(r, '<IP>', ''))) / 4
+                 AS BIGINT)) AS BIGINT) AS n_ips,
+               CAST(SUM(length(r)) AS BIGINT) AS chars_clean
+        FROM red GROUP BY source ORDER BY source""")),
+
     // X13 eval-set decontamination — the benchmark-leakage check every
     // training pipeline runs before a corpus ships: a held-out eval set
     // (here the deterministic doc_id % 97 slice) is joined to the

@@ -1099,6 +1099,54 @@ object Relational {
         "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') " +
         "GROUP BY l_returnflag ORDER BY l_returnflag")),
 
+    // J9 RANGE (interval) JOIN — "points in intervals" without a nested
+    // loop: Spark's native plan for a pure range predicate is a
+    // broadcast-nested-loop join, O(points × rows). Instead both sides
+    // map to fixed-width BUCKETS of the range key (width >= the max
+    // interval span, so an interval covers at most two buckets, exploded
+    // map-side); the join is then a plain equi-join on the bucket with
+    // the exact containment filter on top — hash-partitionable, AQE-
+    // skew-splittable, O(rows) shuffle. Semantics: for each calendar
+    // sample date, the lineitems "in transit" (shipped, not yet arrived,
+    // arrival derived deterministically from quantity). Oracle: DuckDB's
+    // own interval join. PlanSpec pins no-nested-loop.
+    QDef("j9_range_join",
+      (s, d) => {
+        val epoch = to_date(lit("1995-01-01"))
+        val w = 64 // bucket width, days; max interval span is 30
+        val li = T.lineitem(s, d).select(
+          col("l_extendedprice"),
+          to_date(col("l_shipdate")).as("ship"),
+          date_add(to_date(col("l_shipdate")),
+            (col("l_quantity").cast(IntegerType) % 30 + 1)).as("arrive"))
+        val intervals = li.withColumn("b", explode(sequence(
+          floor(datediff(col("ship"), epoch) / w),
+          floor(datediff(col("arrive"), epoch) / w))))
+        val pts = s.range(64)
+          .select(date_add(epoch, (col("id") * 40).cast(IntegerType)).as("d"))
+          .withColumn("b", floor(datediff(col("d"), epoch) / w))
+        pts.join(intervals, Seq("b"))
+          .filter(col("ship") <= col("d") && col("d") <= col("arrive"))
+          .groupBy("d")
+          .agg(count(lit(1)).as("n_in_transit"),
+            moneySum(col("l_extendedprice")).as("value_in_transit"))
+          .orderBy("d")
+      },
+      Some("""
+        WITH li AS (
+          SELECT l_extendedprice,
+                 CAST(l_shipdate AS DATE) AS ship,
+                 CAST(l_shipdate AS DATE) +
+                   (CAST(l_quantity AS INTEGER) % 30 + 1) AS arrive
+          FROM lineitem),
+        pts AS (SELECT DATE '1995-01-01' + CAST(range * 40 AS INTEGER) AS d
+                FROM range(64))
+        SELECT d, count(*) AS n_in_transit,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS value_in_transit
+        FROM pts JOIN li ON ship <= d AND d <= arrive
+        GROUP BY d ORDER BY d""")),
+
     // Headline composite: TPC-H Q1-shaped pricing summary (bench workhorse;
     // exercises scan→filter→hash-agg→sort in one whole-stage-codegen span).
     QDef("q1_pricing_summary",

@@ -237,6 +237,37 @@ object EventStream {
       OutputMode.Append())
       .orderBy("user_id", "s_start")
 
+  /** Judged query ST6: stream-STATIC enrichment join — the most common
+    * production stream topology: a high-volume stream decorated from a
+    * slow dimension table. The static side needs no watermark and no
+    * state store; Spark re-plans it into every micro-batch and (being
+    * broadcast-sized) ships it map-side, so the stream side never
+    * shuffles for the join — at ingest scale the enrichment is free
+    * compared to the windowed aggregate behind it. The dim here is a
+    * per-user tier derived from the batch table (deterministic, covers
+    * every user at every SF); the enriched stream feeds the same
+    * watermark + tumbling-window aggregate shape as st1, per tier. */
+  def enrichedWindowProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = graft.Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct()
+      .withColumn("tier",
+        expr("CASE CAST(user_id % 4 AS INT) WHEN 0 THEN 'bronze' " +
+          "WHEN 1 THEN 'silver' WHEN 2 THEN 'gold' ELSE 'platinum' END"))
+    val enriched = readEvents(spark, sfDir)
+      .join(broadcast(dim), Seq("user_id"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("tier"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("sum_value"))
+      .select(col("window.start").as("win_start"), col("tier"),
+        col("n"), col("sum_value"))
+    drainToTable(enriched,
+      s"st6_enrich_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      OutputMode.Append())
+      .orderBy("win_start", "tier")
+  }
+
   /** Judged query ST2: stateful per-user sessions (top users by events).
     * With AvailableNow over the single-file replay the state sees every
     * event exactly once, so the drained output is a pure per-user profile

@@ -545,6 +545,42 @@ class LakeSpec extends SparkSpec {
     assert(dst.current.tables("t").partitionBy === Seq("origin"))
   }
 
+  test("materialized view: incremental refresh equals recompute; expiry falls back to full") {
+    val cat = newLake()
+    cat.createTable("sales", StructType(Seq(
+      StructField("id", LongType), StructField("k", LongType),
+      StructField("v", LongType))), primaryKey = Seq("id"))
+    val mk = (lo: Int, hi: Int) => spark.range(lo, hi)
+      .selectExpr("id", "id % 7 AS k", "id * 10 AS v")
+    cat.insert("sales", mk(0, 500))
+    graft.lake.Mv.create(cat, "sales_by_k", "sales", Seq("k"), Seq("v"))
+    def recompute() = cat.read("sales").groupBy("k")
+      .agg(count(lit(1)).as("n_rows"), sum("v").as("sum_v"))
+      .orderBy("k").collect().map(_.toString).toSeq
+    def mvState() = cat.read("sales_by_k")
+      .select(col("k"), col("n_rows"), col("sum_v"))
+      .orderBy("k").collect().map(_.toString).toSeq
+    assert(mvState() === recompute())
+    // noop when already fresh
+    assert(graft.lake.Mv.refresh(cat, "sales_by_k") === "noop")
+    // inserts, updates and deletes all flow through the delta path
+    cat.insert("sales", mk(500, 650))
+    cat.update("sales", col("id") < 50, Map("v" -> (col("v") + 5L)))
+    cat.delete("sales", col("id") >= 600)
+    assert(graft.lake.Mv.refresh(cat, "sales_by_k") === "incremental")
+    assert(mvState() === recompute())
+    // a group emptied by deletes vanishes from the MV
+    cat.delete("sales", col("k") === 3L)
+    assert(graft.lake.Mv.refresh(cat, "sales_by_k") === "incremental")
+    assert(!cat.read("sales_by_k").select("k").as[Long].collect().contains(3L))
+    assert(mvState() === recompute())
+    // expire the watermark version: refresh must fall back to full reload
+    cat.insert("sales", mk(650, 700))
+    cat.vacuum(keepLast = 1)
+    assert(graft.lake.Mv.refresh(cat, "sales_by_k") === "full")
+    assert(mvState() === recompute())
+  }
+
   test("zorder refuses non-numeric columns instead of silently degenerating") {
     val cat = newLake()
     cat.createTableAs("t", spark.range(100)

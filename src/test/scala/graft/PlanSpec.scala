@@ -58,6 +58,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("range join buckets to an equi-join: no nested loop, no cartesian") {
+    val s = planString("j9_range_join")
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      "interval containment must ride the bucket equi-join\n" + s.take(2000))
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+    // the exploded bucket column is the join key
+    assert(s.contains("Generate") || s.contains("explode"), s.take(2000))
+  }
+
   test("salted skew join spreads hot keys over the salt sub-keys") {
     val s = planString("j6_skew_salted")
     // the join key must include the deterministic salt column, so one hot

@@ -75,6 +75,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static enrichment join matches the batch join on closed windows") {
+    import spark.implicits._
+    val streamed = EventStream.enrichedWindowProfile(spark, d)
+    val batch = Tables.events(spark, d)
+      .withColumn("tier",
+        expr("CASE CAST(user_id % 4 AS INT) WHEN 0 THEN 'bronze' " +
+          "WHEN 1 THEN 'silver' WHEN 2 THEN 'gold' ELSE 'platinum' END"))
+      .groupBy(window(col("ts"), "1 hour"), col("tier"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("tier"), col("n"))
+    val sm = streamed.select("win_start", "tier", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map(r => (r._1.getTime, r._2) -> r._3).toMap
+    val bm = batch.as[(java.sql.Timestamp, String, Long)].collect()
+      .map(r => (r._1.getTime, r._2) -> r._3).toMap
+    assert(sm.nonEmpty, "stream emitted no closed windows")
+    // every emitted (window, tier) count must equal the batch join's —
+    // the static side joined identically in both worlds
+    sm.foreach { case (k, n) => assert(bm(k) === n, s"window/tier $k") }
+  }
+
   test("stream-stream interval join emits every qualifying pair exactly once") {
     import spark.implicits._
     val streamed = EventStream.streamJoinProfile(spark, d)
