@@ -591,6 +591,59 @@ object LakeScenarios {
         "FROM events WHERE event_id <= 1000 " +
         "GROUP BY event_type ORDER BY event_type")),
 
+    // L22 — the full streaming-lakehouse loop: stream → exactly-once
+    // lake commits → INCREMENTAL MV maintenance per micro-batch. Every
+    // batch is one atomic base-table commit (batch-id dedup) followed by
+    // an O(delta) Mv.refresh off the change feed; a full replay of the
+    // stream (fresh checkpoint, same batch ids) is recognized and leaves
+    // both tables untouched. The `fresh` column proves the MV is exactly
+    // up to date with the lake at the end — and the values are the plain
+    // grouped aggregate DuckDB computes from the raw slice.
+    QDef("l22_stream_mv",
+      (s, d) => {
+        val cat = freshLake(s)
+        val src = T.events(s, d).filter(col("event_id") <= 600)
+          .selectExpr("event_id", "event_type",
+            "cast(cast(value AS decimal(18,6)) * 1000000 AS bigint) AS cents")
+        val srcDir = java.nio.file.Files
+          .createTempDirectory("graft_stream_mv_").toString
+        src.repartition(3).write.mode("overwrite").parquet(srcDir)
+        cat.createTable("ev", src.schema, primaryKey = Seq("event_id"))
+        graft.lake.Mv.create(cat, "ev_by_type", "ev",
+          Seq("event_type"), Seq("cents"))
+        def runOnce(): Unit = {
+          val q = s.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcDir)
+            .writeStream
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .option("checkpointLocation", java.nio.file.Files
+              .createTempDirectory("graft_stream_mv_ckpt_").toString)
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                  id: Long) =>
+                if (cat.insertStreamBatch("ev", b.toDF(), id))
+                  graft.lake.Mv.refresh(cat, "ev_by_type")
+                ()
+            }
+            .start()
+          q.awaitTermination()
+        }
+        runOnce()
+        runOnce() // full replay: batch-id dedup makes it a no-op
+        val fresh = graft.lake.Mv.refresh(cat, "ev_by_type") == "noop"
+        cat.read("ev_by_type")
+          .select(col("event_type"), col("n_rows"), col("sum_cents"),
+            lit(fresh).as("fresh"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, count(*) AS n_rows,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                 AS BIGINT)) AS BIGINT) AS sum_cents,
+               TRUE AS fresh
+        FROM events WHERE event_id <= 600
+        GROUP BY event_type ORDER BY event_type""")),
+
     // Maintenance — snapshot expiry + orphan collection (the
     // expire_snapshots/vacuum op every long-lived lakehouse needs; no
     // direct reference analog). Observables: history shrinks to keepLast,
@@ -1196,6 +1249,18 @@ object LakeScenarios {
     // in PipelineSpec.
     QDef("ss3_ann_ivf",
       (s, d) => Ivf.annIvf(s, d),
+      Some("SELECT vec_id AS qid, 3 AS k, TRUE AS recall_ok " +
+        "FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid")),
+
+    // SS5 — PRODUCT-QUANTIZATION ANN (FAISS IndexPQ shape): per-subspace
+    // KMeans codebooks encode every vector as 4 small codes; queries
+    // score candidates by asymmetric distance computation (broadcast
+    // M x K lookup table + code joins — no per-pair float vector math),
+    // then the shortlist is exactly re-ranked. Judged by the same
+    // recall contract as ss3: the PQ top-3 must recover a true top-3
+    // neighbor for every DuckDB-derived query.
+    QDef("ss5_ann_pq",
+      (s, d) => Pq.annPq(s, d),
       Some("SELECT vec_id AS qid, 3 AS k, TRUE AS recall_ok " +
         "FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid"))
   )

@@ -400,6 +400,49 @@ object Pipeline {
         "round(CAST(sum(sp) AS DOUBLE) / count(*), 6) AS avg_surprise " +
         "FROM sc GROUP BY source ORDER BY source")),
 
+    // X17 bigram CONDITIONAL logprob — the next rung of LM-proxy quality
+    // scoring above x15's unigram surprise: per-token surprise against
+    // the corpus bigram model, -ln(c(w1 w2) / c(w1 ·)). Bigrams come
+    // from the same codegen'd posexplode+lead shape as the shingle
+    // extraction (HOF lambdas are ~100x slower — measured on dd*); the
+    // prefix counts are a window sum OVER the bigram counts (the tf-idf
+    // trick — no second aggregate over the corpus). DECIMAL-summed for
+    // order independence. 100-TB shape: one explode + one hash-agg +
+    // one broadcast-ish join back; everything else is window math.
+    QDef("x17_bigram_logprob",
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val bg = T.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "w1")))
+          .withColumn("w2", lead("w1", 1).over(w))
+          .filter(col("w2").isNotNull)
+          .select(col("source"), col("w1"), col("w2"))
+          .persist()
+        val cnt2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+          .withColumn("c1", sum("c2").over(Window.partitionBy("w1")))
+        bg.join(cnt2, Seq("w1", "w2"))
+          .selectExpr("source",
+            "cast(round(-ln(c2 / c1), 6) AS decimal(20,6)) AS sp")
+          .groupBy("source").agg(
+            count(lit(1)).as("n_bigrams"),
+            round(sum(col("sp")).cast(DoubleType) / count(lit(1)), 6)
+              .as("avg_surprise"))
+          .orderBy("source")
+      },
+      Some(s"WITH t AS (SELECT source, $toksD AS toks FROM documents), " +
+        "bg AS (SELECT source, unnest(list_transform(range(1, len(toks)), " +
+        "i -> toks[i] || ' ' || toks[i+1])) AS b FROM t WHERE len(toks) >= 2), " +
+        "c2 AS (SELECT b, count(*) AS c2 FROM bg GROUP BY b), " +
+        "cw AS (SELECT b, c2, sum(c2) OVER " +
+        "(PARTITION BY split_part(b, ' ', 1)) AS c1 FROM c2), " +
+        "sc AS (SELECT bg.source, " +
+        "CAST(round(-ln(c2 * 1.0 / c1), 6) AS DECIMAL(20,6)) AS sp " +
+        "FROM bg JOIN cw USING (b)) " +
+        "SELECT source, count(*) AS n_bigrams, " +
+        "round(CAST(sum(sp) AS DOUBLE) / count(*), 6) AS avg_surprise " +
+        "FROM sc GROUP BY source ORDER BY source")),
+
     // X16 PII redaction — the scrubbing pass every shipped corpus runs:
     // emails and IPv4s replaced with typed placeholders, map-only
     // (regexp_replace is codegen'd; at 100 TB this is a pure scan-write,

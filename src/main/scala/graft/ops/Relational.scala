@@ -677,6 +677,90 @@ object Relational {
         "ORDER BY o_totalprice DESC, o_orderkey)) " +
         "WHERE rnk <= 5 ORDER BY o_orderstatus, rnk")),
 
+    // W5 analytic-function sweep — the remaining window functions a BI
+    // surface needs: percent_rank / cume_dist (relative position),
+    // first_value with the default running frame, and offset reads
+    // (lag/lead with explicit offsets). Unique order key (o_orderkey)
+    // keeps every function deterministic; the rational-valued ranks are
+    // rounded identically on both sides.
+    QDef("w5_analytic_funcs",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_orderkey"))
+        T.orders(s, d).filter(col("o_orderkey") <= 2000)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"),
+            first(col("o_orderkey")).over(w).as("first_k"),
+            lag(col("o_orderkey"), 2).over(w).as("lag2"),
+            lead(col("o_orderkey"), 3).over(w).as("lead3"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      Some("SELECT o_orderpriority, o_orderkey, " +
+        "round(percent_rank() OVER w, 6) AS pr, " +
+        "round(cume_dist() OVER w, 6) AS cd, " +
+        "first_value(o_orderkey) OVER w AS first_k, " +
+        "lag(o_orderkey, 2) OVER w AS lag2, " +
+        "lead(o_orderkey, 3) OVER w AS lead3 " +
+        "FROM orders WHERE o_orderkey <= 2000 " +
+        "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey) " +
+        "ORDER BY o_orderpriority, o_orderkey")),
+
+    // U5 INTERSECT ALL / EXCEPT ALL — the multiset halves of the set-op
+    // family (u3/u4 are the DISTINCT halves). Spark plans both as
+    // aggregate+join on the value with per-side counts — no sort, no
+    // nested loop; the grouped output makes the multiset cardinalities
+    // hash-comparable.
+    QDef("u5_setops_all",
+      (s, d) => {
+        val a = T.orders(s, d).filter(col("o_orderkey") <= 3000)
+          .select(col("o_custkey").as("k"))
+        val b = T.orders(s, d)
+          .filter(col("o_orderkey") > 1500 && col("o_orderkey") <= 4500)
+          .select(col("o_custkey").as("k"))
+        a.intersectAll(b).withColumn("op", lit("intersect_all"))
+          .unionByName(a.exceptAll(b).withColumn("op", lit("except_all")))
+          .groupBy("op", "k").agg(count(lit(1)).as("n"))
+          .orderBy("op", "k")
+      },
+      Some("""
+        WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderkey <= 3000),
+             b AS (SELECT o_custkey AS k FROM orders
+                   WHERE o_orderkey > 1500 AND o_orderkey <= 4500),
+             ia AS (SELECT k, 'intersect_all' AS op FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)),
+             ea AS (SELECT k, 'except_all' AS op FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
+        SELECT op, k, count(*) AS n
+        FROM (SELECT * FROM ia UNION ALL SELECT * FROM ea)
+        GROUP BY op, k ORDER BY op, k""")),
+
+    // A16 heavy hitters via COUNT-MIN sketch — the one-pass mergeable
+    // frequency sketch (KB-sized state, the 100-TB path to "top keys by
+    // count" without a full groupBy when only heavy keys matter). The
+    // sketch is built distributed (treeAggregate under stat.countMinSketch),
+    // the top keys come from the exact aggregate, and the judged contract
+    // is CMS's own guarantee: estimate >= exact, and <= exact + eps*N
+    // (deterministic for a fixed seed). Oracle: DuckDB recomputes the
+    // exact top-5 and the contract flag is literal TRUE.
+    QDef("a16_cms_heavy_hitters",
+      (s, d) => {
+        val ev = T.events(s, d)
+        val total = ev.count()
+        val eps = 0.001
+        val cms = ev.stat.countMinSketch(col("event_type"),
+          eps, 0.99, 42)
+        val top = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("event_type")).limit(5)
+        import s.implicits._
+        val rows = top.as[(String, Long)].collect().map { case (t, n) =>
+          val est = cms.estimateCount(t)
+          (t, n, est >= n && est <= n + (eps * total).toLong)
+        }.toSeq
+        rows.toDF("event_type", "n", "cms_ok")
+      },
+      Some("SELECT event_type, count(*) AS n, TRUE AS cms_ok " +
+        "FROM events GROUP BY event_type " +
+        "ORDER BY n DESC, event_type LIMIT 5")),
+
     // F15 edit distance — levenshtein over candidate name pairs: the
     // fuzzy-match primitive record-linkage dedup needs. The blocked
     // self-join is the scale shape — candidate pairs come from a cheap

@@ -196,6 +196,24 @@ class PipelineSpec extends SparkSpec {
       s"query ${r.getLong(0)} missed the recall contract"))
   }
 
+  test("PQ ANN: ordered ranks, ADC shortlist reranked exactly, recall contract") {
+    import spark.implicits._
+    val pq = ops.Pq.pqTop3(spark, d)
+      .select("qid", "rank", "nid", "cos")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(pq.nonEmpty)
+    // exact-cosine order within each query's reranked top-3
+    pq.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2).map(_._4)
+      assert(sorted.zip(sorted.drop(1)).forall { case (a, b) => a >= b })
+    }
+    // the judged recall contract holds for every query
+    val contract = run("ss5_ann_pq").collect()
+    assert(contract.nonEmpty)
+    contract.foreach(r => assert(r.getAs[Boolean]("recall_ok"),
+      s"query ${r.getLong(0)} missed the PQ recall contract"))
+  }
+
   test("IVF quantizer fit input is bounded by the sample target") {
     // small tables pass through untouched; big tables get a ~target-row
     // Bernoulli sample, so the iterative fit never scans the full table
@@ -238,7 +256,8 @@ class PipelineSpec extends SparkSpec {
       "l3_schema_evolution", "l4_table_changes", "l5_migrate_catalog",
       "l6_compaction", "l7_snapshots_meta", "l11_vacuum_expiry",
       "l16_tag_retention", "l17_cdc_apply", "l18_zorder_prune",
-      "l20_partitioned_prune", "l21_incremental_mv").foreach { name =>
+      "l20_partitioned_prune", "l21_incremental_mv", "l22_stream_mv")
+      .foreach { name =>
       val a = run(name).collect()
       val b = run(name).collect()
       assert(a.nonEmpty, s"$name returned no rows")
