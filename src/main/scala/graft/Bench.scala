@@ -87,7 +87,11 @@ object Bench {
     // the duckdb side derives the query set while the Spark side runs the
     // IVF search PLUS the brute-force recall audit). The floor/heavy legs
     // cover the engine-vs-engine batch subset.
-    val contractOnly = Set("ss3_ann_ivf")
+    // contract-verified queries: the DuckDB side derives the query set /
+    // exact top-k only, NOT equivalent compute (ss3/ss5 run the ANN
+    // search plus a brute-force recall audit; a16 builds the sketch and
+    // audits its bound) — so they are split out of engine-vs-engine legs
+    val contractOnly = Set("ss3_ann_ivf", "ss5_ann_pq", "a16_cms_heavy_hitters")
     val oracled = results.filter { case (k, _) => duck.contains(k) }
     val ratios = oracled.map { case (k, v) =>
       s"\"$k\":${j(v / duck(k))}" }.mkString("{", ",", "}")

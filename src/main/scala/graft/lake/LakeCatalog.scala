@@ -158,6 +158,66 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     }
   }
 
+  /** Loaded bloom sidecars, cached process-wide by absolute path —
+    * immutable once written (new files get new sidecars), so the cache
+    * never needs invalidation; entries for vacuumed files are simply
+    * never queried again. */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.util.sketch.BloomFilter]()
+
+  private def loadBloom(rel: String): org.apache.spark.util.sketch.BloomFilter =
+    bloomCache.computeIfAbsent(absPath(rel).toUri.getPath, _ => {
+      val in = fs.open(absPath(rel))
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      finally in.close()
+    })
+
+  /** Enable a per-file BLOOM index on `colName` for point lookups: every
+    * subsequent write builds a sidecar filter next to its data files
+    * (existing files stay unindexed until rewritten — run [[compact]] to
+    * backfill). See [[readPoint]]. */
+  def bloomIndex(table: String, colName: String): Unit =
+    transaction { tx =>
+      tx.setProperty(table, "index.bloom", colName)
+    }
+
+  /** POINT lookup with bloom file skipping: candidate files pass the
+    * min/max stats gate first, then each candidate's bloom sidecar is
+    * probed (lazily loaded, cached) and definite misses are skipped —
+    * at 100 TB the difference between "scan the key's range stripe" and
+    * "read the one file that can hold the key". Files without a sidecar
+    * stay candidates (correct, never wrong); the exact row filter runs
+    * on top of whatever survives. */
+  def readPoint(table: String, colName: String, value: String): DataFrame = {
+    val st = stateOf(current, table)
+    val c = st.columns.find(_.name == colName).getOrElse(
+      throw new NoSuchElementException(s"no such column: $table.$colName"))
+    readState(st.copy(files = pointCandidates(st, c, value)))
+      .filter(col(colName) === lit(value).cast(DataType.fromJson(c.typeJson)))
+  }
+
+  /** Number of files a [[readPoint]] on (colName = value) would scan —
+    * the pruning observable the bloom-index contract is judged on. */
+  def pointScanFiles(table: String, colName: String, value: String): Long = {
+    val st = stateOf(current, table)
+    val c = st.columns.find(_.name == colName).getOrElse(
+      throw new NoSuchElementException(s"no such column: $table.$colName"))
+    pointCandidates(st, c, value).size.toLong
+  }
+
+  private def pointCandidates(st: TableState, c: ColumnDef,
+      value: String): Seq[FileEntry] =
+    st.files.filter(f =>
+      Stats.overlaps(f.stats.get(c.name), c, value, value) &&
+        (f.pvals.get(c.name) match {
+          case Some(vs) if vs.nonEmpty => vs.contains(value)
+          case _ => true
+        }) &&
+        (f.blooms.get(c.name) match {
+          case Some(rel) => loadBloom(rel).mightContainString(value)
+          case None => true
+        }))
+
   /** Time-travel scan by timestamp: newest snapshot at or before `tsMs`
     * (S3, `AT (TIMESTAMP => ts)` — ref demos/02_time_travel/demo.py:196). */
   def readAsOf(table: String, tsMs: Long): DataFrame =
@@ -417,6 +477,13 @@ class LakeCatalog(val spark: SparkSession, val root: String,
   def createView(name: String, sql: String): Unit =
     transaction(_.createView(name, sql))
 
+  /** CHECK constraint — see [[Tx.addCheck]]. */
+  def addCheck(table: String, name: String, predicateSql: String): Unit =
+    transaction(_.addCheck(table, name, predicateSql))
+
+  def dropCheck(table: String, name: String): Unit =
+    transaction(_.dropCheck(table, name))
+
   /** Tag `version` (default: the current snapshot) with a stable name —
     * see [[Tx.tag]]. Tagged snapshots survive [[vacuum]]. */
   def tag(name: String, version: Long = -1L): Unit =
@@ -489,8 +556,9 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     // paths. Normalized through absPath so relative and (legacy)
     // absolute manifest entries compare correctly.
     val deadFiles = toDelete.flatMap(v =>
-      snapshot(v).tables.values.flatMap(_.files.map(e =>
-        absPath(e.path).toUri.getPath))).toSet
+      snapshot(v).tables.values.flatMap(_.files.flatMap(e =>
+        (e.path +: e.blooms.values.toSeq).map(p =>
+          absPath(p).toUri.getPath)))).toSet
     toDelete.foreach { v =>
       store.deleteVersion(v)
       snapCache.remove(v)
@@ -501,10 +569,12 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     val keptSnaps = store.availableVersions().sorted.map(snapshot)
     store.gcBlobs(keptSnaps, head.snapshotId)
     val live = keptSnaps
-      .flatMap(_.tables.values.flatMap(_.files.map(e =>
-        absPath(e.path).toUri.getPath))).toSet
-    // walk <root>/<table>/data/** and drop parquet files no kept
-    // snapshot references (also catches dirs from dropped tables)
+      .flatMap(_.tables.values.flatMap(_.files.flatMap(e =>
+        (e.path +: e.blooms.values.toSeq).map(p =>
+          absPath(p).toUri.getPath)))).toSet
+    // walk <root>/<table>/{data,index}/** and drop parquet files /
+    // bloom sidecars no kept snapshot references (also catches dirs
+    // from dropped tables)
     val rootPath = fs.makeQualified(new Path(root))
     val rootStr = rootPath.toUri.getPath.stripSuffix("/")
     if (fs.exists(rootPath)) {
@@ -514,8 +584,10 @@ class LakeCatalog(val spark: SparkSession, val root: String,
         val f = fst.getPath
         val abs = f.toUri.getPath
         val rel = abs.stripPrefix(rootStr).stripPrefix("/")
-        val isData = rel.contains("/data/") && !rel.startsWith("_manifest")
-        if (isData && rel.endsWith(".parquet") && !live.contains(abs) &&
+        val isData = (rel.contains("/data/") && rel.endsWith(".parquet") ||
+          rel.contains("/index/") && rel.endsWith(".bloom")) &&
+          !rel.startsWith("_manifest")
+        if (isData && !live.contains(abs) &&
             (deadFiles.contains(abs) ||
               fst.getModificationTime < startMs - orphanGraceMs))
           fs.delete(f, false)
@@ -532,6 +604,9 @@ class LakeCatalog(val spark: SparkSession, val root: String,
       snap.tables.toSeq.sortBy(_._1).foreach { case (name, st) =>
         tx.createTable(name, structOf(st.columns), st.primaryKey, st.notNull,
           st.partitionBy)
+        // properties carry CHECK constraints, MV specs, bloom-index
+        // declarations — part of the table's contract, so they migrate
+        st.props.foreach { case (k, v) => tx.setProperty(name, k, v) }
         val rows = readState(st)
         if (st.files.nonEmpty) tx.insert(name, rows)
       }

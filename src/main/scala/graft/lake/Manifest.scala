@@ -84,7 +84,14 @@ final case class FileEntry(
     // set) — exact-membership pruning for partition-key equality, which
     // min/max ranges can't give for hash-clustered strings. Empty =
     // unknown -> the file is scanned (correct, never wrong).
-    pvals: Map[String, Seq[String]] = Map.empty)
+    pvals: Map[String, Seq[String]] = Map.empty,
+    // per-file BLOOM sidecars: colName -> sidecar path relative to the
+    // lake root (the Hudi/Iceberg bloom-index shape: the filter itself
+    // lives NEXT TO the data, only its pointer rides the manifest, so
+    // manifest size stays O(files) regardless of key cardinality).
+    // Point lookups load candidates' blooms lazily; a missing entry
+    // degrades to stats pruning, never to wrong answers.
+    blooms: Map[String, String] = Map.empty)
 
 /** Rows stored INSIDE the manifest instead of parquet — DuckLake's
   * "optional inlining" for high-frequency small writes (ref README.md:58-63,

@@ -170,6 +170,34 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     }
   }
 
+  /** CHECK constraint (Delta-style `ALTER TABLE ADD CONSTRAINT ... CHECK`;
+    * the reference has none — DuckDB checks are table-local): a SQL
+    * predicate every row must satisfy, validated against EXISTING rows
+    * first (like [[setNotNull]]) and enforced on every subsequent
+    * insert/update/merge as a distributed filter — SQL semantics: only
+    * a row where the predicate is FALSE violates; NULL passes. Stored
+    * as a `check.<name>` table property, so it rides the snapshot and
+    * survives migration. */
+  def addCheck(table: String, name: String, predicateSql: String): Unit = {
+    val st = state(table)
+    require(!st.props.contains(s"check.$name"), s"check exists: $name")
+    if (!read(table)
+        .filter(not(coalesce(expr(predicateSql), lit(true)))).isEmpty)
+      throw new ConstraintViolation(
+        s"existing rows violate CHECK $name: $predicateSql")
+    tables(table) = st.copy(props = st.props + (s"check.$name" -> predicateSql))
+    ddlCount += 1
+    change("tables_altered", table)
+  }
+
+  def dropCheck(table: String, name: String): Unit = {
+    val st = state(table)
+    require(st.props.contains(s"check.$name"), s"no such check: $name")
+    tables(table) = st.copy(props = st.props - s"check.$name")
+    ddlCount += 1
+    change("tables_altered", table)
+  }
+
   /** D3 `CREATE OR REPLACE VIEW` (ref demos/03_schema_evolution/demo.py:273-288). */
   def createView(name: String, sql: String): Unit = {
     views(name) = sql
@@ -580,6 +608,12 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
       if (df.columns.contains(c) && !df.filter(col(c).isNull).isEmpty)
         throw new ConstraintViolation(s"NOT NULL violated: $table.$c")
     }
+    st.props.foreach { case (k, pred) if k.startsWith("check.") =>
+      if (!df.filter(not(coalesce(expr(pred), lit(true)))).isEmpty)
+        throw new ConstraintViolation(
+          s"CHECK ${k.stripPrefix("check.")} violated: $pred")
+    case _ => ()
+    }
     if (st.primaryKey.nonEmpty) {
       val pk = st.primaryKey.map(col)
       if (!df.groupBy(pk: _*).count().filter(col("count") > 1).isEmpty)
@@ -737,10 +771,60 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     // scheme-free path components on both sides: URI renderings differ
     // (file:/ vs file:///) and a failed stripPrefix would silently store
     // an absolute path
+    // opt-in BLOOM index sidecars (table property `index.bloom` = column):
+    // one extra distributed pass builds a per-file bloom over the indexed
+    // column, written NEXT TO the data under <table>/index/ — the filter
+    // pointer rides the manifest, the bytes don't. Skipped for tiny
+    // writes (same gate as stats).
+    val bloomCol = tables.get(table).flatMap(_.props.get("index.bloom"))
+      .filter(c => tables.get(table).exists(_.columns.exists(_.name == c)))
+    val bloomsByPath: Map[String, Map[String, String]] =
+      if (bloomCol.isEmpty || parts.map(_._3).sum < 64) Map.empty
+      else {
+        import org.apache.spark.util.sketch.BloomFilter
+        val c = bloomCol.get
+        val idxRel = s"$table/index/${new Path(rel).getName}"
+        val idxAbs = cat.absPath(idxRel)
+        stagedDirs += idxAbs
+        cat.fs.mkdirs(idxAbs)
+        val rowsByPath = parts.map(p => (p._1.toUri.getPath, p._3)).toMap
+        val bRows = spark.sparkContext.broadcast(rowsByPath)
+        val merged = spark.read.parquet(abs.toString)
+          .select(input_file_name().as("__f"), col(c).cast("string").as("k"))
+          .filter(col("k").isNotNull)
+          .rdd.mapPartitions { it =>
+            val acc = mutable.HashMap.empty[String, BloomFilter]
+            it.foreach { r =>
+              val p = new java.net.URI(r.getString(0)).getPath
+              val b = acc.getOrElseUpdate(p, BloomFilter.create(
+                math.max(64L, bRows.value.getOrElse(p, 4096L)), 0.01))
+              b.putString(r.getString(1))
+            }
+            acc.iterator.map { case (p, b) =>
+              val bos = new java.io.ByteArrayOutputStream()
+              b.writeTo(bos); (p, bos.toByteArray)
+            }
+          }
+          .reduceByKey { (x, y) =>
+            val bx = BloomFilter.readFrom(new java.io.ByteArrayInputStream(x))
+            val by = BloomFilter.readFrom(new java.io.ByteArrayInputStream(y))
+            bx.mergeInPlace(by)
+            val bos = new java.io.ByteArrayOutputStream()
+            bx.writeTo(bos); bos.toByteArray
+          }.collect()
+        merged.map { case (p, bytes) =>
+          val base = new Path(p).getName.stripSuffix(".parquet")
+          val sideRel = s"$idxRel/$base.bloom"
+          val out = cat.fs.create(new Path(cat.absPath(sideRel).toString), true)
+          try out.write(bytes) finally out.close()
+          p -> Map(c -> sideRel)
+        }.toMap
+      }
     parts.map { case (p, len, rows) =>
       val relPath = p.toUri.getPath.stripPrefix(rootQ).stripPrefix("/")
       val (stats, pv) = harvest.getOrElse(p.toUri.getPath, (Map.empty[String, ColStat], Map.empty[String, Seq[String]]))
-      FileEntry(relPath, len, rows, schemaVersion, stats, pv)
+      FileEntry(relPath, len, rows, schemaVersion, stats, pv,
+        bloomsByPath.getOrElse(p.toUri.getPath, Map.empty))
     }
   }
 

@@ -1033,6 +1033,95 @@ object LakeScenarios {
                CAST(sum(v) AS BIGINT) AS sum_v, TRUE AS incremental
         FROM fin GROUP BY k ORDER BY k""")),
 
+    // L23 — BLOOM-indexed POINT lookup: a per-file bloom sidecar
+    // (table property `index.bloom`; the Hudi/Iceberg bloom-index
+    // shape — the filter lives next to the data, only its pointer rides
+    // the manifest) lets an equality lookup skip files whose min/max
+    // stats CANNOT prune: ingestion here is interleaved so every file
+    // spans the full key range. At 100 TB this is "read the one file
+    // that can hold the key" instead of "scan the key's range stripe".
+    // Contracts: every file indexed, the probe scans strictly fewer
+    // files than exist; the row values are recomputed by DuckDB.
+    QDef("l23_bloom_point",
+      (s, d) => {
+        import s.implicits._
+        val cat = freshLake(s)
+        cat.createTable("docs", StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("source", StringType),
+          StructField("n_chars", LongType))), primaryKey = Seq("doc_id"))
+        cat.bloomIndex("docs", "doc_id")
+        val src = T.documents(s, d)
+          .selectExpr("doc_id", "source", "cast(n_chars AS bigint) AS n_chars")
+        (0 until 3).foreach(r =>
+          cat.insert("docs", src.filter(col("doc_id") % 3 === r)))
+        val st = cat.current.tables("docs")
+        val total = st.files.size.toLong
+        val indexed = st.files.count(_.blooms.contains("doc_id")).toLong
+        Seq(
+          ("1_files_indexed", if (indexed == total && total >= 3) 1L else 0L),
+          ("2_bloom_prunes",
+            if (cat.pointScanFiles("docs", "doc_id", "42") < total) 1L else 0L),
+          ("3_row_chars", cat.readPoint("docs", "doc_id", "42")
+            .select("n_chars").as[Long].head()),
+          ("4_miss_empty", cat.readPoint("docs", "doc_id", "999999999").count()))
+          .toDF("metric", "value").orderBy("metric")
+      }, Some("""
+        SELECT * FROM (VALUES
+          ('1_files_indexed', CAST(1 AS BIGINT)),
+          ('2_bloom_prunes',  CAST(1 AS BIGINT)),
+          ('3_row_chars',
+            (SELECT CAST(n_chars AS BIGINT) FROM documents WHERE doc_id = 42)),
+          ('4_miss_empty',    CAST(0 AS BIGINT)))
+          t(metric, value)
+        ORDER BY metric""")),
+
+    // L24 — CHECK constraints (Delta-style ADD CONSTRAINT; write-time
+    // enforcement as a distributed filter): adding validates existing
+    // rows; a transaction whose update would violate rolls back without
+    // a trace (same atomicity contract as l1); a passing update
+    // commits. Oracle: the surviving DML replayed as CTEs + the
+    // rollback/ledger flags as literals.
+    QDef("l24_check_constraint",
+      (s, d) => {
+        val cat = freshLake(s)
+        cat.createTable("inv", StructType(Seq(
+          StructField("product_id", IntegerType),
+          StructField("product_name", StringType),
+          StructField("quantity", IntegerType),
+          StructField("price", DoubleType))), primaryKey = Seq("product_id"))
+        cat.insert("inv", inventoryDf(s, d))
+        cat.addCheck("inv", "qty_nonneg", "quantity >= 0")
+        cat.addCheck("inv", "price_pos", "price > 0")
+        val vGood = cat.currentVersion
+        // would drive every quantity negative -> must roll back whole
+        try cat.transaction { tx =>
+          tx.update("inv", col("product_id") <= 10,
+            Map("quantity" -> (col("quantity") - 1000)))
+        } catch { case _: ConstraintViolation => () }
+        val clean = cat.currentVersion == vGood
+        cat.update("inv", col("product_id") <= 10,
+          Map("quantity" -> (col("quantity") + 5)))
+        cat.read("inv").agg(
+          count(lit(1)).as("n"),
+          sum(col("quantity")).as("sum_qty"),
+          min(col("quantity")).as("min_qty"))
+          .withColumn("rollback_clean", lit(clean))
+      }, Some("""
+        WITH base AS (
+          SELECT CAST(p_partkey AS INT) AS product_id,
+                 CAST(p_size AS INT) AS quantity
+          FROM part WHERE p_partkey <= 100),
+        fin AS (
+          SELECT product_id,
+                 CASE WHEN product_id <= 10 THEN quantity + 5
+                      ELSE quantity END AS quantity
+          FROM base)
+        SELECT count(*) AS n, CAST(sum(quantity) AS BIGINT) AS sum_qty,
+               CAST(min(quantity) AS INT) AS min_qty,
+               TRUE AS rollback_clean
+        FROM fin""")),
+
     // T6 — engine introspection as DataFrames (ref exploration/
     // ducklake_analysis.sh:186-191: duckdb_functions()/duckdb_settings()).
     // The settings probe reports PRESENCE (set/unset), not the value —

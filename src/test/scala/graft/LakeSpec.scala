@@ -581,6 +581,81 @@ class LakeSpec extends SparkSpec {
     assert(mvState() === recompute())
   }
 
+  test("bloom index: point lookups skip files stats can't; sidecars ride vacuum") {
+    val cat = newLake()
+    cat.createTable("t", StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType))),
+      primaryKey = Seq("id"))
+    cat.bloomIndex("t", "id")
+    // interleaved batches: every file spans the FULL id range, so min/max
+    // stats cannot prune a point lookup — only the bloom can
+    val mk = (r: Int) => spark.range(4000)
+      .selectExpr(s"id * 4 + $r AS id", "id AS v")
+    (0 until 4).foreach(r => cat.insert("t", mk(r)))
+    val st = cat.current.tables("t")
+    assert(st.files.size >= 4)
+    assert(st.files.forall(_.blooms.contains("id")))
+    // 6001 = 4*1500+1 lives in batch 1 only; stats keep all files
+    assert(cat.pointScanFiles("t", "id", "6001") < st.files.size)
+    assert(cat.readPoint("t", "id", "6001").count() === 1)
+    assert(cat.readPoint("t", "id", "99999").count() === 0)
+    // copy-on-write rewrite re-indexes the new file
+    cat.update("t", col("id") === 6001L, Map("v" -> lit(42L)))
+    assert(cat.current.tables("t").files.forall(_.blooms.contains("id")))
+    assert(cat.readPoint("t", "id", "6001").select("v").head().getLong(0) === 42L)
+    // vacuum collects the sidecars of expired-only files along with them
+    cat.vacuum(keepLast = 1)
+    val liveBlooms = cat.current.tables("t").files
+      .flatMap(_.blooms.values)
+      .map(p => cat.root.stripSuffix("/") + "/" + p).toSet
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration())
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(cat.root), true)
+    var onDisk = Set.empty[String]
+    while (it.hasNext) {
+      val p = it.next().getPath.toUri.getPath
+      if (p.endsWith(".bloom")) onDisk += p
+    }
+    assert(onDisk === liveBlooms)
+    // and the lookups still work post-vacuum
+    assert(cat.readPoint("t", "id", "6001").count() === 1)
+  }
+
+  test("CHECK constraints: validated on add, enforced on writes, NULL passes") {
+    val cat = newLake()
+    cat.createTableAs("t", Seq((1, 10.0), (2, 20.0)).toDF("id", "price"))
+    cat.addCheck("t", "price_pos", "price >= 0")
+    // adding a check existing rows violate is refused
+    intercept[ConstraintViolation] { cat.addCheck("t", "big", "price > 15") }
+    // a violating multi-statement transaction rolls back atomically
+    val v = cat.currentVersion
+    intercept[ConstraintViolation] {
+      cat.transaction { tx =>
+        tx.insert("t", Seq((3, 30.0)).toDF("id", "price"))
+        tx.insert("t", Seq((4, -1.0)).toDF("id", "price"))
+      }
+    }
+    assert(cat.currentVersion === v)
+    assert(cat.read("t").count() === 2)
+    // NULL predicate passes (SQL CHECK semantics)
+    cat.insert("t", Seq((5, Option.empty[Double])).toDF("id", "price"))
+    assert(cat.read("t").count() === 3)
+    // an update that would violate is refused
+    intercept[ConstraintViolation] {
+      cat.update("t", col("id") === 1, Map("price" -> lit(-5.0)))
+    }
+    // checks migrate with the table
+    val dst = newLake()
+    cat.migrateTo(dst)
+    intercept[ConstraintViolation] {
+      dst.insert("t", Seq((7, -3.0)).toDF("id", "price"))
+    }
+    // dropCheck lifts enforcement
+    cat.dropCheck("t", "price_pos")
+    cat.insert("t", Seq((6, -2.0)).toDF("id", "price"))
+    assert(cat.read("t").count() === 4)
+  }
+
   test("zorder refuses non-numeric columns instead of silently degenerating") {
     val cat = newLake()
     cat.createTableAs("t", spark.range(100)
