@@ -65,12 +65,27 @@ class LakeCatalog(val spark: SparkSession, val root: String,
   private[lake] def readState(st: TableState): DataFrame =
     readState(st, spark)
 
-  private[lake] def readState(st: TableState, sess: SparkSession): DataFrame = {
+  private[lake] def readState(st: TableState, sess: SparkSession): DataFrame =
+    readStateInternal(st, sess, None)
+
+  /** [[readState]] plus a `fileCol` string column carrying each row's
+    * source file path — sourced from `_metadata.file_path` at SCAN level,
+    * so it stays resolvable even when the plan gains joins (deletion-
+    * vector anti-joins make `input_file_name()` illegal). Inlined rows
+    * tag NULL. */
+  private[lake] def readStateTagged(st: TableState, fileCol: String): DataFrame =
+    readStateInternal(st, spark, Some(fileCol))
+
+  private def readStateInternal(st: TableState, sess: SparkSession,
+      tagCol: Option[String]): DataFrame = {
     val cur = st.columns
-    val curSchema = structOf(cur)
+    val curSchema = tagCol match {
+      case Some(t) => structOf(cur).add(StructField(t, StringType))
+      case None => structOf(cur)
+    }
     /** Align a frame written under schema version v to the current schema
       * by stable column id (renames follow, drops vanish, adds read their
-      * DEFAULT). */
+      * DEFAULT). The tag column, when present, rides along. */
     def align(df: DataFrame, v: Int): DataFrame = {
       val byId = st.columnsAt(v).map(c => c.id -> c).toMap
       df.select(cur.map { c =>
@@ -81,16 +96,44 @@ class LakeCatalog(val spark: SparkSession, val root: String,
             expr(c.default.getOrElse("NULL"))
               .cast(DataType.fromJson(c.typeJson)).as(c.name)
         }
-      }: _*)
+      } ++ tagCol.map(col): _*)
     }
-    val fileParts = st.files.groupBy(_.schemaVersion).toSeq.map { case (v, entries) =>
-      align(sess.read.schema(structOf(st.columnsAt(v)))
-        .parquet(entries.map(e => absPath(e.path).toString): _*), v)
-    }
+    val fileParts = st.files.groupBy(e => (e.schemaVersion, e.dv.isDefined))
+      .toSeq.map { case ((v, hasDv), entries) =>
+        val raw0 = sess.read.schema(structOf(st.columnsAt(v)))
+          .parquet(entries.map(e => absPath(e.path).toString): _*)
+        val raw = tagCol match {
+          case Some(t) => raw0.withColumn(t, col("_metadata.file_path"))
+          case None => raw0
+        }
+        if (!hasDv) align(raw, v)
+        else {
+          // merge-on-read: anti-join the (broadcast, tiny) tombstone
+          // sidecars on (file name, row position) BELOW the align
+          // projection — the scan itself never widens, and files whose
+          // positions aren't tombstoned stream through untouched
+          val dvDirs = entries.flatMap(_.dv).distinct
+          val dv = sess.read
+            .schema(StructType(Seq(StructField("file", StringType),
+              StructField("pos", LongType))))
+            .parquet(dvDirs.map(d => absPath(d).toString): _*)
+          val tagged = raw
+            .withColumn("__dv_file", col("_metadata.file_name"))
+            .withColumn("__dv_pos", col("_metadata.row_index"))
+          align(tagged.join(broadcast(dv),
+            tagged("__dv_file") === dv("file") && tagged("__dv_pos") === dv("pos"),
+            "left_anti").drop("__dv_file", "__dv_pos"), v)
+        }
+      }
     val inlineParts = st.inlined.groupBy(_.schemaVersion).toSeq.map { case (v, batches) =>
       import sess.implicits._
-      align(sess.read.schema(structOf(st.columnsAt(v)))
-        .json(sess.createDataset(batches.flatMap(_.rows))), v)
+      val raw0 = sess.read.schema(structOf(st.columnsAt(v)))
+        .json(sess.createDataset(batches.flatMap(_.rows)))
+      val raw = tagCol match {
+        case Some(t) => raw0.withColumn(t, lit(null).cast(StringType))
+        case None => raw0
+      }
+      align(raw, v)
     }
     val parts = fileParts ++ inlineParts
     if (parts.isEmpty)
@@ -301,7 +344,7 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     import spark.implicits._
     current.tables.toSeq.sortBy(_._1).map { case (name, st) =>
       (name, st.files.size.toLong, st.files.map(_.sizeBytes).sum,
-        st.files.map(_.rowCount).sum + st.inlinedRowCount, st.schemaVersion,
+        st.files.map(_.liveRows).sum + st.inlinedRowCount, st.schemaVersion,
         st.inlinedRowCount, st.partitionBy.mkString(","))
     }.toDF("table_name", "file_count", "total_size_bytes", "row_count",
       "schema_version", "inlined_rows", "partition_by")
@@ -320,6 +363,84 @@ class LakeCatalog(val spark: SparkSession, val root: String,
       }
     }.toDF("table_name", "file_path", "column_name", "min_value",
       "max_value", "row_count")
+  }
+
+  /** Metadata-only aggregate — `COUNT(*)` / `MIN` / `MAX` answered from
+    * the manifest alone, ZERO data files read (DuckDB and Iceberg both
+    * play this trick from their stats tables). At 100 TB the difference
+    * is "one cached metadata document" vs "a full-table scan". COUNT is
+    * always answerable: per-file footer row counts minus deletion-vector
+    * tombstones plus manifest-inlined rows are all exact. MIN/MAX take
+    * the metadata path only when it is provably exact — every file
+    * carries stats for the column and none has tombstones (a deleted row
+    * may have held the extreme) — and otherwise FALL BACK to a scan; the
+    * `meta_only` column reports the path taken, so callers (and the
+    * correctness gate) can pin when the optimization actually fires. */
+  def statsAgg(table: String, cols: Seq[String] = Nil): DataFrame = {
+    val st = stateOf(current, table)
+    val defs = cols.map(c => st.columns.find(_.name == c).getOrElse(
+      throw new NoSuchElementException(s"no such column: $table.$c")))
+    val curV = st.schemaVersion
+    // COUNT alone is ALWAYS metadata-exact (footer row counts, DV
+    // tombstone counts, and inlined-row counts are all exact); MIN/MAX
+    // additionally need every file to carry stats for the column and no
+    // tombstones (a deleted row may have held the extreme)
+    val metaOk = defs.isEmpty || (defs.forall(Stats.comparable) &&
+      st.files.forall(e => e.dvRows == 0L &&
+        defs.forall(d => e.stats.contains(d.name))) &&
+      st.inlined.forall(_.schemaVersion == curV))
+    val outSchema = StructType(
+      StructField("n", LongType, nullable = false) +:
+      defs.flatMap(d => Seq(
+        StructField(s"min_${d.name}", DataType.fromJson(d.typeJson)),
+        StructField(s"max_${d.name}", DataType.fromJson(d.typeJson)))) :+
+      StructField("meta_only", BooleanType, nullable = false))
+    if (metaOk) {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      // inlined rows live in the manifest document itself — folding them
+      // is still a metadata-only read (no file I/O)
+      val inlinedJson = st.inlined.flatMap(_.rows).map(JsonMethods.parse(_))
+      def inlinedVals(name: String): Seq[String] = inlinedJson.flatMap { j =>
+        j \ name match {
+          case JNothing | JNull => None
+          case JString(s) => Some(s)
+          case JInt(i) => Some(i.toString)
+          case JLong(l) => Some(l.toString)
+          case JDouble(d) => Some(d.toString)
+          case JDecimal(d) => Some(d.toString)
+          case other => Some(JsonMethods.compact(JsonMethods.render(other)))
+        }
+      }
+      def typed(d: ColumnDef, s: String): Any = d.typeJson match {
+        case "\"integer\"" => s.toInt
+        case "\"long\"" => s.toLong
+        case "\"short\"" => s.toShort
+        case "\"byte\"" => s.toByte
+        case "\"double\"" => s.toDouble
+        case "\"float\"" => s.toFloat
+        case _ => s
+      }
+      val n = st.files.map(_.liveRows).sum + st.inlinedRowCount
+      val vals = defs.flatMap { d =>
+        val fileMins = st.files.map(_.stats(d.name).min)
+        val fileMaxs = st.files.map(_.stats(d.name).max)
+        val inl = inlinedVals(d.name)
+        val mins = fileMins ++ inl
+        val maxs = fileMaxs ++ inl
+        Seq(
+          if (mins.isEmpty) null else typed(d, mins.reduce(Stats.minOf(d, _, _))),
+          if (maxs.isEmpty) null else typed(d, maxs.reduce(Stats.maxOf(d, _, _))))
+      }
+      spark.createDataFrame(
+        java.util.List.of(Row.fromSeq(n +: vals :+ true)), outSchema)
+    } else {
+      val aggs = count(lit(1)).as("n") +: defs.flatMap(d => Seq(
+        min(col(d.name)).as(s"min_${d.name}"),
+        max(col(d.name)).as(s"max_${d.name}")))
+      read(table).agg(aggs.head, aggs.tail: _*)
+        .withColumn("meta_only", lit(false))
+    }
   }
 
   /** `ducklake_table_changes()` analog (T3 — ref utils/ducklake_utils.py:65-78):
@@ -465,6 +586,14 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     } catch { case AlreadyApplied => false }
   }
 
+  /** Merge-on-read DELETE (deletion vectors) — see [[Tx.deleteMor]]. */
+  def deleteMor(table: String, where: Column): Unit =
+    transaction(_.deleteMor(table, where))
+
+  /** RESTORE to a past version — see [[Tx.restoreTable]]. */
+  def restoreTable(table: String, version: Long): Unit =
+    transaction(_.restoreTable(table, version))
+
   def update(table: String, where: Column, sets: Map[String, Column]): Unit =
     transaction(_.update(table, where, sets))
 
@@ -557,7 +686,7 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     // absolute manifest entries compare correctly.
     val deadFiles = toDelete.flatMap(v =>
       snapshot(v).tables.values.flatMap(_.files.flatMap(e =>
-        (e.path +: e.blooms.values.toSeq).map(p =>
+        (e.path +: (e.blooms.values.toSeq ++ e.dv)).map(p =>
           absPath(p).toUri.getPath)))).toSet
     toDelete.foreach { v =>
       store.deleteVersion(v)
@@ -570,11 +699,12 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     store.gcBlobs(keptSnaps, head.snapshotId)
     val live = keptSnaps
       .flatMap(_.tables.values.flatMap(_.files.flatMap(e =>
-        (e.path +: e.blooms.values.toSeq).map(p =>
+        (e.path +: (e.blooms.values.toSeq ++ e.dv)).map(p =>
           absPath(p).toUri.getPath)))).toSet
-    // walk <root>/<table>/{data,index}/** and drop parquet files /
-    // bloom sidecars no kept snapshot references (also catches dirs
-    // from dropped tables)
+    // walk <root>/<table>/{data,index,dv}/** and drop parquet files /
+    // bloom sidecars / deletion-vector parts no kept snapshot references
+    // (also catches dirs from dropped tables). DV entries in the manifest
+    // point at the sidecar DIRECTORY, so dv parts match on their parent.
     val rootPath = fs.makeQualified(new Path(root))
     val rootStr = rootPath.toUri.getPath.stripSuffix("/")
     if (fs.exists(rootPath)) {
@@ -584,11 +714,14 @@ class LakeCatalog(val spark: SparkSession, val root: String,
         val f = fst.getPath
         val abs = f.toUri.getPath
         val rel = abs.stripPrefix(rootStr).stripPrefix("/")
+        val isDvPart = rel.contains("/dv/") && rel.endsWith(".parquet") &&
+          !rel.startsWith("_manifest")
         val isData = (rel.contains("/data/") && rel.endsWith(".parquet") ||
           rel.contains("/index/") && rel.endsWith(".bloom")) &&
           !rel.startsWith("_manifest")
-        if (isData && !live.contains(abs) &&
-            (deadFiles.contains(abs) ||
+        val key = if (isDvPart) f.getParent.toUri.getPath else abs
+        if ((isData || isDvPart) && !live.contains(key) &&
+            (deadFiles.contains(key) ||
               fst.getModificationTime < startMs - orphanGraceMs))
           fs.delete(f, false)
       }

@@ -91,7 +91,21 @@ final case class FileEntry(
     // manifest size stays O(files) regardless of key cardinality).
     // Point lookups load candidates' blooms lazily; a missing entry
     // degrades to stats pruning, never to wrong answers.
-    blooms: Map[String, String] = Map.empty)
+    blooms: Map[String, String] = Map.empty,
+    // MERGE-ON-READ deletion vector (Iceberg v2 position-delete / Delta
+    // DV analog): path (relative to the lake root) of a parquet sidecar
+    // of (file, pos) tombstones covering this file; None = no deleted
+    // rows. Reads anti-join the tombstones below the scan; any
+    // copy-on-write rewrite (update/compact/cluster) materializes and
+    // clears them. One sidecar dataset per delete commit is shared by
+    // every file it touches, so commit metadata stays O(delta).
+    dv: Option[String] = None,
+    // tombstone count for this file inside `dv` — live rows =
+    // rowCount - dvRows, kept exact so COUNT(*) stays answerable from
+    // the manifest alone.
+    dvRows: Long = 0L) {
+  def liveRows: Long = rowCount - dvRows
+}
 
 /** Rows stored INSIDE the manifest instead of parquet — DuckLake's
   * "optional inlining" for high-frequency small writes (ref README.md:58-63,
@@ -174,6 +188,14 @@ object Stats {
       case Some(ColStat(mn, mx)) => cmp(c, mn, hi) <= 0 && cmp(c, lo, mx) <= 0
       case None => true
     }
+
+  /** Smaller / larger of two stat values under the column's type order —
+    * for folding per-file min/max into a table-level answer
+    * (metadata-only aggregates). */
+  def minOf(c: ColumnDef, a: String, b: String): String =
+    if (cmp(c, a, b) <= 0) a else b
+  def maxOf(c: ColumnDef, a: String, b: String): String =
+    if (cmp(c, a, b) >= 0) a else b
 }
 
 object Manifest {

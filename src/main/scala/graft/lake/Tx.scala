@@ -212,6 +212,26 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     change("tables_dropped", name)
   }
 
+  /** Delta-style `RESTORE TABLE ... VERSION AS OF v`: re-point the table
+    * at its state in snapshot `version`, as a NEW commit — history stays
+    * intact (every intermediate version remains time-travelable, and the
+    * restore itself can be undone by another restore). The old files are
+    * re-referenced, not copied, so the op is O(table metadata) regardless
+    * of data size. The target snapshot must still be available (not
+    * vacuumed); its files are guaranteed live because vacuum only deletes
+    * files unreferenced by every kept snapshot — and once this commit
+    * publishes, the restored files are referenced by the HEAD snapshot
+    * itself. */
+  def restoreTable(table: String, version: Long): Unit = {
+    state(table) // must exist at current
+    require(!versionExpired(version), s"version $version was vacuumed")
+    val past = cat.snapshot(version).tables.getOrElse(table,
+      throw new NoSuchElementException(s"$table does not exist at v$version"))
+    tables(table) = past
+    ddlCount += 1 // schema may revert with the data
+    change("tables_restored", table)
+  }
+
   /** Catalog version this transaction is built on (= the version the
     * commit will be OCC-validated against). */
   def baseVersion: Long = base.snapshotId
@@ -389,6 +409,84 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     change("tables_deleted_from", table)
   }
 
+  /** MERGE-ON-READ delete — deletion vectors (the Iceberg v2
+    * position-delete / Delta DV shape; the reference's DuckLake also
+    * ships delete files rather than rewriting parquet). Instead of
+    * copy-on-write rewriting every affected file, the commit writes ONE
+    * small parquet sidecar of (file, position) tombstones and re-points
+    * the affected manifest entries at it: write cost is O(deleted rows),
+    * not O(affected file bytes) — at 100 TB, deleting 0.001% of rows
+    * scattered across the table writes kilobytes where CoW would rewrite
+    * terabytes. Reads anti-join the broadcast tombstones below the align
+    * projection (see LakeCatalog.readState); compaction or any CoW
+    * rewrite materializes and clears them. Repeated MoR deletes on the
+    * same file fold the old tombstones into the new sidecar, so each
+    * file always points at exactly one sidecar dataset.
+    *
+    * Same NULL semantics as [[delete]]: only rows where the predicate is
+    * TRUE are tombstoned. */
+  def deleteMor(table: String, where: Column): Unit = {
+    flushInlined(table)
+    val st = state(table)
+    if (st.files.nonEmpty) {
+      // per schema-version scan with the file/position metadata columns
+      // kept alongside the aligned user columns, so `where` (written
+      // against the CURRENT schema) evaluates uniformly
+      val cur = st.columns
+      val matched = st.files.groupBy(_.schemaVersion).toSeq.map {
+        case (v, entries) =>
+          val byId = st.columnsAt(v).map(c => c.id -> c).toMap
+          spark.read.schema(cat.structOf(st.columnsAt(v)))
+            .parquet(entries.map(e => cat.absPath(e.path).toString): _*)
+            .select(cur.map { c =>
+              byId.get(c.id) match {
+                case Some(old) =>
+                  col(old.name).cast(DataType.fromJson(c.typeJson)).as(c.name)
+                case None => expr(c.default.getOrElse("NULL"))
+                  .cast(DataType.fromJson(c.typeJson)).as(c.name)
+              }
+            } :+ col("_metadata.file_name").as("__dv_file")
+              :+ col("_metadata.row_index").as("__dv_pos"): _*)
+      }.reduce(_ unionByName _)
+        .filter(where)
+        .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+      // bounded driver set: one (name, tombstones) pair per AFFECTED file
+      val newCounts = matched.groupBy("file").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (newCounts.nonEmpty) {
+        val byName = st.files.map(e => new Path(e.path).getName -> e).toMap
+        // fold prior tombstones of re-touched files into the new sidecar
+        // (deduped: an already-tombstoned row matches the predicate again)
+        val oldDirs = newCounts.keySet.flatMap(byName.get).flatMap(_.dv).toSeq
+        val dvSchema = StructType(Seq(StructField("file", StringType),
+          StructField("pos", LongType)))
+        val prior =
+          if (oldDirs.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dvSchema)
+          else spark.read.schema(dvSchema)
+            .parquet(oldDirs.distinct.map(d => cat.absPath(d).toString): _*)
+            .filter(col("file").isin(newCounts.keys.toSeq: _*))
+        val dvRel = s"$table/dv/${java.util.UUID.randomUUID().toString.take(12)}"
+        val dvAbs = cat.absPath(dvRel)
+        stagedDirs += dvAbs
+        // repartition (not coalesce) keeps the scan+filter parallel while
+        // bounding sidecar fan-out; tombstones are tiny, the shuffle is free
+        matched.unionByName(prior).distinct()
+          .repartition(4).write.mode("errorifexists").parquet(dvAbs.toString)
+        val written = spark.read.schema(dvSchema).parquet(dvAbs.toString)
+          .groupBy("file").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        tables(table) = st.copy(files = st.files.map { e =>
+          val name = new Path(e.path).getName
+          if (newCounts.contains(name))
+            e.copy(dv = Some(dvRel), dvRows = written(name))
+          else e
+        })
+      }
+    }
+    change("tables_deleted_from", table)
+  }
+
   /** M9 MERGE (upsert): WHEN MATCHED replace the target row with the
     * source row, WHEN NOT MATCHED insert it — the lakehouse-standard
     * idempotent-ingestion primitive (the reference has no analog; DuckDB
@@ -418,9 +516,9 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
       tables(table) = st.copy(files = st.files ++ written)
     } else {
       val cur = cat.readState(st)
-      val affectedPaths = cur
-        .withColumn("__file", input_file_name())
+      val affectedPaths = cat.readStateTagged(st, "__file")
         .join(src.select(keyCols: _*), keys, "left_semi")
+        .filter(col("__file").isNotNull)
         .select("__file").distinct().limit(Tx.MaxAffectedPaths + 1).collect()
         .map(r => new java.net.URI(r.getString(0)).getPath).toSet
       val affected =
@@ -660,8 +758,7 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     // Past the cap (a predicate touching most of a 10^6-file table) the
     // rewrite degenerates to all files — which is the work such an update
     // does anyway — instead of pulling an unbounded path set to the driver.
-    val affectedPaths = cat.readState(st)
-      .withColumn("__file", input_file_name())
+    val affectedPaths = cat.readStateTagged(st, "__file")
       .filter(where)
       .select("__file").distinct().limit(Tx.MaxAffectedPaths + 1).collect()
       .map(r => new java.net.URI(r.getString(0)).getPath).toSet

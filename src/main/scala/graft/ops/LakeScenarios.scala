@@ -1122,6 +1122,128 @@ object LakeScenarios {
                TRUE AS rollback_clean
         FROM fin""")),
 
+    // L25 — RESTORE TABLE ... VERSION AS OF (Delta-style rollback-as-a-
+    // new-commit): the table is re-pointed at a past snapshot's state by
+    // re-referencing its files — O(metadata), zero data copied — while
+    // history stays intact (the undone versions still time-travel) and
+    // the restored table stays writable. Oracle: the surviving DML
+    // (original load + post-restore update) replayed as CTEs; the
+    // intermediate update/delete must leave no trace in the final state.
+    QDef("l25_restore",
+      (s, d) => {
+        val cat = freshLake(s)
+        cat.createTableAs("inv", inventoryDf(s, d))
+        val v1 = cat.currentVersion
+        cat.update("inv", col("product_id") <= 20,
+          Map("quantity" -> (col("quantity") + 100)))
+        cat.delete("inv", col("product_id") > 50)
+        val v3 = cat.currentVersion
+        cat.restoreTable("inv", v1)
+        cat.update("inv", col("product_id") <= 10,
+          Map("price" -> (col("price") * 2)))
+        // the undone delete still time-travels, and restore published as
+        // a NEW version (no history surgery)
+        val historyIntact =
+          cat.readAt("inv", v3).count() ==
+            cat.readAt("inv", v1).filter(col("product_id") <= 50).count() &&
+          cat.currentVersion == v1 + 4
+        cat.read("inv").agg(
+          count(lit(1)).as("n"),
+          sum(col("quantity")).cast("bigint").as("sum_qty"),
+          sum(col("price").cast("decimal(18,2)")).cast("double").as("sum_price"))
+          .withColumn("history_intact", lit(historyIntact))
+      }, Some("""
+        WITH base AS (
+          SELECT CAST(p_partkey AS INT) AS product_id,
+                 CAST(p_size AS INT) AS quantity,
+                 p_retailprice AS price
+          FROM part WHERE p_partkey <= 100),
+        fin AS (
+          SELECT product_id, quantity,
+                 CASE WHEN product_id <= 10 THEN price * 2 ELSE price END AS price
+          FROM base)
+        SELECT count(*) AS n, CAST(sum(quantity) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               TRUE AS history_intact
+        FROM fin""")),
+
+    // L26 — metadata-only aggregates: COUNT/MIN/MAX answered from the
+    // manifest's footer row counts + per-file stats + inlined rows, ZERO
+    // data files read (DuckDB answers these from duckdb_table_stats; so
+    // does Iceberg). At 100 TB: one cached metadata document vs a full
+    // scan. The `meta_only` flag is part of the judged contract — if the
+    // engine silently fell back to scanning, the hash breaks.
+    QDef("l26_stats_agg",
+      (s, d) => {
+        val cat = freshLake(s)
+        cat.createTable("ord", StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_totalprice", DoubleType),
+          StructField("o_orderpriority", StringType))),
+          primaryKey = Seq("o_orderkey"))
+        val src = T.orders(s, d)
+          .selectExpr("o_orderkey", "o_totalprice", "o_orderpriority")
+        // three file-backed batches + one manifest-inlined batch, so the
+        // answer provably folds files AND inlined rows
+        (0 until 3).foreach(r => cat.insert("ord",
+          src.filter(col("o_orderkey") % 1000 =!= 7 &&
+            col("o_orderkey") % 3 === r)))
+        cat.insertInlined("ord", src.filter(col("o_orderkey") % 1000 === 7))
+        cat.statsAgg("ord", Seq("o_orderkey", "o_totalprice"))
+      }, Some("""
+        SELECT count(*) AS n,
+               min(o_orderkey) AS min_o_orderkey,
+               max(o_orderkey) AS max_o_orderkey,
+               min(o_totalprice) AS min_o_totalprice,
+               max(o_totalprice) AS max_o_totalprice,
+               TRUE AS meta_only
+        FROM orders""")),
+
+    // L27 — MERGE-ON-READ deletes (deletion vectors; Iceberg v2 position
+    // deletes / Delta DVs — DuckLake likewise ships delete files instead
+    // of rewriting parquet): two MoR deletes tombstone rows via one tiny
+    // (file, pos) sidecar each — the data files are untouched (same
+    // manifest paths, `no_rewrite`), repeated deletes on a file fold
+    // into one sidecar, COUNT stays manifest-answerable (`meta_n`), and
+    // compaction materializes + clears every DV (`dv_cleared`). Write
+    // cost O(deleted rows) vs CoW's O(affected bytes) — the difference
+    // between kilobytes and terabytes at 100 TB. Oracle: the deletes
+    // replayed as predicate filters.
+    QDef("l27_delete_vectors",
+      (s, d) => {
+        val cat = freshLake(s)
+        cat.createTable("li", StructType(Seq(
+          StructField("l_orderkey", LongType),
+          StructField("l_quantity", DoubleType),
+          StructField("l_returnflag", StringType))))
+        val src = T.lineitem(s, d)
+          .selectExpr("l_orderkey", "l_quantity", "l_returnflag")
+        (0 until 3).foreach(r =>
+          cat.insert("li", src.filter(col("l_orderkey") % 3 === r)))
+        val before = cat.current.tables("li").files.map(_.path)
+        cat.deleteMor("li", col("l_returnflag") === "R")
+        cat.deleteMor("li", col("l_quantity") >= 45.0)
+        val after = cat.current.tables("li")
+        val noRewrite =
+          after.files.map(_.path) == before && after.files.exists(_.dv.isDefined)
+        val meta = cat.statsAgg("li").head()
+        val metaN = if (meta.getBoolean(1)) meta.getLong(0) else -1L
+        cat.compact("li", targetFileBytes = 128L << 20)
+        val cleared = cat.current.tables("li").files.forall(_.dv.isEmpty)
+        cat.read("li").agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("bigint").as("sum_qty"))
+          .withColumn("meta_n", lit(metaN))
+          .withColumn("no_rewrite", lit(noRewrite))
+          .withColumn("dv_cleared", lit(cleared))
+      }, Some("""
+        WITH fin AS (
+          SELECT l_quantity FROM lineitem
+          WHERE NOT (l_returnflag = 'R') AND NOT (l_quantity >= 45.0))
+        SELECT count(*) AS n, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+               count(*) AS meta_n, TRUE AS no_rewrite, TRUE AS dv_cleared
+        FROM fin""")),
+
     // T6 — engine introspection as DataFrames (ref exploration/
     // ducklake_analysis.sh:186-191: duckdb_functions()/duckdb_settings()).
     // The settings probe reports PRESENCE (set/unset), not the value —

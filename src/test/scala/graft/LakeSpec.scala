@@ -656,6 +656,113 @@ class LakeSpec extends SparkSpec {
     assert(cat.read("t").count() === 4)
   }
 
+  test("deletion vectors: MoR delete tombstones rows without rewriting files") {
+    val cat = newLake()
+    cat.createTableAs("t", spark.range(10000).selectExpr("id", "id % 7 AS v"))
+    val filesBefore = cat.current.tables("t").files.map(_.path)
+    val v1 = cat.currentVersion
+    cat.deleteMor("t", col("id") % 10 === 3)
+    val st = cat.current.tables("t")
+    // the data files are EXACTLY the same paths — only dv pointers changed
+    assert(st.files.map(_.path) === filesBefore)
+    assert(st.files.exists(_.dv.isDefined))
+    assert(st.files.map(_.dvRows).sum === 1000L)
+    assert(cat.read("t").count() === 9000L)
+    assert(cat.read("t").filter(col("id") % 10 === 3).count() === 0L)
+    // time travel still sees the pre-delete rows through the same files
+    assert(cat.readAt("t", v1).count() === 10000L)
+    // second MoR delete folds tombstones (re-matched rows don't double)
+    cat.deleteMor("t", col("id") % 5 === 3)
+    assert(cat.read("t").count() === 8000L)
+    assert(cat.current.tables("t").files.map(_.dvRows).sum === 2000L)
+    // the change feed reports the deletes row-accurately
+    val ch = cat.tableChanges("t", v1, cat.currentVersion)
+    assert(ch.filter(col("change_type") === "delete").count() === 2000L)
+    // deleted keys are re-insertable (PK sees live rows only)
+    val cat2 = newLake()
+    cat2.createTable("u", StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType))), primaryKey = Seq("id"))
+    cat2.insert("u", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"))
+    cat2.deleteMor("u", col("id") === 2L)
+    cat2.insert("u", Seq((2L, "b2")).toDF("id", "s"))
+    assert(cat2.read("u").filter(col("id") === 2L).select("s").head().getString(0) === "b2")
+  }
+
+  test("deletion vectors: CoW rewrite and compaction materialize + clear them") {
+    val cat = newLake()
+    cat.createTableAs("t", spark.range(5000).selectExpr("id", "id AS v"))
+    cat.deleteMor("t", col("id") < 100)
+    // an update rewrites affected files from their LIVE rows only
+    cat.update("t", col("id") === 200L, Map("v" -> lit(-1L)))
+    assert(cat.read("t").count() === 4900L)
+    assert(cat.read("t").filter(col("id") < 100).count() === 0L)
+    // compaction folds the whole table: no entry keeps a dv afterwards
+    cat.compact("t", targetFileBytes = 1L << 20)
+    val st = cat.current.tables("t")
+    assert(st.files.forall(_.dv.isEmpty))
+    assert(st.files.map(_.rowCount).sum === 4900L)
+    assert(cat.read("t").count() === 4900L)
+    // vacuum GCs the now-unreferenced dv sidecars along with old files
+    cat.vacuum(keepLast = 1)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration())
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(cat.root), true)
+    var dvOnDisk = 0
+    while (it.hasNext) {
+      val p = it.next().getPath.toUri.getPath
+      if (p.contains("/dv/") && p.endsWith(".parquet")) dvOnDisk += 1
+    }
+    assert(dvOnDisk === 0)
+  }
+
+  test("restore re-points a table at a past version as a new commit") {
+    val cat = newLake()
+    cat.createTableAs("t", spark.range(100).toDF("id"))
+    val vOrig = cat.currentVersion
+    cat.update("t", col("id") < 10, Map("id" -> (col("id") + 1000L)))
+    cat.delete("t", col("id") >= 50 && col("id") < 1000)
+    assert(cat.read("t").count() === 50L)
+    cat.restoreTable("t", vOrig)
+    // restored content = the original, bit for bit
+    assert(cat.read("t").exceptAll(cat.readAt("t", vOrig)).isEmpty)
+    assert(cat.read("t").count() === 100L)
+    // history is intact: the intermediate versions still time-travel
+    assert(cat.readAt("t", vOrig + 2).count() === 50L)
+    // restore is a NEW version, not history surgery
+    assert(cat.currentVersion === vOrig + 3)
+    // restored table stays writable and a restore can be undone
+    cat.insert("t", Seq(9999L).toDF("id"))
+    assert(cat.read("t").count() === 101L)
+    cat.restoreTable("t", vOrig + 2)
+    assert(cat.read("t").count() === 50L)
+    // restoring to a vacuumed version is refused
+    cat.vacuum(keepLast = 1)
+    intercept[IllegalArgumentException] { cat.restoreTable("t", vOrig) }
+  }
+
+  test("statsAgg answers count/min/max from the manifest, falls back when inexact") {
+    val cat = newLake()
+    cat.createTableAs("t", spark.range(1000).selectExpr("id", "id * 2 AS v"))
+    cat.insertInlined("t", Seq((5000L, 42L)).toDF("id", "v"))
+    val r = cat.statsAgg("t", Seq("id", "v")).head()
+    assert(r.getLong(0) === 1001L)                 // n
+    assert(r.getLong(1) === 0L && r.getLong(2) === 5000L)  // min/max id
+    assert(r.getLong(3) === 0L && r.getLong(4) === 1998L)  // min/max v... inlined 42 < 1998
+    assert(r.getBoolean(5))                        // meta_only
+    // MoR tombstones make MIN/MAX inexact from metadata -> scan fallback,
+    // same answer shape; count-only stays metadata-exact
+    cat.deleteMor("t", col("id") === 0L)
+    val r2 = cat.statsAgg("t", Seq("id")).head()
+    assert(!r2.getBoolean(3) && r2.getLong(1) === 1L)
+    val cnt = cat.statsAgg("t").head()
+    assert(cnt.getLong(0) === 1000L && cnt.getBoolean(1))
+    // a tiny table (stats harvest skipped) falls back too — same values
+    val cat2 = newLake()
+    cat2.createTableAs("s", Seq((1L, 9L), (2L, 8L)).toDF("id", "v"))
+    val r3 = cat2.statsAgg("s", Seq("v")).head()
+    assert(!r3.getBoolean(3) && r3.getLong(1) === 8L && r3.getLong(2) === 9L)
+  }
+
   test("zorder refuses non-numeric columns instead of silently degenerating") {
     val cat = newLake()
     cat.createTableAs("t", spark.range(100)
