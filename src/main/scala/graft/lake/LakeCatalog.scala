@@ -215,6 +215,43 @@ class LakeCatalog(val spark: SparkSession, val root: String,
       finally in.close()
     })
 
+  /** Enable per-file HLL NDV sketches on `colName`: every subsequent
+    * write stores a mergeable distinct-count sketch in the manifest
+    * entry (existing files stay unsketched until rewritten — run
+    * [[compact]] to backfill). See [[approxDistinct]]. */
+  def ndvIndex(table: String, colName: String): Unit =
+    transaction(_.setProperty(table, "index.ndv", colName))
+
+  /** Approximate COUNT(DISTINCT colName) folded from the manifest's
+    * per-file HLL sketches — ZERO data files read (the cardinality input
+    * every join planner wants, answered the way Iceberg/DuckDB answer it
+    * from stats). The merge is one driver-local job over the sketch
+    * bytes. Returns (estimate, metaOnly); when any file lacks a sketch
+    * (written before [[ndvIndex]], or a tiny write), carries tombstones
+    * (deleted rows would still be counted), or inlined rows exist, it
+    * FALLS BACK to an exact distributed COUNT(DISTINCT) — correct,
+    * never silently stale. */
+  def approxDistinct(table: String, colName: String): (Long, Boolean) = {
+    val st = stateOf(current, table)
+    require(st.columns.exists(_.name == colName),
+      s"no such column: $table.$colName")
+    val metaOk = st.files.nonEmpty && st.inlined.isEmpty &&
+      st.files.forall(e => e.dvRows == 0L && e.ndv.contains(colName))
+    if (metaOk) {
+      import spark.implicits._
+      val sketches = st.files
+        .map(e => java.util.Base64.getDecoder.decode(e.ndv(colName)))
+      val est = spark.createDataset(sketches).toDF("s")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(s))"))
+        .head().getLong(0)
+      (est, true)
+    } else {
+      val exact = read(table).agg(countDistinct(col(colName)))
+        .head().getLong(0)
+      (exact, false)
+    }
+  }
+
   /** Enable a per-file BLOOM index on `colName` for point lookups: every
     * subsequent write builds a sidecar filter next to its data files
     * (existing files stay unindexed until rewritten — run [[compact]] to
@@ -593,6 +630,10 @@ class LakeCatalog(val spark: SparkSession, val root: String,
   /** RESTORE to a past version — see [[Tx.restoreTable]]. */
   def restoreTable(table: String, version: Long): Unit =
     transaction(_.restoreTable(table, version))
+
+  /** Zero-copy clone — see [[Tx.cloneTable]]. */
+  def cloneTable(src: String, dst: String): Unit =
+    transaction(_.cloneTable(src, dst))
 
   def update(table: String, where: Column, sets: Map[String, Column]): Unit =
     transaction(_.update(table, where, sets))

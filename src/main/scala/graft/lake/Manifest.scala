@@ -103,7 +103,13 @@ final case class FileEntry(
     // tombstone count for this file inside `dv` — live rows =
     // rowCount - dvRows, kept exact so COUNT(*) stays answerable from
     // the manifest alone.
-    dvRows: Long = 0L) {
+    dvRows: Long = 0L,
+    // per-file HLL sketches (colName -> base64 bytes) for opt-in NDV
+    // columns (table property `index.ndv`): mergeable distinct-count
+    // state, so table-level approx NDV — the cardinality input every
+    // join planner wants — folds from the manifest with zero file
+    // reads. ~1-4 KB per file per column, opt-in like blooms.
+    ndv: Map[String, String] = Map.empty) {
   def liveRows: Long = rowCount - dvRows
 }
 

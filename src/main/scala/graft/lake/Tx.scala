@@ -212,6 +212,34 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     change("tables_dropped", name)
   }
 
+  /** ZERO-COPY clone (Delta `SHALLOW CLONE`): `dst` starts as a new
+    * table whose manifest re-references `src`'s files — no data copied,
+    * O(table metadata) regardless of size. Copy-on-write keeps the two
+    * independent afterwards: a rewrite on either side produces new files
+    * while the other keeps the originals, and vacuum's liveness is the
+    * union of all references, so shared files survive until NO kept
+    * snapshot of either table needs them. Schema history, constraints,
+    * properties, stats, bloom/DV sidecar pointers all ride along
+    * (sidecars are immutable, so sharing them is safe). */
+  def cloneTable(src: String, dst: String): Unit = {
+    val st = state(src)
+    require(!tables.contains(dst), s"table already exists: $dst")
+    tables(dst) = st
+    ddlCount += 1
+    change("tables_cloned", dst)
+  }
+
+  /** Atomically swap `table`'s state for `from`'s (CREATE OR REPLACE ...
+    * AS SELECT by reference) — the publish half of write-audit-publish:
+    * stage into a clone, audit the staged state, then replace the
+    * production table with it in the same transaction. O(metadata). */
+  def replaceTable(table: String, from: String): Unit = {
+    state(table) // must exist
+    tables(table) = state(from)
+    ddlCount += 1
+    change("tables_replaced", table)
+  }
+
   /** Delta-style `RESTORE TABLE ... VERSION AS OF v`: re-point the table
     * at its state in snapshot `version`, as a NEW commit — history stays
     * intact (every intermediate version remains time-travelable, and the
@@ -255,6 +283,10 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
 
   /** Table properties as staged in this transaction. */
   def properties(table: String): Map[String, String] = state(table).props
+
+  /** Manifest file paths backing `table` as staged in this transaction —
+    * the zero-copy observable (a clone shares its source's paths). */
+  def fileList(table: String): Seq[String] = state(table).files.map(_.path)
 
   // --------------------------------------------------------- snapshot tags
 
@@ -917,11 +949,32 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
           p -> Map(c -> sideRel)
         }.toMap
       }
+    // opt-in per-file HLL NDV sketches (table property `index.ndv`):
+    // mergeable distinct-count state rides the MANIFEST itself (base64,
+    // ~1-4 KB/file) so table-level approx NDV folds with zero file reads
+    // — see LakeCatalog.approxDistinct. Same tiny-write gate as stats.
+    val ndvCol = tables.get(table).flatMap(_.props.get("index.ndv"))
+      .filter(c => tables.get(table).exists(_.columns.exists(_.name == c)))
+    val ndvByPath: Map[String, Map[String, String]] =
+      if (ndvCol.isEmpty || parts.map(_._3).sum < 64) Map.empty
+      else {
+        val c = ndvCol.get
+        spark.read.parquet(abs.toString)
+          .groupBy(input_file_name().as("__f"))
+          .agg(expr(s"hll_sketch_agg(`$c`)").as("__sk"))
+          .collect()
+          .flatMap { r =>
+            Option(r.getAs[Array[Byte]]("__sk")).map(sk =>
+              new java.net.URI(r.getString(0)).getPath ->
+                Map(c -> java.util.Base64.getEncoder.encodeToString(sk)))
+          }.toMap
+      }
     parts.map { case (p, len, rows) =>
       val relPath = p.toUri.getPath.stripPrefix(rootQ).stripPrefix("/")
       val (stats, pv) = harvest.getOrElse(p.toUri.getPath, (Map.empty[String, ColStat], Map.empty[String, Seq[String]]))
       FileEntry(relPath, len, rows, schemaVersion, stats, pv,
-        bloomsByPath.getOrElse(p.toUri.getPath, Map.empty))
+        bloomsByPath.getOrElse(p.toUri.getPath, Map.empty),
+        ndv = ndvByPath.getOrElse(p.toUri.getPath, Map.empty))
     }
   }
 

@@ -1244,6 +1244,105 @@ object LakeScenarios {
                count(*) AS meta_n, TRUE AS no_rewrite, TRUE AS dv_cleared
         FROM fin""")),
 
+    // L28 — zero-copy CLONE + WRITE-AUDIT-PUBLISH: `cloneTable`
+    // re-references the source's files (Delta SHALLOW CLONE — nothing
+    // copied, `zero_copy` pins it), and the WAP loop runs INSIDE one
+    // transaction: stage into a clone, insert, audit the staged state,
+    // swap it in with `replaceTable`, drop the stage. A failing audit
+    // rolls back stage + insert + swap together ("rollback_clean"); a
+    // passing one publishes atomically. At 100 TB the stage costs
+    // metadata, not a table copy. Oracle: base + the batch that passed
+    // audit; the rejected batch must leave no trace.
+    QDef("l28_wap_clone",
+      (s, d) => {
+        val cat = freshLake(s)
+        cat.createTable("inv", StructType(Seq(
+          StructField("product_id", IntegerType),
+          StructField("quantity", IntegerType))), primaryKey = Seq("product_id"))
+        cat.insert("inv", inventoryDf(s, d).select("product_id", "quantity"))
+        // zero-copy: the staged clone shares the source's manifest paths
+        var zeroCopy = false
+        val vGood = cat.currentVersion
+        def wap(batch: org.apache.spark.sql.DataFrame): Unit =
+          cat.transaction { tx =>
+            tx.cloneTable("inv", "inv_stage")
+            zeroCopy = tx.fileList("inv_stage") == tx.fileList("inv") &&
+              tx.fileList("inv").nonEmpty
+            tx.insert("inv_stage", batch)
+            if (!tx.read("inv_stage").filter(col("quantity") < 0).isEmpty)
+              throw new ConstraintViolation("audit: negative quantity")
+            tx.replaceTable("inv", "inv_stage")
+            tx.dropTable("inv_stage")
+          }
+        // batch 1 fails the audit -> the whole WAP txn must vanish
+        try wap(inventoryDf(s, d)
+          .selectExpr("cast(product_id + 1000 AS int) AS product_id",
+            "cast(-quantity AS int) AS quantity"))
+        catch { case _: ConstraintViolation => () }
+        val rollbackClean = cat.currentVersion == vGood &&
+          !cat.current.tables.contains("inv_stage")
+        // batch 2 passes -> published atomically
+        wap(inventoryDf(s, d)
+          .selectExpr("cast(product_id + 2000 AS int) AS product_id",
+            "cast(quantity + 7 AS int) AS quantity"))
+        cat.read("inv").agg(
+          count(lit(1)).as("n"),
+          sum(col("quantity")).cast("bigint").as("sum_qty"))
+          .withColumn("rollback_clean", lit(rollbackClean && zeroCopy))
+      }, Some("""
+        WITH base AS (
+          SELECT CAST(p_partkey AS INT) AS product_id,
+                 CAST(p_size AS INT) AS quantity
+          FROM part WHERE p_partkey <= 100),
+        fin AS (
+          SELECT product_id, quantity FROM base
+          UNION ALL
+          SELECT product_id + 2000, quantity + 7 FROM base)
+        SELECT count(*) AS n, CAST(sum(quantity) AS BIGINT) AS sum_qty,
+               TRUE AS rollback_clean
+        FROM fin""")),
+
+    // L29 — manifest NDV sketches: per-file mergeable HLL state (table
+    // property `index.ndv`) harvested at write time, folded into a
+    // table-level approx COUNT(DISTINCT) with ZERO data files read —
+    // the cardinality stat a join planner feeds on, answered the way
+    // Iceberg/DuckDB answer it from their stats tables. The estimate is
+    // engine-specific, so (as with a12) the judged output is the
+    // ACCURACY CONTRACT: the folded estimate must land within 5% of the
+    // exact distinct count DuckDB computes independently, and the
+    // metadata path must actually fire.
+    QDef("l29_ndv_stats",
+      (s, d) => {
+        val cat = freshLake(s)
+        cat.createTable("ord", StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_custkey", LongType))), primaryKey = Seq("o_orderkey"))
+        cat.ndvIndex("ord", "o_custkey")
+        val src = T.orders(s, d).select("o_orderkey", "o_custkey")
+        (0 until 3).foreach(r =>
+          cat.insert("ord", src.filter(col("o_orderkey") % 3 === r)))
+        val allSketched = cat.current.tables("ord").files
+          .forall(_.ndv.contains("o_custkey"))
+        val (est, metaOnly) = cat.approxDistinct("ord", "o_custkey")
+        val exact = cat.read("ord").agg(countDistinct(col("o_custkey")))
+          .head().getLong(0)
+        val s2 = s
+        import s2.implicits._
+        Seq(
+          ("1_exact_custkeys", exact),
+          ("2_ndv_within_5pct",
+            if (math.abs(est - exact) <= exact * 0.05) 1L else 0L),
+          ("3_meta_only", if (metaOnly && allSketched) 1L else 0L))
+          .toDF("metric", "value").orderBy("metric")
+      }, Some("""
+        SELECT * FROM (VALUES
+          ('1_exact_custkeys',
+            (SELECT count(DISTINCT o_custkey) FROM orders)),
+          ('2_ndv_within_5pct', CAST(1 AS BIGINT)),
+          ('3_meta_only',       CAST(1 AS BIGINT)))
+          t(metric, value)
+        ORDER BY metric""")),
+
     // T6 — engine introspection as DataFrames (ref exploration/
     // ducklake_analysis.sh:186-191: duckdb_functions()/duckdb_settings()).
     // The settings probe reports PRESENCE (set/unset), not the value —

@@ -763,6 +763,74 @@ class LakeSpec extends SparkSpec {
     assert(!r3.getBoolean(3) && r3.getLong(1) === 8L && r3.getLong(2) === 9L)
   }
 
+  test("zero-copy clone: shared files, independent divergence, safe vacuum") {
+    val cat = newLake()
+    cat.createTableAs("t", spark.range(5000).selectExpr("id", "id AS v"))
+    cat.cloneTable("t", "c")
+    // the clone references the SAME files — nothing was copied
+    val tf = cat.current.tables("t").files.map(_.path)
+    assert(cat.current.tables("c").files.map(_.path) === tf)
+    // divergence is copy-on-write: each side's writes leave the other alone
+    cat.update("c", col("id") < 100, Map("v" -> lit(-1L)))
+    cat.delete("t", col("id") >= 4000)
+    assert(cat.read("t").count() === 4000L)
+    assert(cat.read("c").count() === 5000L)
+    assert(cat.read("c").filter(col("v") === -1L).count() === 100L)
+    assert(cat.read("t").filter(col("v") === -1L).count() === 0L)
+    // vacuum: files still referenced by EITHER table's kept snapshot live
+    cat.vacuum(keepLast = 1)
+    assert(cat.read("t").count() === 4000L)
+    assert(cat.read("c").count() === 5000L)
+    // write-audit-publish in ONE transaction: a failing audit rolls back
+    // the stage table, the insert, and the swap together
+    val v = cat.currentVersion
+    intercept[RuntimeException] {
+      cat.transaction { tx =>
+        tx.cloneTable("t", "stage")
+        tx.insert("stage", Seq((-1L, -99L)).toDF("id", "v"))
+        if (!tx.read("stage").filter(col("id") < 0).isEmpty)
+          throw new RuntimeException("audit failed: negative ids")
+        tx.replaceTable("t", "stage")
+        tx.dropTable("stage")
+      }
+    }
+    assert(cat.currentVersion === v)
+    assert(!cat.current.tables.contains("stage"))
+    assert(cat.read("t").count() === 4000L)
+    // and a passing audit publishes atomically
+    cat.transaction { tx =>
+      tx.cloneTable("t", "stage")
+      tx.insert("stage", Seq((90000L, 1L)).toDF("id", "v"))
+      require(tx.read("stage").filter(col("id") < 0).isEmpty)
+      tx.replaceTable("t", "stage")
+      tx.dropTable("stage")
+    }
+    assert(cat.currentVersion === v + 1)
+    assert(cat.read("t").count() === 4001L)
+  }
+
+  test("NDV sketches fold from the manifest; fallback stays exact") {
+    val cat = newLake()
+    cat.createTableAs("t", spark.range(20000).selectExpr("id", "id % 997 AS k"))
+    // pre-index writes have no sketch -> exact fallback
+    val (exact0, meta0) = cat.approxDistinct("t", "k")
+    assert(!meta0 && exact0 === 997L)
+    cat.ndvIndex("t", "k")
+    cat.compact("t", targetFileBytes = 64L << 10) // backfills sketches
+    assert(cat.current.tables("t").files.forall(_.ndv.contains("k")))
+    val (est, meta) = cat.approxDistinct("t", "k")
+    assert(meta && math.abs(est - 997L) <= 997L * 0.05)
+    // new inserts keep the table fully sketched; estimate tracks growth
+    cat.insert("t", spark.range(5000).selectExpr("id + 100000 AS id",
+      "id % 997 + 2000 AS k"))
+    val (est2, meta2) = cat.approxDistinct("t", "k")
+    assert(meta2 && math.abs(est2 - 1994L) <= 1994L * 0.05)
+    // MoR tombstones would overcount -> exact fallback kicks in
+    cat.deleteMor("t", col("k") >= 2000L)
+    val (est3, meta3) = cat.approxDistinct("t", "k")
+    assert(!meta3 && est3 === 997L)
+  }
+
   test("zorder refuses non-numeric columns instead of silently degenerating") {
     val cat = newLake()
     cat.createTableAs("t", spark.range(100)

@@ -258,7 +258,8 @@ class PipelineSpec extends SparkSpec {
       "l16_tag_retention", "l17_cdc_apply", "l18_zorder_prune",
       "l20_partitioned_prune", "l21_incremental_mv", "l22_stream_mv",
       "l23_bloom_point", "l24_check_constraint", "l25_restore",
-      "l26_stats_agg", "l27_delete_vectors").foreach { name =>
+      "l26_stats_agg", "l27_delete_vectors", "l28_wap_clone",
+      "l29_ndv_stats").foreach { name =>
       val a = run(name).collect()
       val b = run(name).collect()
       assert(a.nonEmpty, s"$name returned no rows")
