@@ -443,6 +443,55 @@ object Pipeline {
         "round(CAST(sum(sp) AS DOUBLE) / count(*), 6) AS avg_surprise " +
         "FROM sc GROUP BY source ORDER BY source")),
 
+    // X18 SEGMENT dedup — the RefinedWeb/CCNet "line/paragraph dedup"
+    // pass, adapted to the corpus's newline-free text: docs split into
+    // non-overlapping 10-token segments, a segment whose exact content
+    // recurs >= 3 times ACROSS the corpus is boilerplate and removed
+    // from every doc. Same codegen'd sequence+slice fan-out as x14 (no
+    // collect_list ordering hazards), corpus frequency as ONE window
+    // over the segment fingerprints (the tf-idf trick — no self-join),
+    // so the whole op is explode -> window -> hash-agg: one shuffle on
+    // fp, one on source, embarrassingly parallel at 100 TB. Integer
+    // outputs only — no float parity risk.
+    QDef("x18_segment_dedup",
+      (s, d) => {
+        val segs = docsWithToks(s, d)
+          .select(col("doc_id"), col("source"), col("toks"),
+            size(col("toks")).cast(LongType).as("n"))
+          .selectExpr("doc_id", "source",
+            "explode(sequence(0L, greatest(0L, (n - 1) div 10))) AS k",
+            "toks")
+          .selectExpr("doc_id", "source",
+            "size(slice(toks, cast(k * 10 + 1 AS int), 10)) AS s_len",
+            "md5(concat_ws(' ', slice(toks, cast(k * 10 + 1 AS int), 10))) AS fp")
+        segs
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+          .groupBy("source").agg(
+            count(lit(1)).as("n_segs"),
+            sum(when(col("df") >= 3, 1L).otherwise(0L)).as("n_removed_segs"),
+            sum(when(col("df") >= 3, col("s_len")).otherwise(0L))
+              .as("removed_tokens"),
+            countDistinct(when(col("df") >= 3, col("doc_id")))
+              .as("n_docs_touched"))
+          .orderBy("source")
+      },
+      Some(s"WITH t AS (SELECT doc_id, source, $toksD AS toks, " +
+        s"len($toksD) AS n FROM documents), " +
+        "k AS (SELECT doc_id, source, toks, " +
+        "unnest(range(0, greatest(0, (n - 1) // 10) + 1)) AS k FROM t), " +
+        "sg AS (SELECT doc_id, source, " +
+        "len(toks[k*10+1 : k*10+10]) AS s_len, " +
+        "md5(array_to_string(toks[k*10+1 : k*10+10], ' ')) AS fp FROM k), " +
+        "wd AS (SELECT *, count(*) OVER (PARTITION BY fp) AS df FROM sg) " +
+        "SELECT source, count(*) AS n_segs, " +
+        "CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_removed_segs, " +
+        "CAST(sum(CASE WHEN df >= 3 THEN s_len ELSE 0 END) AS BIGINT) " +
+        "AS removed_tokens, " +
+        "count(DISTINCT CASE WHEN df >= 3 THEN doc_id END) " +
+        "AS n_docs_touched " +
+        "FROM wd GROUP BY source ORDER BY source")),
+
     // X16 PII redaction — the scrubbing pass every shipped corpus runs:
     // emails and IPv4s replaced with typed placeholders, map-only
     // (regexp_replace is codegen'd; at 100 TB this is a pure scan-write,

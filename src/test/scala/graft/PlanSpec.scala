@@ -29,6 +29,22 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("ReadSchema"), s)
   }
 
+  test("MoR reads broadcast-anti-join tombstones; DV-free reads plan no join") {
+    import org.apache.spark.sql.types._
+    val cat = new graft.lake.LakeCatalog(spark, tmpDir("planlake"))
+    cat.createTableAs("t", spark.range(10000).selectExpr("id", "id AS v"))
+    // no deletion vectors -> the scan is a bare FileScan, ZERO join
+    // overhead (the fast path must stay fast)
+    val clean = cat.read("t").queryExecution.executedPlan.toString()
+    assert(!clean.toLowerCase.contains("join"), clean)
+    cat.deleteMor("t", col("id") % 10 === 0)
+    // with DVs: LEFT ANTI against the tombstones, BROADCAST (tombstones
+    // are tiny), never a shuffled join of the data side
+    val mor = cat.read("t").queryExecution.executedPlan.toString()
+    assert(mor.contains("BroadcastHashJoin") && mor.contains("LeftAnti"), mor)
+    assert(!mor.contains("SortMergeJoin"), mor)
+  }
+
   test("small dimension joins broadcast (no shuffle of the fact side)") {
     val s = planString("j1_join_inner")
     assert(s.contains("BroadcastHashJoin"), s)

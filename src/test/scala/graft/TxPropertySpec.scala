@@ -70,7 +70,9 @@ class TxPropertySpec extends SparkSpec {
     // sequence, a FRESH catalog (cold caches, state rebuilt purely from
     // stored documents + blobs) sees byte-identical tables at EVERY
     // version as the catalog that wrote them
-    val dmlGen: Gen[Int] = Gen.choose(0, 5) // 0=insert 1=update 2=delete 3=compact 4=cluster 5=zorder
+    // 0=insert 1=update 2=delete 3=compact 4=cluster 5=zorder
+    // 6=MoR delete 7=restore-to-previous 8=clone+replace (WAP round)
+    val dmlGen: Gen[Int] = Gen.choose(0, 8)
     val prop = Prop.forAllNoShrink(Gen.listOfN(8, dmlGen)) { ops =>
       val cat = freshCat()
       val v0 = cat.currentVersion // ord exists from here on
@@ -85,6 +87,17 @@ class TxPropertySpec extends SparkSpec {
         case 3 => cat.compact("ord", 1L << 20)
         case 4 => cat.cluster("ord", Seq("oid"), 8L << 10)
         case 5 => cat.zorder("ord", Seq("oid", "n"), 8L << 10)
+        case 6 => cat.deleteMor("ord", col("oid") % 3 === 1)
+        case 7 =>
+          val back = math.max(v0, cat.currentVersion - 1)
+          cat.restoreTable("ord", back)
+        case 8 => cat.transaction { tx =>
+          tx.cloneTable("ord", "ord_stage")
+          tx.insert("ord_stage", Seq((8000 + nextOid, 3, 1))
+            .toDF("oid", "pid", "n"))
+          tx.replaceTable("ord", "ord_stage")
+          tx.dropTable("ord_stage")
+        }; nextOid += 1
         case _ => ()
       }
       val cold = new LakeCatalog(spark, cat.root)
