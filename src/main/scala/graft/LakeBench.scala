@@ -94,6 +94,23 @@ object LakeBench {
     timed("range_read_pruned") {
       cat.readRange("bench_large", "id", "1000", "2000").count()
     }
+    // 10. delete-path comparison on identical tables: copy-on-write
+    // rewrites every affected file; merge-on-read writes only the
+    // (file, pos) tombstones. The gap widens with file size — at 100 TB
+    // it is the difference between terabytes rewritten and kilobytes
+    // appended. A read over the DV'd table shows the anti-join cost.
+    cat.createTableAs("del_cow", spark.range(200000).selectExpr(
+      "id", "concat('payload_', id, '_', repeat('x', 64)) AS payload"))
+    cat.cloneTable("del_cow", "del_mor") // identical zero-copy twin
+    timed("delete_1pct_cow") {
+      cat.delete("del_cow", col("id") % 100 === 0)
+    }
+    timed("delete_1pct_mor") {
+      cat.deleteMor("del_mor", col("id") % 100 === 0)
+    }
+    timed("read_after_mor") {
+      cat.read("del_mor").agg(sum(col("id"))).collect()
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -831,6 +831,37 @@ class LakeSpec extends SparkSpec {
     assert(!meta3 && est3 === 997L)
   }
 
+  test("deletion vectors compose with partitioning, blooms, and evolution") {
+    val cat = newLake()
+    // partitioned + bloom-indexed table
+    cat.createTable("t", StructType(Seq(
+      StructField("id", LongType), StructField("src", StringType),
+      StructField("v", LongType))), partitionBy = Seq("src"))
+    cat.bloomIndex("t", "id")
+    cat.insert("t", spark.range(3000).selectExpr("id",
+      "concat('s', id % 3) AS src", "id AS v"))
+    // a no-match MoR delete adds no tombstones
+    cat.deleteMor("t", col("id") === -1L)
+    assert(cat.current.tables("t").files.forall(_.dv.isEmpty))
+    cat.deleteMor("t", col("id") % 10 === 4)
+    // partition pruning still works and excludes tombstoned rows
+    val p0 = cat.readPartition("t", Map("src" -> "s0"))
+    assert(p0.count() === 900L)
+    assert(p0.filter(col("id") % 10 === 4).count() === 0L)
+    // point lookup through the bloom index: a tombstoned key reads empty,
+    // a live key reads through the same pruned file set
+    assert(cat.readPoint("t", "id", "4").count() === 0L)
+    assert(cat.readPoint("t", "id", "5").count() === 1L)
+    // schema evolution on top: old files (with DVs) read the new column's
+    // default, and the tombstones still apply
+    cat.transaction(_.addColumn("t", "flag", StringType, Some("'old'")))
+    assert(cat.read("t").count() === 2700L)
+    assert(cat.read("t").filter(col("flag") === "old").count() === 2700L)
+    cat.insert("t", Seq((50000L, "s0", 1L, "new")).toDF("id", "src", "v", "flag"))
+    assert(cat.read("t").filter(col("flag") === "new").count() === 1L)
+    assert(cat.read("t").count() === 2701L)
+  }
+
   test("zorder refuses non-numeric columns instead of silently degenerating") {
     val cat = newLake()
     cat.createTableAs("t", spark.range(100)
