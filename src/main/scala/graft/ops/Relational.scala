@@ -706,6 +706,83 @@ object Relational {
         "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey) " +
         "ORDER BY o_orderpriority, o_orderkey")),
 
+    // W6 argmax-per-group (top-1 with deterministic tie-break) — the
+    // "latest/best record per entity" pattern every warehouse runs
+    // hourly. One hash-agg + one window; Spark's WindowGroupLimit pushes
+    // the rn=1 filter below the sort at scale. Money through
+    // DECIMAL(18,2); ties broken by key so the winner is engine-stable.
+    QDef("w6_top_per_group",
+      (s, d) => {
+        val spend = T.orders(s, d).groupBy("o_orderpriority", "o_custkey")
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("spend").desc, col("o_custkey").asc)
+        spend.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_orderpriority"), col("o_custkey"),
+            col("spend").cast("double").as("top_spend"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        WITH spend AS (
+          SELECT o_orderpriority, o_custkey,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+          FROM orders GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+              ORDER BY spend DESC, o_custkey ASC) AS rn FROM spend)
+        SELECT o_orderpriority, o_custkey, CAST(spend AS DOUBLE) AS top_spend
+        FROM r WHERE rn = 1 ORDER BY o_orderpriority""")),
+
+    // A17 moment statistics (mean/variance/correlation) with CROSS-ENGINE
+    // EXACT parity: built-in var_samp/corr accumulate doubles in
+    // partition order (drifts between engines), so the moments are
+    // assembled from DECIMAL power sums — each summand exact (2-4dp
+    // products of 2dp inputs), decimal addition order-free — and the
+    // final double formula is written identically on both sides. Same
+    // single hash-agg shape as the built-ins: partial-aggregatable,
+    // one pass, no extra shuffle.
+    QDef("a17_stat_moments",
+      (s, d) => T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("nn"),
+          sum(col("l_quantity").cast("decimal(20,2)")).cast("double").as("sx"),
+          sum(col("l_extendedprice").cast("decimal(20,2)")).cast("double")
+            .as("sy"),
+          sum((col("l_quantity") * col("l_extendedprice"))
+            .cast("decimal(24,2)")).cast("double").as("sxy"),
+          sum((col("l_quantity") * col("l_quantity"))
+            .cast("decimal(24,2)")).cast("double").as("sxx"),
+          sum((col("l_extendedprice") * col("l_extendedprice"))
+            .cast("decimal(30,4)")).cast("double").as("syy"))
+        .select(col("l_returnflag"),
+          col("nn").cast("bigint").as("n"),
+          round(col("sx") / col("nn"), 6).as("mean_qty"),
+          round((col("sxx") - col("sx") * col("sx") / col("nn")) /
+            (col("nn") - 1), 6).as("var_qty"),
+          round((col("nn") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("nn") * col("sxx") - col("sx") * col("sx")) *
+              (col("nn") * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr_qty_price"))
+        .orderBy("l_returnflag"),
+      Some("""
+        WITH s AS (
+          SELECT l_returnflag,
+                 CAST(count(*) AS DOUBLE) AS nn,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sx,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sy,
+                 CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(24,2))) AS DOUBLE) AS sxy,
+                 CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(24,2))) AS DOUBLE) AS sxx,
+                 CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS syy
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, CAST(nn AS BIGINT) AS n,
+               round(sx / nn, 6) AS mean_qty,
+               round((sxx - sx * sx / nn) / (nn - 1), 6) AS var_qty,
+               round((nn * sxy - sx * sy) /
+                 sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy)), 6)
+                 AS corr_qty_price
+        FROM s ORDER BY l_returnflag""")),
+
     // U5 INTERSECT ALL / EXCEPT ALL — the multiset halves of the set-op
     // family (u3/u4 are the DISTINCT halves). Spark plans both as
     // aggregate+join on the value with per-side counts — no sort, no
