@@ -1187,6 +1187,38 @@ object Relational {
 
     // F19 regex capture groups — structured extraction from free text
     // (no-match renders as '' on both sides).
+    // F21 date_trunc + interval arithmetic — the truncation half of the
+    // datetime family (f18 covers extraction): every grain year→hour
+    // plus timestamp ± INTERVAL, all map-side codegen'd expressions.
+    // Week truncation is Monday-based in both engines; the session runs
+    // UTC so trunc boundaries agree; raw TIMESTAMP outputs hash-match
+    // (t7 precedent).
+    QDef("f21_date_trunc",
+      (s, d) => T.events(s, d)
+        .filter(col("event_id") % 50 === 0)
+        .select(col("event_id"),
+          date_trunc("year", col("ts")).as("y"),
+          date_trunc("quarter", col("ts")).as("qt"),
+          date_trunc("month", col("ts")).as("mo"),
+          date_trunc("week", col("ts")).as("wk"),
+          date_trunc("day", col("ts")).as("dy"),
+          date_trunc("hour", col("ts")).as("hr"),
+          expr("ts + INTERVAL 90 MINUTE").as("plus90m"),
+          expr("ts - INTERVAL 7 DAY").as("minus7d"))
+        .orderBy("event_id"),
+      // DuckDB returns DATE for day-and-coarser grains — normalize to
+      // TIMESTAMP to match Spark's uniform return type
+      Some("SELECT event_id, " +
+        "CAST(date_trunc('year', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS y, " +
+        "CAST(date_trunc('quarter', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS qt, " +
+        "CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS mo, " +
+        "CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS wk, " +
+        "CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS dy, " +
+        "date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, " +
+        "CAST(ts AS TIMESTAMP) + INTERVAL 90 MINUTE AS plus90m, " +
+        "CAST(ts AS TIMESTAMP) - INTERVAL 7 DAY AS minus7d " +
+        "FROM events WHERE event_id % 50 = 0 ORDER BY event_id")),
+
     QDef("f19_regex_extract",
       (s, d) => T.documents(s, d)
         .select(col("doc_id"),
