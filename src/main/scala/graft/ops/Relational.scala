@@ -1187,6 +1187,77 @@ object Relational {
 
     // F19 regex capture groups — structured extraction from free text
     // (no-match renders as '' on both sides).
+    // S11 HIVE-PARTITIONED directory source: the events slice written
+    // out `partitionBy(event_type)` (the layout most shared datasets
+    // arrive in), read back with partition DISCOVERY and a partition
+    // filter — Spark prunes whole directories before any file I/O
+    // (PartitionFilters in the scan, pinned by PlanSpec). At 100 TB a
+    // one-partition query touches that partition's files, never the
+    // dataset. Nonce'd dump path (no cross-process races); oracle
+    // recomputes the aggregate over the same slice.
+    QDef("s11_hive_partitions",
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_hive_" +
+          java.util.UUID.randomUUID().toString.take(12)
+        T.events(s, d).select(col("event_id"), col("user_id"),
+          col("value"), col("event_type"))
+          .write.mode("errorifexists").partitionBy("event_type").parquet(dir)
+        s.read.parquet(dir).filter(col("event_type") === "click")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).cast("double")
+              .as("sum_value"),
+            countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("SELECT count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value, " +
+        "count(DISTINCT user_id) AS n_users " +
+        "FROM events WHERE event_type = 'click'")),
+
+    // F22 map-typed columns: construct, probe, size, and enumerate keys
+    // — all map-side codegen'd. The oracle replays the VALUE semantics
+    // (probe results, size, sorted key list) rather than constructing a
+    // DuckDB MAP, so parity is on outputs, not engine map internals.
+    QDef("f22_map_funcs",
+      (s, d) => T.events(s, d)
+        .filter(col("event_id") <= 300)
+        .select(col("event_id"),
+          map(lit("type"), col("event_type"),
+            lit("uid"), col("user_id").cast("string")).as("m"))
+        .select(col("event_id"),
+          element_at(col("m"), "type").as("mtype"),
+          element_at(col("m"), "uid").as("muid"),
+          element_at(col("m"), "missing").as("mmiss"),
+          size(col("m")).cast("bigint").as("msize"),
+          concat_ws(",", array_sort(map_keys(col("m")))).as("mkeys"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, event_type AS mtype, " +
+        "CAST(user_id AS VARCHAR) AS muid, " +
+        "CAST(NULL AS VARCHAR) AS mmiss, " +
+        "CAST(2 AS BIGINT) AS msize, 'type,uid' AS mkeys " +
+        "FROM events WHERE event_id <= 300 ORDER BY event_id")),
+
+    // F23 error-safe expressions — try_cast / safe division: malformed
+    // input degrades to NULL instead of failing the job (the ingestion
+    // stance at 100 TB: one bad record must not kill a 10^6-task stage).
+    // DuckDB spells safe division as a CASE guard; values, not error
+    // behavior, are what's hash-compared.
+    QDef("f23_try_cast",
+      (s, d) => T.orders(s, d)
+        .filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          expr("try_cast(o_orderpriority AS int)").as("bad_cast"),
+          expr("try_cast(substring(o_orderpriority, 1, 1) AS int)")
+            .as("prio_num"),
+          round(expr("try_divide(o_totalprice, o_orderkey % 3)"), 6)
+            .as("safe_div"))
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, " +
+        "TRY_CAST(o_orderpriority AS INT) AS bad_cast, " +
+        "TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num, " +
+        "round(CASE WHEN o_orderkey % 3 = 0 THEN NULL " +
+        "ELSE o_totalprice / (o_orderkey % 3) END, 6) AS safe_div " +
+        "FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey")),
+
     // F21 date_trunc + interval arithmetic — the truncation half of the
     // datetime family (f18 covers extraction): every grain year→hour
     // plus timestamp ± INTERVAL, all map-side codegen'd expressions.

@@ -45,6 +45,14 @@ class PlanSpec extends SparkSpec {
     assert(!mor.contains("SortMergeJoin"), mor)
   }
 
+  test("hive-partitioned source prunes partitions in the scan") {
+    val s = planString("s11_hive_partitions")
+    assert(s.contains("PartitionFilters"), s)
+    assert(s.contains("event_type"), s)
+    // the partition predicate must be a partition filter, not a row filter
+    assert(!s.contains("PushedFilters: [IsNotNull(event_type)"), s)
+  }
+
   test("small dimension joins broadcast (no shuffle of the fact side)") {
     val s = planString("j1_join_inner")
     assert(s.contains("BroadcastHashJoin"), s)
