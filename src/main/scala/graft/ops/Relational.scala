@@ -488,6 +488,59 @@ object Relational {
       Some("SELECT event_type, count(*) AS n FROM events GROUP BY event_type " +
         "ORDER BY n DESC, event_type")),
 
+    // O6 NULL-ordering conformance — NULLS FIRST/LAST made
+    // hash-OBSERVABLE: the driver's compare canonicalizes row order, so
+    // the sort position is materialized as a rank column instead (one
+    // global window — bounded to 3k rows here; a scale query would rank
+    // per partition). Both engines get the null placement spelled
+    // explicitly, so neither's default leaks in.
+    QDef("o6_sort_nulls",
+      (s, d) => {
+        val base = T.orders(s, d).filter(col("o_orderkey") <= 3000)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 7 === 0, lit(null))
+              .otherwise(col("o_custkey")).as("k"))
+        val wLast = Window.orderBy(col("k").asc_nulls_last,
+          col("o_orderkey").asc)
+        val wFirst = Window.orderBy(col("k").desc_nulls_first,
+          col("o_orderkey").asc)
+        base.select(col("o_orderkey"), col("k"),
+          row_number().over(wLast).as("rnk_asc_nulls_last"),
+          row_number().over(wFirst).as("rnk_desc_nulls_first"))
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, " +
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS k, " +
+        "CAST(row_number() OVER (ORDER BY " +
+        "(CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END) " +
+        "ASC NULLS LAST, o_orderkey ASC) AS INT) AS rnk_asc_nulls_last, " +
+        "CAST(row_number() OVER (ORDER BY " +
+        "(CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END) " +
+        "DESC NULLS FIRST, o_orderkey ASC) AS INT) AS rnk_desc_nulls_first " +
+        "FROM orders WHERE o_orderkey <= 3000 ORDER BY o_orderkey")),
+
+    // U6 UNION (DISTINCT) — the dedup half of u1: overlapping slices
+    // union'd with set semantics; Spark plans union + hash-distinct
+    // (partial+final), no sort.
+    QDef("u6_union_distinct",
+      (s, d) => {
+        val a = T.orders(s, d).filter(col("o_orderkey") <= 3000)
+          .select(col("o_custkey"))
+        val b = T.orders(s, d)
+          .filter(col("o_orderkey") > 1500 && col("o_orderkey") <= 4500)
+          .select(col("o_custkey"))
+        a.union(b).distinct()
+          .groupBy().agg(count(lit(1)).as("n_distinct_custkeys"),
+            sum(col("o_custkey")).as("sum_keys"))
+      },
+      Some("WITH u AS (" +
+        "SELECT o_custkey FROM orders WHERE o_orderkey <= 3000 " +
+        "UNION " +
+        "SELECT o_custkey FROM orders " +
+        "WHERE o_orderkey > 1500 AND o_orderkey <= 4500) " +
+        "SELECT count(*) AS n_distinct_custkeys, " +
+        "CAST(sum(o_custkey) AS BIGINT) AS sum_keys FROM u")),
+
     // ---------------------------------------------------------------- §2.7
     // U1 UNION ALL — ref exploration/ducklake_analysis.sh:167-183
     QDef("u1_union_all",
