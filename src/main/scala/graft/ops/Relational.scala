@@ -1464,6 +1464,146 @@ object Relational {
         FROM pts JOIN li ON ship <= d AND d <= arrive
         GROUP BY d ORDER BY d""")),
 
+    // W7 value-based RANGE frame — trailing-90-day spend per customer.
+    // The frame is defined by the ORDER-BY VALUE (epoch-day int), not row
+    // position: gaps in the order history shrink the frame, same-day peers
+    // all land in each other's frame. Scale shape: partitioned by customer
+    // (millions of small partitions — one shuffle, no global sort), frame
+    // sums in DECIMAL so partial-order addition hash-matches the oracle.
+    QDef("w7_range_frame",
+      (s, d) => {
+        val base = T.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), to_date(lit("1995-01-01")))
+            .cast(LongType).as("day_no"),
+          col("o_totalprice"))
+        val w = Window.partitionBy("o_custkey").orderBy("day_no")
+          .rangeBetween(-90, Window.currentRow)
+        base.select(col("o_custkey"), col("o_orderkey"), col("day_no"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType).as("spend_90d"),
+          count(lit(1)).over(w).as("n_orders_90d"))
+          .orderBy("o_custkey", "day_no", "o_orderkey")
+      },
+      Some("SELECT o_custkey, o_orderkey, " +
+        "datediff('day', DATE '1995-01-01', o_orderdate) AS day_no, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) " +
+        "AS spend_90d, count(*) OVER w AS n_orders_90d FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY " +
+        "datediff('day', DATE '1995-01-01', o_orderdate) " +
+        "RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY o_custkey, day_no, o_orderkey")),
+
+    // Headline composite: TPC-H Q3-shaped shipping priority — segment-filtered
+    // customers ⋈ date-bounded orders ⋈ post-date lineitems, revenue per
+    // order, top 10. Scale shape: both filters reach the parquet scans
+    // (PushedFilters), the joins are shuffle-hash on the natural keys,
+    // revenue aggregates partial→final, and the top-k is
+    // TakeOrderedAndProject (no global sort). Revenue in exact DECIMAL so
+    // the desc sort + tie-break picks the same 10 rows as the oracle.
+    QDef("q3_shipping_priority",
+      (s, d) => {
+        val c = T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val o = T.orders(s, d)
+          .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val l = T.lineitem(s, d)
+          .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01 00:00:00")))
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+            .cast(DoubleType).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+          .select("l_orderkey", "revenue", "o_orderdate")
+      },
+      Some("SELECT l_orderkey, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue, " +
+        "o_orderdate " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' " +
+        "GROUP BY l_orderkey, o_orderdate " +
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10")),
+
+    // Headline composite: TPC-H Q5-shaped local supplier volume — 6-way
+    // star join (region→nation→supplier / customer→orders→lineitem) with
+    // the co-nation constraint (customer and supplier share a nation).
+    // Scale shape: region⋈nation is a broadcast seed; supplier joins it
+    // broadcast too (dim-sized); the fact chain shuffles once per key;
+    // the extra c_nationkey = s_nationkey equi-condition rides the same
+    // hash join (no post-filter cartesian residue).
+    QDef("q5_local_supplier_volume",
+      (s, d) => {
+        val rn = T.region(s, d).filter(col("r_name") === "ASIA")
+          .join(T.nation(s, d), col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        val sup = T.supplier(s, d).join(broadcast(rn),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "s_nationkey", "n_name")
+        val o = T.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+          .select("o_orderkey", "o_custkey")
+        val c = T.customer(s, d).select("c_custkey", "c_nationkey")
+        T.lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+          .join(o, col("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(sup, col("l_suppkey") === sup("s_suppkey") &&
+            c("c_nationkey") === sup("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+            .cast(DoubleType).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("SELECT n_name, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue " +
+        "FROM region JOIN nation ON n_regionkey = r_regionkey " +
+        "JOIN supplier ON s_nationkey = n_nationkey " +
+        "JOIN customer ON c_nationkey = n_nationkey " +
+        "JOIN orders ON o_custkey = c_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey AND l_suppkey = s_suppkey " +
+        "WHERE r_name = 'ASIA' " +
+        "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name")),
+
+    // Headline composite: TPC-H Q18-shaped large-volume customers —
+    // aggregate lineitem per order, HAVING-filter the heavy tail, join the
+    // survivors back to orders+customer, top 100 by price. Scale shape:
+    // the HAVING agg reduces the fact table BEFORE any join (the classic
+    // agg-pushdown win — joining first would shuffle the full fact);
+    // quantities are integer-valued doubles so their sum is exact.
+    QDef("q18_large_orders",
+      (s, d) => {
+        val big = T.lineitem(s, d).groupBy("l_orderkey")
+          .agg(sum(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 300)
+        T.orders(s, d)
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("SELECT c_name, c_custkey, o_orderkey, o_orderdate, " +
+        "o_totalprice, sum_qty " +
+        "FROM orders JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty " +
+        "FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300) b " +
+        "ON o_orderkey = l_orderkey " +
+        "JOIN customer ON c_custkey = o_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100")),
+
     // Headline composite: TPC-H Q1-shaped pricing summary (bench workhorse;
     // exercises scan→filter→hash-agg→sort in one whole-stage-codegen span).
     QDef("q1_pricing_summary",

