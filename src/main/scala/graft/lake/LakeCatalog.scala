@@ -57,6 +57,11 @@ class LakeCatalog(val spark: SparkSession, val root: String,
   private[lake] def absPath(rel: String): Path =
     fs.makeQualified(new Path(new Path(root), rel))
 
+  /** Qualified URI of a table's data directory (`<root>/<table>/data`) —
+    * the append-only file namespace streaming readers incrementalize
+    * (see graft.streaming.LakeStream). */
+  def tableDataDir(table: String): String = absPath(s"$table/data").toString
+
   /** Read a table state: per-schema-version file groups are each scanned
     * with their OWN written schema, then aligned to the current schema by
     * stable column id — add-with-default / drop / rename are pure metadata

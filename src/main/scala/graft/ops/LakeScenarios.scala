@@ -644,6 +644,62 @@ object LakeScenarios {
         FROM events WHERE event_id <= 600
         GROUP BY event_type ORDER BY event_type""")),
 
+    // L30 — the lake as a STREAMING SOURCE (medallion bronze→silver):
+    // three ingest rounds land in an append-only bronze table; after each
+    // round ONE checkpointed incremental pass (LakeStream.replicate:
+    // Spark's file stream source over the bronze data directory) streams
+    // exactly the newly committed rows through a row-level cleanse
+    // (drop 'error' events, keep value > 1) into silver, each micro-batch
+    // one atomic batch-id-deduped commit. A fourth pass with no new
+    // upstream commits must be a no-op (n_silver_commits stays 3, the
+    // `noop` column) — the incremental-consumption contract: every pass
+    // is O(delta), never O(table). Oracle: silver is exactly DuckDB's
+    // cleanse of the full bronze slice, plus the commit ledger.
+    QDef("l30_medallion_stream",
+      (s, d) => {
+        val cat = freshLake(s)
+        val ev = T.events(s, d).filter(col("event_id") <= 1200)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        cat.createTable("bronze", ev.schema)
+        cat.createTable("silver", ev.schema)
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_medallion_ckpt_").toString
+        def cleanse(df: DataFrame): DataFrame =
+          df.filter(col("event_type") =!= "error" && col("value") > 1.0)
+        val slices = Seq(
+          col("event_id") <= 400,
+          col("event_id") > 400 && col("event_id") <= 800,
+          col("event_id") > 800)
+        val v0 = cat.currentVersion
+        slices.foreach { pred =>
+          cat.insert("bronze", ev.filter(pred))
+          graft.streaming.LakeStream.replicate(
+            cat, "bronze", "silver", cleanse, ckpt)
+        }
+        val commitsAfter3 = cat.currentVersion
+        // no new upstream commits -> the pass must commit nothing
+        graft.streaming.LakeStream.replicate(
+          cat, "bronze", "silver", cleanse, ckpt)
+        val noop = cat.currentVersion == commitsAfter3
+        // 3 ingest + 3 replication commits on the shared ledger
+        val nSilverCommits = (commitsAfter3 - v0) - slices.size
+        cat.read("silver")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+              .as("sum_value"))
+          .withColumn("n_silver_commits", lit(nSilverCommits))
+          .withColumn("noop", lit(noop))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+               CAST(3 AS BIGINT) AS n_silver_commits, TRUE AS noop
+        FROM events
+        WHERE event_id <= 1200 AND event_type <> 'error' AND value > 1.0
+        GROUP BY event_type ORDER BY event_type""")),
+
     // Maintenance — snapshot expiry + orphan collection (the
     // expire_snapshots/vacuum op every long-lived lakehouse needs; no
     // direct reference analog). Observables: history shrinks to keepLast,

@@ -1464,6 +1464,66 @@ object Relational {
         FROM pts JOIN li ON ship <= d AND d <= arrive
         GROUP BY d ORDER BY d""")),
 
+    // J10 FULL OUTER join — half-year order counts per customer, keyed
+    // full-outer so customers active in only one half surface with a NULL
+    // on the other side (the outer semantics are the observable). Scale
+    // shape: both sides pre-aggregate BEFORE the join (shuffle carries
+    // one row per customer, not per order); the join keys are the
+    // aggregate keys so the agg exchange is reused for the join.
+    QDef("j10_full_outer",
+      (s, d) => {
+        val cut = to_timestamp(lit("1998-01-01 00:00:00"))
+        val h1 = T.orders(s, d).filter(col("o_orderdate") < cut)
+          .groupBy("o_custkey").agg(count(lit(1)).as("n_h1"))
+        val h2 = T.orders(s, d).filter(col("o_orderdate") >= cut)
+          .groupBy("o_custkey").agg(count(lit(1)).as("n_h2"))
+        h1.join(h2, Seq("o_custkey"), "full_outer")
+          .orderBy("o_custkey")
+      },
+      Some("WITH h1 AS (SELECT o_custkey, count(*) AS n_h1 FROM orders " +
+        "WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1), " +
+        "h2 AS (SELECT o_custkey, count(*) AS n_h2 FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1) " +
+        "SELECT COALESCE(h1.o_custkey, h2.o_custkey) AS o_custkey, " +
+        "n_h1, n_h2 FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey " +
+        "ORDER BY o_custkey")),
+
+    // A18 UNPIVOT — wide per-nation metrics melted long (the inverse of
+    // a13_pivot). Spark's native unpivot is an Expand (row fan-out inside
+    // the same stage), not a union of self-scans — one input pass.
+    QDef("a18_unpivot",
+      (s, d) => T.customer(s, d).groupBy("c_nationkey")
+        .agg(count(lit(1)).cast(DoubleType).as("n_cust"),
+          moneySum(col("c_acctbal")).as("sum_bal"))
+        .unpivot(Array(col("c_nationkey")),
+          Array(col("n_cust"), col("sum_bal")), "metric", "value")
+        .orderBy("c_nationkey", "metric"),
+      Some("SELECT * FROM (SELECT c_nationkey, " +
+        "CAST(count(*) AS DOUBLE) AS n_cust, " +
+        s"${moneySumSql("c_acctbal")} AS sum_bal " +
+        "FROM customer GROUP BY 1) " +
+        "UNPIVOT (value FOR metric IN (n_cust, sum_bal)) " +
+        "ORDER BY c_nationkey, metric")),
+
+    // F24 ordered string aggregation — DuckDB's string_agg(x, ',' ORDER BY
+    // k) rebuilt order-free: collect structs, sort by the unique key
+    // INSIDE the row (array_sort), then project+join. Deterministic under
+    // any partial-aggregation order, so it hash-matches. Bounded group
+    // sizes only (the collected list lives in one row) — the 100-TB rule
+    // is cap-or-bust, same as f16_array_agg.
+    QDef("f24_string_agg",
+      (s, d) => T.customer(s, d).filter(col("c_custkey") <= 60)
+        .groupBy("c_nationkey")
+        .agg(expr("array_join(transform(array_sort(" +
+          "collect_list(struct(c_custkey, c_name))), s -> s.c_name), ',')")
+          .as("names"),
+          count(lit(1)).as("n"))
+        .orderBy("c_nationkey"),
+      Some("SELECT c_nationkey, " +
+        "string_agg(c_name, ',' ORDER BY c_custkey) AS names, " +
+        "count(*) AS n FROM customer WHERE c_custkey <= 60 " +
+        "GROUP BY 1 ORDER BY 1")),
+
     // W7 value-based RANGE frame — trailing-90-day spend per customer.
     // The frame is defined by the ORDER-BY VALUE (epoch-day int), not row
     // position: gaps in the order history shrink the frame, same-day peers

@@ -118,6 +118,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("lake streaming source: each pass replicates exactly the new commits") {
+    import spark.implicits._
+    import graft.streaming.LakeStream
+    val cat = new graft.lake.LakeCatalog(spark, tmpDir("lakestream"))
+    val ev = Tables.events(spark, d).filter(col("event_id") <= 900)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    cat.createTable("bronze", ev.schema)
+    cat.createTable("silver", ev.schema)
+    val ckpt = tmpDir("lakestream_ckpt")
+    val slices = Seq(col("event_id") <= 300,
+      col("event_id") > 300 && col("event_id") <= 600,
+      col("event_id") > 600)
+    slices.foreach { pred =>
+      val before = cat.read("silver").count()
+      val expectDelta = ev.filter(pred).count()
+      cat.insert("bronze", ev.filter(pred))
+      LakeStream.replicate(cat, "bronze", "silver", identity, ckpt)
+      // the pass must add EXACTLY the newly committed rows — O(delta),
+      // never a re-read of the table
+      assert(cat.read("silver").count() - before === expectDelta)
+    }
+    // full equality, not just counts
+    assert(cat.read("silver").exceptAll(cat.read("bronze")).isEmpty &&
+      cat.read("bronze").exceptAll(cat.read("silver")).isEmpty)
+    // no new upstream commits -> a pass commits NOTHING
+    val v = cat.currentVersion
+    LakeStream.replicate(cat, "bronze", "silver", identity, ckpt)
+    assert(cat.currentVersion === v)
+  }
+
   test("streaming dedup collapses a duplicated stream back to the batch profile") {
     import spark.implicits._
     val streamed = EventStream.dedupProfile(spark, d)
