@@ -1570,6 +1570,35 @@ object LakeScenarios {
                count(DISTINCT pid) AS n_purchases_attributed
         FROM j GROUP BY user_id ORDER BY user_id""")),
 
+    // ST7 — stream-stream LEFT OUTER interval join: st4 plus the outer
+    // half. Unmatched clicks surface with NULLs only once the global
+    // watermark (min of the two sides' max-ts minus the 2h bound) passes
+    // their last possible match time — the state-eviction semantics are
+    // replayed by the oracle's NOT EXISTS + watermark predicate, so both
+    // the join completeness AND the outer emission rule are HASH-verified.
+    QDef("st7_stream_outer_join",
+      (s, d) => graft.streaming.EventStream.outerJoinProfile(s, d), Some("""
+        WITH c AS (SELECT user_id cu, CAST(ts AS TIMESTAMP) cts, event_id cid
+                   FROM events WHERE event_type = 'click'),
+             p AS (SELECT user_id pu, CAST(ts AS TIMESTAMP) pts, event_id pid
+                   FROM events WHERE event_type = 'purchase'),
+             wm AS (SELECT least((SELECT max(cts) FROM c),
+                                 (SELECT max(pts) FROM p))
+                      - INTERVAL 2 HOUR AS w),
+             matched AS (SELECT cu AS user_id, pid FROM c JOIN p
+                         ON cu = pu AND pts >= cts
+                         AND pts <= cts + INTERVAL 1 HOUR),
+             unmatched AS (SELECT cu AS user_id, CAST(NULL AS BIGINT) AS pid
+                           FROM c, wm
+                           WHERE NOT EXISTS (SELECT 1 FROM p WHERE pu = cu
+                             AND pts >= cts AND pts <= cts + INTERVAL 1 HOUR)
+                           AND cts + INTERVAL 1 HOUR < wm.w),
+             rows_out AS (SELECT * FROM matched UNION ALL
+                          SELECT * FROM unmatched)
+        SELECT user_id, count(*) AS n_rows, count(pid) AS n_converted,
+               count(*) - count(pid) AS n_unconverted
+        FROM rows_out GROUP BY user_id ORDER BY user_id""")),
+
     // ST5 — native session windows (session_window + watermark): the
     // engine-managed gap-session operator, next to st2's hand-rolled
     // state machine. Oracle: lag/cumsum gap replay + the same

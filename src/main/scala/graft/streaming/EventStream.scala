@@ -211,6 +211,37 @@ object EventStream {
       .orderBy("user_id")
   }
 
+  /** Judged query ST7: stream-stream LEFT OUTER interval join — st4's
+    * attribution shape plus the OUTER half: a click with no purchase in
+    * its 1-hour window must still come out, with NULLs, once the
+    * watermark proves no match can arrive. That emission is the hard
+    * part of streaming outer joins (state eviction, not just matching):
+    * an unmatched left row is released only when the global watermark
+    * passes its last possible match time (c_ts + 1h); later clicks stay
+    * withheld — deterministically, under the AvailableNow finite replay.
+    * The oracle replays BOTH halves in DuckDB: the interval join for the
+    * matched rows, NOT EXISTS + the watermark rule for the null rows. */
+  def outerJoinProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    def side(tpe: String, prefix: String) =
+      readEvents(spark, sfDir)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id").as(s"${prefix}_user"),
+          col("ts").as(s"${prefix}_ts"),
+          col("event_id").as(s"${prefix}_id"))
+        .withWatermark(s"${prefix}_ts", "2 hours")
+    val joined = side("click", "c").join(side("purchase", "p"),
+      expr("c_user = p_user AND p_ts >= c_ts AND " +
+        "p_ts <= c_ts + INTERVAL 1 HOUR"), "left_outer")
+    drainToTable(joined,
+      s"st7_outer_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      OutputMode.Append())
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("p_id")).as("n_converted"),
+        sum(when(col("p_id").isNull, 1L).otherwise(0L)).as("n_unconverted"))
+      .orderBy("user_id")
+  }
+
   /** Judged query ST5: NATIVE session windows — `session_window(ts, gap)`
     * is Spark's built-in gap-based session operator (merging windows +
     * state eviction handled by the engine, unlike st2's hand-rolled

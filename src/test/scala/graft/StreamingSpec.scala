@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.streaming.EventStream
+import org.apache.spark.sql.Row
 
 /** Structured Streaming semantics: the streaming windowed aggregation over
   * a finite replay must agree with its batch equivalent (for all windows
@@ -116,6 +117,36 @@ class StreamingSpec extends SparkSpec {
       .orderBy("user_id")
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(streamed === batch)
+  }
+
+  test("stream outer join: matched rows = batch inner join; nulls obey the watermark") {
+    import spark.implicits._
+    val out = EventStream.outerJoinProfile(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val ev = Tables.events(spark, d)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("cid"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"), col("event_id").as("pid"))
+    val cond = col("cu") === col("pu") && col("pts") >= col("cts") &&
+      col("pts") <= col("cts") + org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR")
+    val wm = {
+      val Row(a: java.sql.Timestamp) = c.agg(max("cts")).head()
+      val Row(b: java.sql.Timestamp) = p.agg(max("pts")).head()
+      new java.sql.Timestamp(math.min(a.getTime, b.getTime) - 2L * 3600 * 1000)
+    }
+    val matched = c.join(p, cond).select(col("cu"), col("pid"))
+    val unmatched = c.join(p, cond, "left_anti")
+      // eviction rule: emitted iff watermark passed c_ts + 1h
+      .filter(col("cts") + org.apache.spark.sql.functions.expr("INTERVAL 1 HOUR") < lit(wm))
+      .select(col("cu"), lit(null).cast("long").as("pid"))
+    val batch = matched.union(unmatched)
+      .groupBy(col("cu").as("user_id"))
+      .agg(count(lit(1)).as("n_rows"), count(col("pid")).as("n_converted"),
+        sum(when(col("pid").isNull, 1L).otherwise(0L)).as("n_unconverted"))
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === batch)
   }
 
   test("lake streaming source: each pass replicates exactly the new commits") {
