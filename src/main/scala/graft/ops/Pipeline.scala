@@ -1056,6 +1056,131 @@ object Pipeline {
         "FROM events GROUP BY 1, 2 HAVING count(*) >= 3 " +
         "ORDER BY hour, event_type")),
 
+    // T8 gap fill — dense time spine: a 72-hour × event-type grid LEFT
+    // JOINs the observed hourly counts, absent cells become explicit
+    // zeros (monitoring/ML series need every tick present, not just the
+    // active ones). Scale shape: the spine is generated (sequence +
+    // explode — no data scan) and cross-joined with the tiny type dim
+    // broadcast; the fact side aggregates BEFORE the join, so the outer
+    // join carries one row per (hour, type), never per event.
+    QDef("t8_gap_fill",
+      (s, d) => {
+        val hours = s.range(1).select(explode(expr(
+          "sequence(timestamp'2024-01-01 00:00:00', " +
+            "timestamp'2024-01-03 23:00:00', interval 1 hour)")).as("hour"))
+        val types = T.events(s, d).select("event_type").distinct()
+        val counts = T.events(s, d)
+          .filter(col("ts") < to_timestamp(lit("2024-01-04 00:00:00")))
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_raw"))
+        hours.crossJoin(broadcast(types))
+          .join(counts, Seq("hour", "event_type"), "left_outer")
+          .select(col("hour"), col("event_type"),
+            coalesce(col("n_raw"), lit(0L)).as("n"))
+          .orderBy("hour", "event_type")
+      },
+      Some("""
+        WITH spine AS (SELECT unnest(generate_series(
+               TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-03 23:00:00',
+               INTERVAL 1 HOUR)) AS hour),
+             types AS (SELECT DISTINCT event_type FROM events),
+             counts AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                               event_type, count(*) AS n_raw
+                        FROM events
+                        WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-04 00:00:00'
+                        GROUP BY 1, 2)
+        SELECT s.hour, t.event_type, COALESCE(n_raw, 0) AS n
+        FROM spine s CROSS JOIN types t
+        LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type
+        ORDER BY s.hour, t.event_type""")),
+
+    // T9 forward fill — last-observation-carried-forward imputation over
+    // a dense per-user day spine: days with no purchases inherit the most
+    // recent observed daily spend; days before the first observation stay
+    // NULL. `last(col, ignoreNulls)` over a running row frame IS the
+    // imputation operator — one window, one shuffle on user_id, O(rows)
+    // state. The oracle is DuckDB's `last_value(x IGNORE NULLS)`.
+    QDef("t9_forward_fill",
+      (s, d) => {
+        val who = col("user_id") % 20 === 3
+        val users = T.events(s, d).filter(who).select("user_id").distinct()
+        val days = s.range(1).select(explode(expr(
+          "sequence(date'2024-01-01', date'2024-01-30', interval 1 day)"))
+          .as("day"))
+        val daily = T.events(s, d)
+          .filter(who && col("event_type") === "purchase")
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType)
+            .as("spend"))
+        val w = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        users.crossJoin(days)
+          .join(daily, Seq("user_id", "day"), "left_outer")
+          .withColumn("spend_ffill", last(col("spend"), ignoreNulls = true).over(w))
+          .select("user_id", "day", "spend", "spend_ffill")
+          .orderBy("user_id", "day")
+      },
+      Some("""
+        WITH users AS (SELECT DISTINCT user_id FROM events WHERE user_id % 20 = 3),
+             days AS (SELECT CAST(unnest(generate_series(
+               DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS DATE) AS day),
+             daily AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                              CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS spend
+                       FROM events WHERE user_id % 20 = 3 AND event_type = 'purchase'
+                       GROUP BY 1, 2)
+        SELECT u.user_id, d.day, spend,
+               last_value(spend IGNORE NULLS) OVER (PARTITION BY u.user_id
+                 ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS spend_ffill
+        FROM users u CROSS JOIN days d
+        LEFT JOIN daily x ON x.user_id = u.user_id AND x.day = d.day
+        ORDER BY u.user_id, d.day""")),
+
+    // T10 ordered funnel — signup → click(≤24h) → purchase(≤24h after
+    // the click): each stage is the per-user MIN event time strictly
+    // after the previous stage, within the stage window. Scale shape:
+    // stage tables shrink monotonically (filter → groupBy per stage), and
+    // each stage joins the previous stage's per-user row — broadcastable
+    // once the funnel narrows; no window over the raw event stream.
+    QDef("t10_funnel",
+      (s, d) => {
+        val ev = T.events(s, d).select("user_id", "ts", "event_type")
+        val h24 = expr("INTERVAL 24 HOURS")
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, Seq("user_id"))
+          .filter(col("ts") > col("t1") && col("ts") <= col("t1") + h24)
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, Seq("user_id"))
+          .filter(col("ts") > col("t2") && col("ts") <= col("t2") + h24)
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        s1.agg(count(lit(1)).as("n_users")).select(lit("1_signup").as("stage"), col("n_users"))
+          .unionAll(s2.agg(count(lit(1)).as("n_users"))
+            .select(lit("2_click_24h").as("stage"), col("n_users")))
+          .unionAll(s3.agg(count(lit(1)).as("n_users"))
+            .select(lit("3_purchase_24h").as("stage"), col("n_users")))
+          .orderBy("stage")
+      },
+      Some("""
+        WITH s1 AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) t1 FROM events
+                    WHERE event_type = 'signup' GROUP BY 1),
+             s2 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) t2 FROM events e
+                    JOIN s1 ON e.user_id = s1.user_id
+                    AND CAST(e.ts AS TIMESTAMP) > s1.t1
+                    AND CAST(e.ts AS TIMESTAMP) <= s1.t1 + INTERVAL 24 HOUR
+                    WHERE e.event_type = 'click' GROUP BY 1),
+             s3 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) t3 FROM events e
+                    JOIN s2 ON e.user_id = s2.user_id
+                    AND CAST(e.ts AS TIMESTAMP) > s2.t2
+                    AND CAST(e.ts AS TIMESTAMP) <= s2.t2 + INTERVAL 24 HOUR
+                    WHERE e.event_type = 'purchase' GROUP BY 1)
+        SELECT stage, n_users FROM (
+          SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+          UNION ALL SELECT '2_click_24h', count(*) FROM s2
+          UNION ALL SELECT '3_purchase_24h', count(*) FROM s3)
+        ORDER BY stage""")),
+
     // X5 corpus curation composite — the end-to-end pipeline shape: score
     // quality (X2 logic) → drop low-quality docs → drop exact-dup losers
     // (DD1 logic, keep min doc_id per head fingerprint) → per-source
