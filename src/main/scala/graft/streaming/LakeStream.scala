@@ -39,9 +39,27 @@ object LakeStream {
     * filter/project/derive — append mode) and land each micro-batch as an
     * atomic, batch-id-deduped commit into `dst`. Re-running with the same
     * checkpoint and no new upstream commits is a no-op. */
+  /** Change kinds that break the append-only streaming contract: CoW DML
+    * and layout rewrites re-stage surviving rows as new files (the stream
+    * would replay them), MoR deletes leave tombstoned rows the raw file
+    * source cannot subtract, and schema changes make the capture schema
+    * wrong for files written before the change. */
+  private val NonAppendKinds = Seq("tables_updated", "tables_deleted_from",
+    "tables_merged", "tables_replaced", "tables_restored",
+    "tables_compacted", "tables_clustered", "tables_altered")
+
   def replicate(cat: LakeCatalog, src: String, dst: String,
       transform: DataFrame => DataFrame, checkpointDir: String): Unit = {
     val spark = cat.spark
+    // enforce the contract instead of silently double-counting: one
+    // O(versions) driver-side scan of the header history (no file I/O)
+    val violations = cat.current.history.flatMap { h =>
+      NonAppendKinds.filter(k => h.changes.getOrElse(k, Nil).contains(src))
+        .map(k => s"v${h.snapshotId}:$k")
+    }
+    require(violations.isEmpty,
+      s"table '$src' is not append-only — streaming reads would replay " +
+        s"rewritten rows or misread evolved files (${violations.mkString(", ")})")
     val schema = cat.read(src).schema
     val stream = spark.readStream
       .schema(schema)

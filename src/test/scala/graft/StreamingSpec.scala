@@ -177,6 +177,13 @@ class StreamingSpec extends SparkSpec {
     val v = cat.currentVersion
     LakeStream.replicate(cat, "bronze", "silver", identity, ckpt)
     assert(cat.currentVersion === v)
+    // append-only contract ENFORCED: a CoW delete on bronze makes further
+    // streaming reads unsound (rewritten files would replay) -> refuse
+    cat.delete("bronze", col("event_id") === 1L)
+    val ex = intercept[IllegalArgumentException] {
+      LakeStream.replicate(cat, "bronze", "silver", identity, ckpt)
+    }
+    assert(ex.getMessage.contains("append-only"))
   }
 
   test("streaming dedup collapses a duplicated stream back to the batch profile") {
