@@ -1181,6 +1181,44 @@ object Pipeline {
           UNION ALL SELECT '3_purchase_24h', count(*) FROM s3)
         ORDER BY stage""")),
 
+    // T11 time-series anomaly flag — per-type daily event counts, days
+    // more than 2 population-σ from the type's mean flagged. The z-test
+    // is done in INTEGER arithmetic so it hash-matches cross-engine:
+    // |x-μ| > 2σ  ⇔  (n·x − S)² > 4·(n·SS − S²)  with S=Σx, SS=Σx²
+    // (multiply through by n²; every quantity is an exact BIGINT for
+    // daily counts up to ~10⁹ rows — beyond that route the products
+    // through DECIMAL(38,0)). Scale shape: one pre-aggregation to
+    // O(types×days) rows, one window partitioned by type — the raw
+    // event table is touched once.
+    QDef("t11_anomaly_zscore",
+      (s, d) => {
+        val daily = T.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("event_type")
+        daily
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("sx", sum("cnt").over(w))
+          .withColumn("sxx", sum(col("cnt") * col("cnt")).over(w))
+          .withColumn("dev", col("n") * col("cnt") - col("sx"))
+          .select(col("event_type"), col("day"), col("cnt"),
+            (col("dev") * col("dev") >
+              lit(4L) * (col("n") * col("sxx") - col("sx") * col("sx")))
+              .as("is_anomaly"))
+          .orderBy("event_type", "day")
+      },
+      Some("""
+        WITH daily AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                              count(*) AS cnt
+                       FROM events GROUP BY 1, 2),
+             st AS (SELECT event_type, day, cnt,
+                           count(*) OVER w AS n, SUM(cnt) OVER w AS sx,
+                           SUM(cnt*cnt) OVER w AS sxx
+                    FROM daily WINDOW w AS (PARTITION BY event_type))
+        SELECT event_type, day, cnt,
+               (n*cnt - sx)*(n*cnt - sx) > 4*(n*sxx - sx*sx) AS is_anomaly
+        FROM st ORDER BY event_type, day""")),
+
     // X5 corpus curation composite — the end-to-end pipeline shape: score
     // quality (X2 logic) → drop low-quality docs → drop exact-dup losers
     // (DD1 logic, keep min doc_id per head fingerprint) → per-source

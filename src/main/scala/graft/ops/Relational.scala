@@ -1553,6 +1553,146 @@ object Relational {
         "RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) " +
         "ORDER BY o_custkey, day_no, o_orderkey")),
 
+    // S12 ORC source/sink round-trip — the s9/s10 contract for the third
+    // standard columnar format: a table slice lands as ORC (schema rides
+    // the file footer, so the read-back needs no explicit schema), and
+    // aggregates to the same answer as the parquet original. Same
+    // splittable-scan scale shape as parquet; same per-process tmp path
+    // scheme as s9 (see comment there).
+    QDef("s12_orc_roundtrip",
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_" +
+          s"${s.sparkContext.applicationId}_orc_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        T.part(s, d)
+          .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+          .write.mode("overwrite").orc(dir)
+        s.read.orc(dir)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"), moneySum(col("p_retailprice")).as("sum_price"))
+          .orderBy("p_brand")
+      },
+      Some("SELECT p_brand, count(*) AS n, " +
+        s"${moneySumSql("p_retailprice")} AS sum_price " +
+        "FROM part GROUP BY 1 ORDER BY p_brand")),
+
+    // J11 correlated EXISTS / NOT EXISTS — customers with at least one
+    // urgent order and no order over 300k, the canonical correlated-
+    // predicate pair. Catalyst rewrites EXISTS to a left-semi and
+    // NOT EXISTS to a left-anti join on the correlation key (no per-row
+    // re-execution), so the scale shape is two shuffled semi/anti joins —
+    // identical to j3 — reached from the SQL subquery surface.
+    QDef("j11_exists_subquery",
+      (s, d) => {
+        T.customer(s, d).createOrReplaceTempView("j11_customer")
+        T.orders(s, d).createOrReplaceTempView("j11_orders")
+        s.sql("""
+          SELECT c_custkey, c_acctbal FROM j11_customer c
+          WHERE EXISTS (SELECT 1 FROM j11_orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT')
+            AND NOT EXISTS (SELECT 1 FROM j11_orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_totalprice > 300000)
+          ORDER BY c_custkey""")
+      },
+      Some("SELECT c_custkey, c_acctbal FROM customer c " +
+        "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_orderpriority = '1-URGENT') " +
+        "AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey " +
+        "AND o.o_totalprice > 300000) ORDER BY c_custkey")),
+
+    // J12 LATERAL correlated table subquery — top-2 suppliers per nation
+    // through the SQL-standard LATERAL surface (DuckDB runs the identical
+    // statement). The correlated ORDER BY ... LIMIT is the per-row top-k;
+    // nation is a 25-row dim so the rewritten join is broadcastable. The
+    // window-function formulation of the same pattern at fact-table scale
+    // is w6_top_per_group — LATERAL is the conformance surface for it.
+    QDef("j12_lateral_topk",
+      (s, d) => {
+        T.nation(s, d).createOrReplaceTempView("j12_nation")
+        T.supplier(s, d).createOrReplaceTempView("j12_supplier")
+        s.sql("""
+          SELECT n.n_name, t.s_suppkey, t.s_acctbal
+          FROM j12_nation n,
+          LATERAL (SELECT s_suppkey, s_acctbal FROM j12_supplier
+                   WHERE s_nationkey = n.n_nationkey
+                   ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
+          ORDER BY n.n_name, t.s_acctbal DESC, t.s_suppkey""")
+      },
+      Some("SELECT n.n_name, t.s_suppkey, t.s_acctbal FROM nation n, " +
+        "LATERAL (SELECT s_suppkey, s_acctbal FROM supplier " +
+        "WHERE s_nationkey = n.n_nationkey " +
+        "ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t " +
+        "ORDER BY n.n_name, t.s_acctbal DESC, t.s_suppkey")),
+
+    // U7 recursive CTE — the month spine is DERIVED by recursion (anchor
+    // + step until the fixed point), then left-joined to per-month order
+    // counts: months with no orders surface as zeros. Both engines run
+    // the same WITH RECURSIVE statement. Scale shape: the recursion is
+    // O(spine) driver-cheap iteration over an 80-row relation; the only
+    // data-sized work is one pre-aggregated scan of orders.
+    QDef("u7_recursive_cte",
+      (s, d) => {
+        T.orders(s, d).createOrReplaceTempView("u7_orders")
+        s.sql("""
+          WITH RECURSIVE months(mon) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL SELECT add_months(mon, 1) FROM months
+            WHERE mon < DATE '2001-08-01'),
+          per_month AS (
+            SELECT trunc(CAST(o_orderdate AS DATE), 'month') AS mon,
+                   count(*) AS n,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM u7_orders GROUP BY 1)
+          SELECT m.mon, COALESCE(p.n, 0) AS n_orders,
+                 CAST(COALESCE(p.rev, 0) AS DOUBLE) AS revenue
+          FROM months m LEFT JOIN per_month p ON p.mon = m.mon
+          ORDER BY m.mon""")
+      },
+      Some("""
+        WITH RECURSIVE months(mon) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL SELECT CAST(mon + INTERVAL 1 MONTH AS DATE) FROM months
+          WHERE mon < DATE '2001-08-01'),
+        per_month AS (
+          SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mon,
+                 count(*) AS n,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+          FROM orders GROUP BY 1)
+        SELECT m.mon, COALESCE(p.n, 0) AS n_orders,
+               CAST(COALESCE(p.rev, 0) AS DOUBLE) AS revenue
+        FROM months m LEFT JOIN per_month p ON p.mon = m.mon
+        ORDER BY m.mon""")),
+
+    // F25 calendar functions — the month/week-boundary sweep f18/f21 do
+    // not cover: month arithmetic WITH end-of-month clamping (add_months:
+    // Jan 31 + 1 month = Feb 28/29 on both engines), last_day, ISO week
+    // number, quarter, English day name, day distance to a fixed date.
+    // Map-only, codegen'd, no shuffle.
+    QDef("f25_calendar_funcs",
+      (s, d) => T.orders(s, d)
+        .filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("od"),
+          add_months(to_date(col("o_orderdate")), 3).as("plus3m"),
+          last_day(to_date(col("o_orderdate"))).as("month_end"),
+          weekofyear(col("o_orderdate")).as("iso_week"),
+          quarter(col("o_orderdate")).as("qtr"),
+          date_format(col("o_orderdate"), "EEEE").as("dow_name"),
+          datediff(to_date(lit("2002-01-01")), to_date(col("o_orderdate")))
+            .as("days_left"))
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od, " +
+        "CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m, " +
+        "last_day(CAST(o_orderdate AS DATE)) AS month_end, " +
+        "CAST(weekofyear(o_orderdate) AS INT) AS iso_week, " +
+        "CAST(quarter(o_orderdate) AS INT) AS qtr, " +
+        "dayname(CAST(o_orderdate AS DATE)) AS dow_name, " +
+        "CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') " +
+        "AS INT) AS days_left " +
+        "FROM orders WHERE o_orderkey % 13 = 0 ORDER BY o_orderkey")),
+
     // Headline composite: TPC-H Q3-shaped shipping priority — segment-filtered
     // customers ⋈ date-bounded orders ⋈ post-date lineitems, revenue per
     // order, top 10. Scale shape: both filters reach the parquet scans

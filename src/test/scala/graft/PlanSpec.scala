@@ -201,6 +201,41 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("Union"), s.take(2000))
   }
 
+  test("EXISTS/NOT EXISTS decorrelate to semi/anti joins, filters pushed") {
+    val s = planString("j11_exists_subquery")
+    // no per-row subquery re-execution: one semi + one anti join, and the
+    // correlated predicates reach the orders parquet scan
+    assert(s.contains("LeftSemi") && s.contains("LeftAnti"), s.take(2000))
+    assert(!s.contains("NestedLoop") && !s.contains("CartesianProduct"),
+      s.take(2000))
+    assert(s.contains("EqualTo(o_orderpriority,1-URGENT)"), s.take(2000))
+    assert(s.contains("GreaterThan(o_totalprice,300000.0)"), s.take(2000))
+  }
+
+  test("LATERAL top-k compiles to a group-limit window, not a row loop") {
+    val s = planString("j12_lateral_topk")
+    // the correlated ORDER BY..LIMIT becomes WindowGroupLimit (partial on
+    // the map side, final after one shuffle) + a hash join — never a
+    // nested-loop per outer row
+    assert(s.contains("WindowGroupLimit"), s.take(2000))
+    assert(!s.contains("NestedLoop") && !s.contains("CartesianProduct"),
+      s.take(2000))
+  }
+
+  test("recursive CTE spine joins the PRE-AGGREGATED fact side") {
+    val s = planString("u7_recursive_cte")
+    // recursion executes natively (UnionLoop), and the orders aggregation
+    // sits BELOW the join: the join input is per-month rows, never the
+    // raw fact table against an 80-row spine
+    assert(s.contains("UnionLoop"), s.take(2000))
+    val join = s.indexOf("Join")
+    val agg = s.indexOf("HashAggregate")
+    assert(join >= 0 && agg > join,
+      "orders must aggregate below the spine join\n" + s.take(2000))
+    assert(!s.contains("NestedLoop") && !s.contains("CartesianProduct"),
+      s.take(2000))
+  }
+
   test("tf-idf broadcasts the corpus count, keeps term joins hash-based") {
     val s = planString("x7_tfidf_topterms")
     assert(!s.contains("CartesianProduct"), s.take(2000))
