@@ -37,16 +37,28 @@ object Tables {
   def warm(spark: SparkSession, sfDir: String): Unit =
     names.foreach { n => t(spark, sfDir, n).persist().count() }
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read it as a nanos Long (legacy conf, set once per session at
-    * first load — the memo keeps this from re-firing per query) and truncate
-    * to a µs TimestampType — exactly what DuckDB does when it casts
-    * ns→TIMESTAMP, so oracle parity holds. */
+  /** events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across driver testdata generations, so the loader
+    * detects the encoding instead of assuming one: with the nanos-as-long
+    * legacy conf set (a no-op for µs files), a NANOS file surfaces ts as a
+    * raw Long — truncate it to a µs TimestampType, exactly what DuckDB
+    * does when it casts ns→TIMESTAMP, so oracle parity holds — while a
+    * MICROS file surfaces a native TimestampType that needs no conversion.
+    * Assuming ns unconditionally silently collapses a µs timeline 1000×
+    * (the round-7 streaming regression). */
   private def events0(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts DIV 1000)"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType      => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampType => raw
+      // TIMESTAMP(MICROS, isAdjustedToUTC=false) surfaces as TIMESTAMP_NTZ;
+      // normalize to TimestampType (session TZ is pinned UTC, so the naive
+      // value maps 1:1) so downstream code sees ONE ts type at all times
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")

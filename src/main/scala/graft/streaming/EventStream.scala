@@ -21,24 +21,42 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet schema, with ts read as ns-long (the raw file is
-    * TIMESTAMP(NANOS) which the vectorized reader refuses natively). */
-  private val rawSchema = StructType(Seq(
+  /** events.parquet schema; ts is [[TimestampType]] for a TIMESTAMP(MICROS)
+    * file or [[LongType]] (raw nanos, via the nanos-as-long legacy conf)
+    * for a TIMESTAMP(NANOS) one — see [[readEvents]]. */
+  private def rawSchema(tsType: DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Replay the driver events table as a file-source stream. */
+  /** Replay the driver events table as a file-source stream.
+    *
+    * The file has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    * across driver testdata generations, and a file stream source needs an
+    * explicit schema — so probe the encoding with a one-footer batch read
+    * first (ns surfaces as Long under the legacy conf, µs as a native
+    * timestamp) and truncate ns→µs only when the file really is ns.
+    * Assuming ns unconditionally silently collapses a µs timeline 1000×
+    * (the round-7 streaming regression: windows never closed, every
+    * click/purchase pair landed inside the join interval). */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val fileTsType = spark.read.parquet(s"$sfDir/events.parquet")
+      .schema("ts").dataType
+    val stream = spark.readStream
+      .schema(rawSchema(fileTsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    fileTsType match {
+      case LongType      => stream.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampType => stream
+      // TIMESTAMP_NTZ file: normalize to TimestampType (session TZ pinned
+      // UTC) so every downstream consumer sees one ts type
+      case _             => stream.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Watermarked tumbling-window aggregation (1-hour windows, 2-hour

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.Row
+
+/** Pins the loader contract for the driver testdata — above all the events
+  * timestamp, whose PHYSICAL parquet encoding has changed across driver
+  * testdata generations (TIMESTAMP(NANOS) in rounds 1-6, TIMESTAMP(MICROS,
+  * ntz) from round 7). The round-7 regression: assuming ns unconditionally
+  * collapsed a µs timeline 1000×, so every streaming window/join/session
+  * query silently answered a different question (0 emitted windows, every
+  * click×purchase pair inside the join interval). These tests fail fast on
+  * the NEXT encoding change instead. */
+class TablesSpec extends SparkSpec {
+
+  private val sfDirs =
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+
+  test("events.ts loads as TimestampType spanning a realistic timeline at every SF") {
+    sfDirs.foreach { d =>
+      val ev = Tables.events(spark, d)
+      assert(ev.schema("ts").dataType === TimestampType,
+        s"$d: ts must normalize to TimestampType regardless of file encoding")
+      val Row(mn: java.sql.Timestamp, mx: java.sql.Timestamp) =
+        ev.agg(min("ts"), max("ts")).head()
+      val spanH = (mx.getTime - mn.getTime) / 3600000.0
+      // ns misread as µs (or vice versa) shrinks/stretches the span 1000×:
+      // a real events table spans days; a collapsed one spans minutes
+      assert(spanH > 24, f"$d: events span $spanH%.1f h — encoding misread?")
+      assert(spanH < 24 * 3650, f"$d: events span $spanH%.1f h — encoding misread?")
+      assert(mn.getTime > 0, s"$d: ts epoch-collapsed to 1970")
+    }
+  }
+
+  test("streaming replay sees the same timeline as the batch loader") {
+    val d = "/root/testdata/sf0.001"
+    val batch = Tables.events(spark, d)
+      .agg(min("ts"), max("ts"), count(lit(1))).head()
+    val streamed = graft.streaming.EventStream.drainToTable(
+      graft.streaming.EventStream.readEvents(spark, d),
+      s"tbl_probe_${java.util.UUID.randomUUID().toString.replace("-", "")}",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .agg(min("ts"), max("ts"), count(lit(1))).head()
+    assert(streamed === batch,
+      "stream and batch loaders must agree on (min ts, max ts, row count)")
+  }
+}
