@@ -26,6 +26,10 @@ object Relational {
   private val moneySumSql = (x: String) =>
     s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
 
+  /** j13's hive-partitioned fact fixture, one write per (session, SF). */
+  private val dppFactDir = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
   val defs: Seq[QDef] = Seq(
     // ---------------------------------------------------------------- §2.1
     // S2 table scan + P1/P2 projection — ref demos/01_transaction_rollback/demo.py:74
@@ -1625,6 +1629,66 @@ object Relational {
         "WHERE s_nationkey = n.n_nationkey " +
         "ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t " +
         "ORDER BY n.n_name, t.s_acctbal DESC, t.s_suppkey")),
+
+    // J13 DYNAMIC PARTITION PRUNING — the scale feature the static prune
+    // (s11) cannot give: the fact side is hive-partitioned on o_year, and
+    // the partitions to read are only known AFTER filtering the dim side
+    // (above-average-revenue years), so no static filter exists at plan
+    // time. Catalyst's DPP rule reuses the broadcast of the dim to inject
+    // a runtime IN-subquery into the fact scan's PartitionFilters
+    // (pinned in PlanSpec: `dynamicpruning` in the scan) — at 100 TB this
+    // is the difference between scanning 7 years and scanning the 5 the
+    // join can actually match. Money compares are done in DOUBLE on both
+    // engines — every operand is an exact-in-double 2-decimal sum, so the
+    // comparison is deterministic (decimal×bigint would overflow DuckDB's
+    // width-38 multiply).
+    QDef("j13_dpp_join",
+      (s, d) => {
+        // the partitioned fact layout is an input FIXTURE (on a real lake
+        // the table is already partitioned); build it once per
+        // (session, SF) so repeated runs time the judged DPP read path,
+        // not the fixture write — same policy as Tables' memo
+        val dir = dppFactDir.computeIfAbsent((s, d), _ => {
+          val p = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_" +
+            s"${s.sparkContext.applicationId}_" +
+            d.replaceAll("[^A-Za-z0-9]", "_")
+          T.orders(s, d)
+            .withColumn("o_year", year(to_date(col("o_orderdate"))))
+            .write.mode("overwrite").partitionBy("o_year").parquet(p)
+          p
+        })
+        val o = T.orders(s, d)
+        val fact = s.read.parquet(dir)
+        val dim = o
+          .groupBy(year(to_date(col("o_orderdate"))).as("y"))
+          .agg(moneySum(col("o_totalprice")).as("rev"))
+          .withColumn("tot", sum(col("rev")).over(Window.partitionBy()))
+          .withColumn("ny", count(lit(1)).over(Window.partitionBy()))
+          .filter(col("rev") * col("ny") > col("tot"))
+          .select(col("y"))
+        fact.join(broadcast(dim), fact("o_year") === dim("y"))
+          .groupBy(col("o_year"))
+          .agg(count(lit(1)).as("n_orders"),
+            moneySum(col("o_totalprice")).as("revenue"))
+          .orderBy("o_year")
+      },
+      Some("""
+        WITH dim0 AS (
+          SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS y,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+          FROM orders GROUP BY 1),
+        dim AS (
+          SELECT y FROM (
+            SELECT y, rev, SUM(rev) OVER () AS tot, COUNT(*) OVER () AS ny
+            FROM dim0)
+          WHERE rev * ny > tot)
+        SELECT o.o_year, count(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM (SELECT *, CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year
+              FROM orders) o
+        JOIN dim ON o.o_year = dim.y
+        GROUP BY o.o_year ORDER BY o.o_year""")),
 
     // U7 recursive CTE — the month spine is DERIVED by recursion (anchor
     // + step until the fixed point), then left-joined to per-month order

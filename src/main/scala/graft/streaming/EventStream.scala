@@ -127,15 +127,28 @@ object EventStream {
       spark.conf.get("spark.graft.streaming.statePartitions", "4")
     val batchPartitions = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    // state-store deltas + offset/commit logs are fsync-heavy tiny files,
+    // one per partition per operator per micro-batch: point the checkpoint
+    // at RAM (tmpfs) when available — this replay is a drain-and-discard
+    // verification surface, not a durable production checkpoint (a real
+    // deployment points this at object storage and keeps it)
+    val ckptRoot =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    val ckpt = s"$ckptRoot/graft_ckpt_$name"
     try {
       val q = df.writeStream
         .format("memory")
         .queryName(name)
         .outputMode(mode)
+        .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", batchPartitions)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", batchPartitions)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
     spark.table(name)
   }
 

@@ -53,6 +53,17 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("PushedFilters: [IsNotNull(event_type)"), s)
   }
 
+  test("dpp join injects a runtime pruning subquery into the fact scan") {
+    val s = planString("j13_dpp_join")
+    // the partitions to read are only known after the dim filter runs, so
+    // the fact scan must carry a DYNAMIC pruning expression (reusing the
+    // dim broadcast), not just static partition filters
+    assert(s.contains("dynamicpruning"), s)
+    assert(s.contains("PartitionFilters"), s)
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin"), "7-row dim must broadcast\n" + s)
+  }
+
   test("small dimension joins broadcast (no shuffle of the fact side)") {
     val s = planString("j1_join_inner")
     assert(s.contains("BroadcastHashJoin"), s)
