@@ -75,9 +75,14 @@ def main(sf_dir, out_dir):
     # Verify run logged the error) — do not let it vanish silently
     for name in sorted(set(oracle) - set(names)):
         failures.append((name, "oracle present but no spark output dir"))
+    # Verify's own failure ledger (exceptions / zero-row queries) — attach
+    # its message to any failure so the diagnosis rides the report.
+    errp = f"{out_dir}/errors.json"
+    errs = json.load(open(errp)) if os.path.exists(errp) else {}
     print(f"PASS={passed} SKIP(no-oracle)={skipped} FAIL={len(failures)}")
     for n, msg in failures:
-        print(f"FAIL {n}: {msg}")
+        extra = f" [verify: {errs[n]}]" if n in errs else ""
+        print(f"FAIL {n}: {msg}{extra}")
     return 1 if failures else 0
 
 if __name__ == "__main__":

@@ -67,11 +67,20 @@ object Bench {
     val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.startsWith("l"))
     val mins = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // a query that throws must surface as a named failure, not a fast
+    // timing — a swallowed exception here is indistinguishable from a
+    // sub-second query in the round artifact
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     for (_ <- 1 to passes; (name, fn) <- qlist; _ <- 1 to burst) {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      mins(name) = math.min(mins.getOrElse(name, Double.MaxValue), sec)
+      try {
+        fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        mins(name) = math.min(mins.getOrElse(name, Double.MaxValue), sec)
+      } catch { case e: Throwable =>
+        failed(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        System.err.println(s"[bench] $name FAILED: ${failed(name)}")
+      }
     }
     val results = mins.toSeq
     val duck = baseline(sfDir)
@@ -107,7 +116,8 @@ object Bench {
     val summary =
       if (duck.isEmpty) "\"duckdb_baseline\":\"missing\""
       else s""""oracle_subset":${leg(oracled)},"batch":${leg(batch)},"floor":${leg(floor)},"heavy":${leg(heavy)},"streaming":${leg(streaming)},"contract":${leg(contract)}"""
-    val head = s""""metric":"total","value":${j(total)},"unit":"sec","runs_per_query":$runs,"agg":"min","spark_oracle_s":${j(sparkOracle)},"duckdb_oracle_s":${j(duckOracle)},$summary"""
+    val failedJson = failed.keys.map(k => s"\"$k\"").mkString("[", ",", "]")
+    val head = s""""metric":"total","value":${j(total)},"unit":"sec","runs_per_query":$runs,"agg":"min","failed":$failedJson,"spark_oracle_s":${j(sparkOracle)},"duckdb_oracle_s":${j(duckOracle)},$summary"""
     // Full detail (incl. the 67-entry per-query ratio map) goes to a file:
     // the driver archives only a size-bounded stdout tail, and a line that
     // outgrows that budget is recorded unparsed. The stdout line carries

@@ -15,11 +15,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws writes no parquet, and one that emits 0 rows
+    // against a non-empty oracle looks identical to a silent failure in the
+    // driver's compare (err:null). Record both loudly: per-query messages to
+    // stderr AND an errors.json ledger next to the dumps, so a red round
+    // carries its own diagnosis.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        val n = spark.read.parquet(s"$outDir/$name").count()
+        if (n == 0) {
+          errors(name) = "query succeeded but produced 0 rows"
+          System.err.println(s"[verify] $name produced 0 rows")
+        }
+      } catch { case e: Throwable =>
+        val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        errors(name) = msg
+        System.err.println(s"[verify] $name failed: $msg")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -37,6 +51,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[verify] ${errors.size} queries failed or were empty: " +
+          errors.keys.mkString(", "))
     spark.stop()
   }
 }

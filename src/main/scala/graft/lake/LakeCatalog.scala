@@ -640,6 +640,17 @@ class LakeCatalog(val spark: SparkSession, val root: String,
   def cloneTable(src: String, dst: String): Unit =
     transaction(_.cloneTable(src, dst))
 
+  def dropTable(name: String): Unit = transaction(_.dropTable(name))
+
+  def dropView(name: String): Unit = transaction(_.dropView(name))
+
+  /** Metadata-only rename — see [[Tx.renameTable]]. */
+  def renameTable(from: String, to: String): Unit =
+    transaction(_.renameTable(from, to))
+
+  /** O(metadata) truncate — see [[Tx.truncateTable]]. */
+  def truncateTable(name: String): Unit = transaction(_.truncateTable(name))
+
   def update(table: String, where: Column, sets: Map[String, Column]): Unit =
     transaction(_.update(table, where, sets))
 
@@ -648,6 +659,21 @@ class LakeCatalog(val spark: SparkSession, val root: String,
 
   def merge(table: String, source: DataFrame, keys: Seq[String]): Unit =
     transaction(_.merge(table, source, keys))
+
+  /** mergeSchema ingestion — see [[Tx.insertEvolve]]; the schema adds and
+    * the data land in ONE atomic commit. */
+  def insertEvolve(table: String, df: DataFrame): Unit =
+    transaction(_.insertEvolve(table, df))
+
+  /** Partition-spec evolution — see [[Tx.setPartitionBy]]. */
+  def setPartitionBy(table: String, cols: Seq[String]): Unit =
+    transaction(_.setPartitionBy(table, cols))
+
+  /** Full MERGE with conditional matched / not-matched / not-matched-by-
+    * source clauses — see [[Tx.mergeClauses]] and [[MergeClauses]]. */
+  def mergeClauses(table: String, source: DataFrame, keys: Seq[String],
+      clauses: MergeClauses): Unit =
+    transaction(_.mergeClauses(table, source, keys, clauses))
 
   def createView(name: String, sql: String): Unit =
     transaction(_.createView(name, sql))

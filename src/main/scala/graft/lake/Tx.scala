@@ -24,6 +24,27 @@ object Tx {
   val MaxAffectedPaths = 100000
 }
 
+/** Clause set for [[Tx.mergeClauses]] — the Delta/Iceberg full MERGE
+  * surface. Each clause is an optional SQL boolean condition, `"true"`
+  * for unconditional, `None` for clause absent:
+  *
+  *  - `matchedDelete` / `matchedUpdate`: WHEN MATCHED [AND cond] THEN
+  *    DELETE / UPDATE SET * — conditions see BOTH rows via the aliases
+  *    `s` (source) and `t` (target); delete evaluates BEFORE update (the
+  *    fixed clause order — Delta's user-ordered clause list collapsed to
+  *    the one ordering that is never lossy).
+  *  - `notMatchedInsert`: WHEN NOT MATCHED [AND cond] THEN INSERT * —
+  *    the condition sees the bare source columns.
+  *  - `bySourceDelete`: WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+  *    DELETE — the condition sees the target via the `t` alias.
+  *
+  * A condition evaluating NULL is not satisfied (SQL MERGE semantics). */
+final case class MergeClauses(
+    matchedDelete: Option[String] = None,
+    matchedUpdate: Option[String] = None,
+    notMatchedInsert: Option[String] = None,
+    bySourceDelete: Option[String] = None)
+
 class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
   private val spark: SparkSession = cat.spark
   private val tables = mutable.LinkedHashMap.from(base.tables)
@@ -104,6 +125,24 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
       schemas = st.schemas + (v2.toString -> st.columns.filterNot(_.name == name)),
       primaryKey = st.primaryKey.filterNot(_ == name),
       notNull = st.notNull.filterNot(_ == name))
+    ddlCount += 1
+    change("tables_altered", table)
+  }
+
+  /** Partition-SPEC evolution (Iceberg `REPLACE PARTITION FIELD` analog):
+    * change the declared partition columns, metadata only. Files already
+    * written keep the value sets / stats harvested under the OLD spec —
+    * pruning is per-file, so old-spec probes keep pruning old files
+    * exactly and new writes cluster + index on the NEW spec; no data
+    * rewrite ever happens at evolution time (at 100 TB that is the whole
+    * point — re-laying a table out is a separate, explicit `compact`/
+    * `cluster`, which unifies everything onto the current spec). */
+  def setPartitionBy(table: String, cols: Seq[String]): Unit = {
+    flushInlined(table)
+    val st = state(table)
+    cols.foreach(c => require(st.columns.exists(_.name == c),
+      s"no such column: $table.$c"))
+    tables(table) = st.copy(partitionBy = cols)
     ddlCount += 1
     change("tables_altered", table)
   }
@@ -210,6 +249,39 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     tables.remove(name)
     ddlCount += 1
     change("tables_dropped", name)
+  }
+
+  def dropView(name: String): Unit = {
+    require(views.contains(name), s"no such view: $name")
+    views.remove(name)
+    ddlCount += 1
+    change("views_dropped", name)
+  }
+
+  /** `ALTER TABLE RENAME TO` — metadata-only re-key. Stored views are
+    * raw SQL over table NAMES, so any view mentioning the table refuses
+    * the rename (silently breaking a view at read time is worse). */
+  def renameTable(from: String, to: String): Unit = {
+    val st = state(from)
+    require(!tables.contains(to), s"table already exists: $to")
+    val token = s"\\b${java.util.regex.Pattern.quote(from)}\\b".r
+    views.collectFirst {
+      case (v, sql) if token.findFirstIn(sql).isDefined => v
+    }.foreach(v => throw new IllegalArgumentException(
+      s"cannot rename $from: view $v references it"))
+    tables.remove(from)
+    tables(to) = st
+    ddlCount += 1
+    change("tables_renamed", to)
+  }
+
+  /** `TRUNCATE TABLE` — drop every live file and inlined row, keep the
+    * schema/constraints/layout; O(metadata) (files stay on disk for time
+    * travel until vacuum expires the pre-truncate snapshots). */
+  def truncateTable(name: String): Unit = {
+    val st = state(name)
+    tables(name) = st.copy(files = Nil, inlined = Nil)
+    change("tables_truncated", name)
   }
 
   /** ZERO-COPY clone (Delta `SHALLOW CLONE`): `dst` starts as a new
@@ -375,6 +447,20 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     change("tables_inserted_into", table)
   }
 
+  /** mergeSchema ingestion (the Delta `mergeSchema=true` write analog):
+    * source columns the table lacks are auto-ADDED (nullable, no
+    * default — old files read NULL through the stable-column-id schema
+    * machinery), then the batch inserts, all inside the one enclosing
+    * transaction. Additive only: a type mismatch on an existing column
+    * still fails loudly (silent widening would rewrite a data contract;
+    * use changeColumnType deliberately). */
+  def insertEvolve(table: String, df: DataFrame): Unit = {
+    val st = state(table)
+    df.schema.fields.filterNot(f => st.columns.exists(_.name == f.name))
+      .foreach(f => addColumn(table, f.name, f.dataType))
+    insert(table, df)
+  }
+
   /** M8 inlined insert — DuckLake's "optional inlining" (ref
     * README.md:58-63, demos/04_small_file_optimization/demo.py:314-368):
     * the rows are validated like any insert, then stored INSIDE the
@@ -530,7 +616,21 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     * a merge touching 0.1% of keys rewrites ~0.1% of files. The source
     * must be key-unique (SQL MERGE cardinality rule) and is aligned to
     * the table schema first (missing columns fill DEFAULT then NULL). */
-  def merge(table: String, source: DataFrame, keys: Seq[String]): Unit = {
+  def merge(table: String, source: DataFrame, keys: Seq[String]): Unit =
+    mergeClauses(table, source, keys, MergeClauses(
+      matchedUpdate = Some("true"), notMatchedInsert = Some("true")))
+
+  /** Full MERGE with the Delta/Iceberg clause set (see [[MergeClauses]]).
+    * Copy-on-write like the plain upsert: affected files are found with
+    * ONE file-tagged left-semi join against the source keys (bounded
+    * driver path set, same cap as rewriteAffected) and only those are
+    * rewritten — EXCEPT when a `bySourceDelete` clause is present, where
+    * any target row may be deleted, so the whole table rewrites (the
+    * clause is inherently O(table), exactly as in Delta). The source must
+    * be key-unique (SQL MERGE cardinality rule) and is aligned to the
+    * table schema first (missing columns fill DEFAULT then NULL). */
+  def mergeClauses(table: String, source: DataFrame, keys: Seq[String],
+      cl: MergeClauses): Unit = {
     flushInlined(table)
     val st = state(table)
     require(keys.nonEmpty, "merge requires at least one key column")
@@ -542,34 +642,53 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
         s"merge source not unique on (${keys.mkString(",")})")
     validate(table, st, src, checkPkAgainstExisting = false)
     val keyCols = keys.map(col)
+    // WHEN NOT MATCHED [AND cond] THEN INSERT — cond over bare src columns
+    def insertRows(cur: DataFrame): DataFrame = cl.notMatchedInsert match {
+      case None => src.limit(0)
+      case Some(c) =>
+        src.join(cur.select(keyCols: _*), keys, "left_anti").filter(expr(c))
+    }
     if (st.files.isEmpty) {
+      val out = insertRows(src.limit(0))
       val written =
-        writeFiles(table, applyPartitionLayout(st, src), st.schemaVersion)
+        writeFiles(table, applyPartitionLayout(st, out), st.schemaVersion)
       tables(table) = st.copy(files = st.files ++ written)
     } else {
       val cur = cat.readState(st)
-      val affectedPaths = cat.readStateTagged(st, "__file")
-        .join(src.select(keyCols: _*), keys, "left_semi")
-        .filter(col("__file").isNotNull)
-        .select("__file").distinct().limit(Tx.MaxAffectedPaths + 1).collect()
-        .map(r => new java.net.URI(r.getString(0)).getPath).toSet
       val affected =
-        if (affectedPaths.size > Tx.MaxAffectedPaths) st.files
-        else st.files.filter(e =>
-          affectedPaths.contains(cat.absPath(e.path).toUri.getPath))
+        if (cl.bySourceDelete.isDefined) st.files
+        else {
+          val affectedPaths = cat.readStateTagged(st, "__file")
+            .join(src.select(keyCols: _*), keys, "left_semi")
+            .filter(col("__file").isNotNull)
+            .select("__file").distinct().limit(Tx.MaxAffectedPaths + 1).collect()
+            .map(r => new java.net.URI(r.getString(0)).getPath).toSet
+          if (affectedPaths.size > Tx.MaxAffectedPaths) st.files
+          else st.files.filter(e =>
+            affectedPaths.contains(cat.absPath(e.path).toUri.getPath))
+        }
       val kept = st.files.filterNot(affected.contains)
-      // matched rows take the source row wholesale (NULL keys never match,
-      // as in SQL MERGE ON); unmatched target rows carry over unchanged
+      // one left-outer pass decides every target row's fate (NULL keys
+      // never match, as in SQL MERGE ON); a NULL clause condition is not
+      // satisfied, so every predicate coalesces to false
       val tgt = cat.readState(st.copy(files = affected)).alias("t")
       val marked = src.withColumn("__m", lit(true)).alias("s")
       val cond = keys.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+      val matched = col("s.__m").isNotNull
+      def sat(o: Option[String], gate: Column): Column =
+        o.map(c => coalesce(gate && expr(c), lit(false))).getOrElse(lit(false))
+      val mDel = sat(cl.matchedDelete, matched)
+      val mUpd = cl.matchedUpdate
+        .map(c => coalesce(matched && !mDel && expr(c), lit(false)))
+        .getOrElse(lit(false))
+      val sDel = sat(cl.bySourceDelete, !matched)
       val rewritten = tgt.join(marked, cond, "left_outer")
+        .filter(!mDel && !sDel)
         .select(st.columns.map { c =>
-          when(col("s.__m"), col(s"s.${c.name}"))
+          when(mUpd, col(s"s.${c.name}"))
             .otherwise(col(s"t.${c.name}")).as(c.name)
         }: _*)
-      val inserts = src.join(cur.select(keyCols: _*), keys, "left_anti")
-      val out = rewritten.unionByName(inserts)
+      val out = rewritten.unionByName(insertRows(cur))
       // merging on non-PK keys can collide with rows in kept files
       if (st.primaryKey.nonEmpty && st.primaryKey != keys && kept.nonEmpty) {
         val pk = st.primaryKey.map(col)

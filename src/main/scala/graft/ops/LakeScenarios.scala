@@ -518,6 +518,76 @@ object LakeScenarios {
         FROM base b FULL OUTER JOIN src s ON b.id = s.id
         ORDER BY id""")),
 
+    // M9+ — FULL MERGE clause set (Tx.mergeClauses): WHEN MATCHED AND
+    // cond THEN DELETE / UPDATE, WHEN NOT MATCHED AND cond THEN INSERT,
+    // WHEN NOT MATCHED BY SOURCE AND cond THEN DELETE — the complete
+    // Delta/Iceberg MERGE surface (the reference has no analog; plain
+    // upsert is l10). One CoW commit; delete-before-update clause order.
+    // All four clauses fire: matched rows update only when the refresh
+    // raises the balance, deeply-negative matched rows are purged,
+    // positive-only inserts, and stale deeply-negative unmatched rows are
+    // swept. Oracle: the clause semantics replayed as a 3-branch CTE over
+    // the identical static slices — deterministic, HASH-verified,
+    // including the rows whose fate is deletion (absence breaks the hash).
+    QDef("l31_merge_clauses",
+      (s, d) => {
+        val cat = freshLake(s)
+        val base = T.customer(s, d).filter(col("c_custkey") <= 40)
+          .selectExpr("cast(c_custkey AS bigint) AS id", "c_name AS name",
+            "c_acctbal AS bal")
+        val src = T.customer(s, d)
+          .filter(col("c_custkey") <= 60 && col("c_custkey") % 2 === 0)
+          .selectExpr("cast(c_custkey AS bigint) AS id",
+            "concat('refresh_', cast(c_custkey AS string)) AS name",
+            "c_acctbal * 2 AS bal")
+        cat.createTable("cust", StructType(Seq(
+          StructField("id", LongType),
+          StructField("name", StringType),
+          StructField("bal", DoubleType))),
+          primaryKey = Seq("id"))
+        cat.insert("cust", base)
+        cat.mergeClauses("cust", src, Seq("id"), graft.lake.MergeClauses(
+          matchedDelete = Some("t.bal < -500.0"),
+          matchedUpdate = Some("s.bal > t.bal"),
+          notMatchedInsert = Some("bal > 0.0"),
+          bySourceDelete = Some("t.bal < -900.0")))
+        cat.read("cust")
+          .join(src.select(col("id"), col("bal").as("__sbal")), Seq("id"), "left")
+          .join(base.select(col("id"), col("bal").as("__bbal")), Seq("id"), "left")
+          .select(col("id"), col("name"), col("bal"),
+            when(col("__sbal").isNotNull && col("__bbal").isNotNull,
+              when(col("__sbal") > col("__bbal"), "updated")
+                .otherwise("kept_matched"))
+              .when(col("__sbal").isNotNull, "inserted")
+              .otherwise("kept").as("status"))
+          .orderBy("id")
+      }, Some("""
+        WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name,
+                             c_acctbal AS bal
+                      FROM customer WHERE c_custkey <= 40),
+             src AS (SELECT CAST(c_custkey AS BIGINT) AS id,
+                            'refresh_' || CAST(c_custkey AS VARCHAR) AS name,
+                            c_acctbal * 2 AS bal
+                     FROM customer
+                     WHERE c_custkey <= 60 AND c_custkey % 2 = 0)
+        SELECT * FROM (
+          SELECT b.id,
+                 CASE WHEN s.bal > b.bal THEN s.name ELSE b.name END AS name,
+                 CASE WHEN s.bal > b.bal THEN s.bal ELSE b.bal END AS bal,
+                 CASE WHEN s.bal > b.bal THEN 'updated'
+                      ELSE 'kept_matched' END AS status
+          FROM base b JOIN src s USING (id)
+          WHERE NOT (b.bal < -500.0)
+          UNION ALL
+          SELECT b.id, b.name, b.bal, 'kept' AS status
+          FROM base b
+          WHERE b.id NOT IN (SELECT id FROM src) AND NOT (b.bal < -900.0)
+          UNION ALL
+          SELECT s.id, s.name, s.bal, 'inserted' AS status
+          FROM src s
+          WHERE s.id NOT IN (SELECT id FROM base) AND s.bal > 0.0)
+        ORDER BY id""")),
+
     // Ad-hoc SQL over the attached catalog — the reference's core usage
     // pattern (`USE lake; SELECT ...` — ref demos/01_transaction_rollback/
     // demo.py:30,74): LakeCatalog.sql resolves lake tables AND stored
@@ -1045,6 +1115,113 @@ object LakeScenarios {
             (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
              WHERE source = 'src7')),
           ('5_partition_meta',     CAST(1 AS BIGINT)))
+          t(metric, value)
+        ORDER BY metric""")),
+
+    // L33 — mergeSchema INGESTION (Delta `mergeSchema=true` write): a
+    // batch arriving with columns the table lacks auto-ADDS them and
+    // lands the data in ONE atomic commit; pre-evolution rows read NULL
+    // for the new columns through the stable-column-id machinery (no
+    // backfill, no rewrite — at 100 TB an upstream producer adding a
+    // field must not force a table rewrite or an ingestion outage).
+    // Oracle: the two-batch ingest replayed as CTEs with explicit NULLs
+    // on the pre-evolution half.
+    QDef("l33_schema_merge_ingest",
+      (s, d) => {
+        val cat = freshLake(s)
+        val b1 = T.documents(s, d).filter(col("doc_id") % 2 === 0)
+          .selectExpr("doc_id", "source")
+        val b2 = T.documents(s, d).filter(col("doc_id") % 2 === 1)
+          .selectExpr("doc_id", "source", "lang",
+            "cast(n_chars AS bigint) AS n_chars")
+        cat.createTable("docs", StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("source", StringType))),
+          primaryKey = Seq("doc_id"))
+        cat.insert("docs", b1)
+        cat.insertEvolve("docs", b2)
+        cat.read("docs").groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("lang").isNull, 1L).otherwise(0L))
+            .as("n_pre_evolution"),
+          coalesce(sum("n_chars"), lit(0L)).as("sum_chars"))
+          .orderBy("source")
+      }, Some("""
+        WITH b1 AS (SELECT doc_id, source FROM documents WHERE doc_id % 2 = 0),
+             b2 AS (SELECT doc_id, source, lang,
+                           CAST(n_chars AS BIGINT) AS n_chars
+                    FROM documents WHERE doc_id % 2 = 1),
+             docs AS (SELECT doc_id, source, NULL AS lang,
+                             CAST(NULL AS BIGINT) AS n_chars FROM b1
+                      UNION ALL SELECT * FROM b2)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pre_evolution,
+               COALESCE(CAST(sum(n_chars) AS BIGINT), 0) AS sum_chars
+        FROM docs GROUP BY source ORDER BY source""")),
+
+    // L32 — PARTITION-SPEC EVOLUTION (Iceberg REPLACE PARTITION FIELD):
+    // the declared partition columns change mid-life, METADATA ONLY — no
+    // data rewrite. Files written under the old spec keep the value sets
+    // harvested then, so old-spec probes still prune them exactly; new
+    // writes cluster + index on the new spec. At 100 TB this is the
+    // feature that lets a table re-partition from event-type to day
+    // without rewriting history. Oracle: pruning exactness facts are
+    // engine contracts (exactly ONE file carries each probed value under
+    // its spec); probe row counts + sums recomputed from the raw table;
+    // the probe day is derived from the data on both sides (min day of
+    // the new-spec slice) so the query is SF-stable.
+    QDef("l32_partition_evolution",
+      (s, d) => {
+        import s.implicits._
+        val cat = freshLake(s)
+        val ev = T.events(s, d).select(
+          col("event_id").cast(LongType).as("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type").as("etype"))
+        cat.createTable("ev", StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("day", StringType),
+          StructField("etype", StringType))),
+          partitionBy = Seq("etype"))
+        cat.insert("ev", ev.filter(col("event_id") % 2 === 0))
+        cat.setPartitionBy("ev", Seq("day"))
+        cat.insert("ev", ev.filter(col("event_id") % 2 === 1))
+        val probeDay = ev.filter(col("event_id") % 2 === 1)
+          .agg(min("day")).as[String].head()
+        val st = cat.current.tables("ev")
+        val oldExact = st.files.count(
+          _.pvals.get("etype").exists(_.contains("click"))).toLong
+        val newExact = st.files.count(
+          _.pvals.get("day").exists(_.contains(probeDay))).toLong
+        val oldProbe = cat.readPartition("ev", Map("etype" -> "click"))
+        val newProbe = cat.readPartition("ev", Map("day" -> probeDay))
+        Seq(
+          ("1_spec_meta_evolved",
+            if (cat.tableInfo().filter(col("table_name") === "ev")
+              .select("partition_by").as[String].head() == "day") 1L else 0L),
+          ("2_old_files_prune_exact", if (oldExact == 1L) 1L else 0L),
+          ("3_new_files_prune_exact", if (newExact == 1L) 1L else 0L),
+          ("4_rows_old_probe", oldProbe.count()),
+          ("5_rows_new_probe", newProbe.count()),
+          ("6_sum_ids_new_probe",
+            newProbe.agg(coalesce(sum("event_id"), lit(0L))).as[Long].head()))
+          .toDF("metric", "value").orderBy("metric")
+      }, Some("""
+        WITH ev AS (SELECT event_id, strftime(ts, '%Y-%m-%d') AS day,
+                           event_type AS etype FROM events),
+             probe AS (SELECT min(day) AS pd FROM ev WHERE event_id % 2 = 1)
+        SELECT * FROM (VALUES
+          ('1_spec_meta_evolved',      CAST(1 AS BIGINT)),
+          ('2_old_files_prune_exact',  CAST(1 AS BIGINT)),
+          ('3_new_files_prune_exact',  CAST(1 AS BIGINT)),
+          ('4_rows_old_probe',
+            (SELECT count(*) FROM ev WHERE etype = 'click')),
+          ('5_rows_new_probe',
+            (SELECT count(*) FROM ev, probe WHERE day = pd)),
+          ('6_sum_ids_new_probe',
+            (SELECT CAST(sum(event_id) AS BIGINT) FROM ev, probe
+             WHERE day = pd)))
           t(metric, value)
         ORDER BY metric""")),
 

@@ -492,6 +492,30 @@ object Pipeline {
         "AS n_docs_touched " +
         "FROM wd GROUP BY source ORDER BY source")),
 
+    // X19 domain-balanced sampling — the per-source document cap every
+    // web-scale corpus applies so one dominant domain cannot swamp the
+    // mixture (the "max N pages per domain" rule). Priority inside a
+    // source is a deterministic hash of the doc id (md5 — consistent
+    // across runs AND across engines), so the kept set is a pure function
+    // of the data, not of arrival order. Scale shape: one hash-partition
+    // window per source (row_number over a bounded partition) and the cap
+    // bounds the output at sources × N rows — no sort of the full corpus,
+    // no driver state; at 100 TB the only wide exchange is the per-source
+    // shuffle the window needs.
+    QDef("x19_source_cap",
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rk", row_number().over(Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+        .filter(col("rk") <= 8)
+        .select("source", "doc_id", "rk", "n_chars")
+        .orderBy("source", "rk"),
+      Some("SELECT source, doc_id, rk, n_chars FROM (" +
+        "SELECT source, doc_id, n_chars, " +
+        "row_number() OVER (PARTITION BY source " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk " +
+        "FROM documents) t WHERE rk <= 8 ORDER BY source, rk")),
+
     // X16 PII redaction — the scrubbing pass every shipped corpus runs:
     // emails and IPv4s replaced with typed placeholders, map-only
     // (regexp_replace is codegen'd; at 100 TB this is a pure scan-write,

@@ -1893,5 +1893,262 @@ object Relational {
         "AS sum_disc_price, avg(l_quantity) AS avg_qty, count(*) AS count_order " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"))
+  ,
+
+    // Headline composite: TPC-H Q7-shaped two-nation trade volume by year.
+    // Scale shape: BOTH nation filters apply before any fact join (the
+    // supplier side collapses to a broadcast dim, the customer side
+    // shrinks to ~2/25 of the table), so the fact chain shuffles only the
+    // surviving pairs; the asymmetric pair condition is a residual filter
+    // over two already-restricted columns, never a cartesian.
+    QDef("q7_nation_trade",
+      (s, d) => {
+        val pair = Seq("NATION_3", "NATION_7")
+        val n1 = T.nation(s, d).filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+        val n2 = T.nation(s, d).filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+        val sup = T.supplier(s, d).join(broadcast(n1),
+            col("s_nationkey") === col("sk"))
+          .select("s_suppkey", "supp_nation")
+        val cust = T.customer(s, d).join(broadcast(n2),
+            col("c_nationkey") === col("ck"))
+          .select("c_custkey", "cust_nation")
+        val l = T.lineitem(s, d)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+            "l_shipdate")
+        val o = T.orders(s, d).select("o_orderkey", "o_custkey")
+        l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .filter((col("supp_nation") === "NATION_3" &&
+              col("cust_nation") === "NATION_7") ||
+            (col("supp_nation") === "NATION_7" &&
+              col("cust_nation") === "NATION_3"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+            .cast(DoubleType).as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("SELECT supp_nation, cust_nation, l_year, " +
+        "CAST(SUM(vol) AS DOUBLE) AS revenue FROM (" +
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+        "CAST(year(l_shipdate) AS INT) AS l_year, " +
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(4,2))) AS vol " +
+        "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey " +
+        "JOIN orders ON o_orderkey = l_orderkey " +
+        "JOIN customer ON c_custkey = o_custkey " +
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+        "WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') " +
+        "OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) " +
+        "AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') t " +
+        "GROUP BY supp_nation, cust_nation, l_year " +
+        "ORDER BY supp_nation, cust_nation, l_year")),
+
+    // Headline composite: TPC-H Q14-shaped promo revenue share per month.
+    // The part dim broadcasts; revenue sums are exact decimals cast to
+    // double, and the promo percentage is ONE IEEE double division of two
+    // such exact operands — bit-identical cross-engine (ratios of floats
+    // are only safe when both operands are exact).
+    QDef("q14_promo_revenue",
+      (s, d) => {
+        val disc = col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
+        T.lineitem(s, d)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+          .join(broadcast(T.part(s, d).select("p_partkey", "p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(month(col("l_shipdate")).as("mo"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", disc)
+              .otherwise(lit(0).cast(DecimalType(18, 2))))
+              .cast(DoubleType).as("promo_revenue"),
+            sum(disc).cast(DoubleType).as("total_revenue"))
+          .withColumn("promo_pct",
+            lit(100.0) * col("promo_revenue") / col("total_revenue"))
+          .orderBy("mo")
+      },
+      Some("SELECT CAST(month(l_shipdate) AS INT) AS mo, " +
+        "CAST(SUM(CASE WHEN p_type = 'PROMO' " +
+        "THEN CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(4,2))) " +
+        "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue, " +
+        "100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' " +
+        "THEN CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(4,2))) " +
+        "ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) / " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS promo_pct " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
+        "GROUP BY mo ORDER BY mo")),
+
+    // Headline composite: TPC-H Q12-shaped late-shipment priority split
+    // (shipmode replaced by returnflag — the testdata carries no
+    // l_shipmode): orders JOIN lineitem on a date-arithmetic lateness
+    // predicate, priorities bucketed high/low as conditional integer
+    // counts — exact cross-engine by construction.
+    QDef("q12_late_shipments",
+      (s, d) => {
+        val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        T.orders(s, d).select("o_orderkey", "o_orderdate", "o_orderpriority")
+          .join(T.lineitem(s, d).select("l_orderkey", "l_returnflag", "l_shipdate"),
+            col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .groupBy("l_returnflag")
+          .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+          .orderBy("l_returnflag")
+      },
+      Some("SELECT l_returnflag, " +
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') " +
+        "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    // O7 — LIMIT/OFFSET pagination (Dataset.offset, Spark 3.4+): a total
+    // order plus a page window. Spark plans the whole page prefix as a
+    // top-(offset+limit) — fine for page-depth pagination; keyset
+    // pagination (WHERE key > last) is the 100-TB recipe, which o1/o3
+    // style predicates already cover.
+    QDef("o7_limit_offset",
+      (s, d) => T.customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        .offset(20).limit(10),
+      Some("SELECT c_custkey, c_name, c_acctbal FROM customer " +
+        "ORDER BY c_acctbal DESC, c_custkey LIMIT 10 OFFSET 20")),
+
+    // J14 — interval-OVERLAP join (two interval sets, overlap predicate —
+    // the meeting-conflict / downtime-attribution shape; j9 is the
+    // point-in-interval special case). Spark has no native interval join,
+    // so both sides explode to fixed-width day buckets and the overlap
+    // becomes a bucket EQUI-join + residual filter + pair-dedup — at
+    // 100 TB this shuffles on the bucket key instead of nested-looping,
+    // and the bucket width bounds the fan-out (intervals here span ≤6
+    // days; width 16 → ≤2 buckets per interval). Oracle: DuckDB's native
+    // range-predicate join over the same generated calendar.
+    QDef("j14_overlap_join",
+      (s, d) => {
+        val epoch = to_date(lit("1995-01-01"))
+        val w = 16
+        val cal = s.range(232)
+          .select(col("id").as("win_id"),
+            date_add(epoch, (col("id") * 11).cast(IntegerType)).as("c_start"))
+          .withColumn("c_end", date_add(col("c_start"), 2))
+        val ord = T.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            to_date(col("o_orderdate")).as("o_start"))
+          .withColumn("o_end", date_add(col("o_start"),
+            (col("o_orderkey") % 5 + 1).cast(IntegerType)))
+        val calB = cal.withColumn("b", explode(sequence(
+          floor(datediff(col("c_start"), epoch) / w),
+          floor(datediff(col("c_end"), epoch) / w))))
+        val ordB = ord.withColumn("b", explode(sequence(
+          floor(datediff(col("o_start"), epoch) / w),
+          floor(datediff(col("o_end"), epoch) / w))))
+        calB.join(ordB, Seq("b"))
+          .filter(col("c_start") <= col("o_end") &&
+            col("o_start") <= col("c_end"))
+          .select("win_id", "c_start", "o_orderkey", "o_totalprice")
+          .distinct()
+          .groupBy("win_id", "c_start")
+          .agg(count(lit(1)).as("n_overlapping"),
+            moneySum(col("o_totalprice")).as("value_overlapping"))
+          .orderBy("win_id")
+      },
+      Some("""
+        WITH cal AS (SELECT range AS win_id,
+               DATE '1995-01-01' + CAST(range * 11 AS INTEGER) AS c_start,
+               DATE '1995-01-01' + CAST(range * 11 + 2 AS INTEGER) AS c_end
+             FROM range(232)),
+        ord AS (SELECT o_orderkey, o_totalprice,
+               CAST(o_orderdate AS DATE) AS o_start,
+               CAST(o_orderdate AS DATE) +
+                 CAST(o_orderkey % 5 + 1 AS INTEGER) AS o_end
+             FROM orders)
+        SELECT win_id, c_start, count(*) AS n_overlapping,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS value_overlapping
+        FROM cal JOIN ord ON c_start <= o_end AND o_start <= c_end
+        GROUP BY win_id, c_start ORDER BY win_id""")),
+
+    // F26 — URL decomposition (Spark's parse_url built-in, which DuckDB
+    // lacks — the oracle replays it with string/regex primitives): the
+    // web-corpus curation primitive behind domain extraction and
+    // per-domain grouping. URLs are synthesized deterministically onto
+    // the docs (the corpus has no URL column), parsed map-side
+    // (parse_url is codegen'd), then grouped per host. At 100 TB this is
+    // scan → map → small hash-agg.
+    QDef("f26_url_parse",
+      (s, d) => T.documents(s, d)
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example."),
+          expr("CASE WHEN doc_id % 3 = 0 THEN 'com' " +
+            "WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END"),
+          lit("/p/"), col("doc_id").cast("string"),
+          lit("?ref=r"), (col("doc_id") % 7).cast("string")))
+        .select(
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'ref')").as("ref"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("ref")).as("n_refs"),
+          max(length(col("path"))).as("max_path_len"))
+        .withColumn("tld", regexp_extract(col("host"), "\\.([a-z]+)$", 1))
+        .select("host", "tld", "n_docs", "n_refs", "max_path_len")
+        .orderBy("host"),
+      Some("SELECT host, regexp_extract(host, '\\.([a-z]+)$', 1) AS tld, " +
+        "count(*) AS n_docs, count(DISTINCT ref) AS n_refs, " +
+        "MAX(length(path)) AS max_path_len FROM (" +
+        "SELECT source || '.example.' || tld AS host, " +
+        "'/p/' || CAST(doc_id AS VARCHAR) AS path, " +
+        "'r' || CAST(doc_id % 7 AS VARCHAR) AS ref FROM (" +
+        "SELECT doc_id, source, CASE WHEN doc_id % 3 = 0 THEN 'com' " +
+        "WHEN doc_id % 3 = 1 THEN 'org' ELSE 'net' END AS tld " +
+        "FROM documents) a) t " +
+        "GROUP BY host ORDER BY host")),
+
+    // A+ — equi-width histogram (the width_bucket / DuckDB histogram()
+    // analog, which Spark lacks as a built-in): one map-side integer
+    // bucket key + one hash-agg. Buckets are computed in exact integer
+    // cents (DECIMAL→BIGINT, integer division) so bucket edges cannot
+    // straddle float rounding between engines; at 100 TB this is a
+    // map-only transform plus a ~20-group agg — no sort, no window.
+    QDef("a19_histogram",
+      (s, d) => T.orders(s, d)
+        .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("cents"))
+        .groupBy(expr("cents div 2500000").as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).as("sum_cents"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
+        .withColumn("lo_dollars", (col("bucket") * 25000L).cast(DoubleType))
+        .select("bucket", "lo_dollars", "n_orders", "sum_cents",
+          "min_cents", "max_cents")
+        .orderBy("bucket"),
+      Some("SELECT bucket, CAST(bucket * 25000 AS DOUBLE) AS lo_dollars, " +
+        "count(*) AS n_orders, SUM(cents) AS sum_cents, " +
+        "MIN(cents) AS min_cents, MAX(cents) AS max_cents " +
+        "FROM (SELECT cents, cents // 2500000 AS bucket FROM " +
+        "(SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+        "AS cents FROM orders) a) t " +
+        "GROUP BY bucket ORDER BY bucket"))
   )
 }

@@ -1045,4 +1045,114 @@ class LakeSpec extends SparkSpec {
     // and the failed merge left no trace
     assert(cat.read("inventory").count() === 4)
   }
+
+  test("rename/truncate/dropView: metadata-only DDL verbs, time travel intact") {
+    val cat = newLake()
+    cat.createTable("inventory", invSchema, primaryKey = Seq("product_id"))
+    cat.insert("inventory",
+      Seq((1, "widget", 10, 9.99)).toDF("product_id", "product_name", "quantity", "price"))
+    cat.renameTable("inventory", "stock")
+    val vRenamed = cat.currentVersion
+    assert(cat.read("stock").count() === 1)
+    intercept[NoSuchElementException] { cat.read("inventory").count() }
+    // a stored view naming the table blocks the rename (it would break)
+    cat.createView("v_stock", "SELECT * FROM stock")
+    intercept[IllegalArgumentException] { cat.renameTable("stock", "s2") }
+    cat.dropView("v_stock")
+    // truncate: rows gone, schema kept, history still readable
+    cat.truncateTable("stock")
+    assert(cat.read("stock").count() === 0)
+    assert(cat.readAt("stock", vRenamed).count() === 1)
+    cat.insert("stock",
+      Seq((2, "gadget", 5, 19.5)).toDF("product_id", "product_name", "quantity", "price"))
+    assert(cat.read("stock").select("product_name").as[String].head() === "gadget")
+    // change summaries tag each verb
+    val hist = cat.current.history
+    assert(hist.exists(_.changes.contains("tables_renamed")))
+    assert(hist.exists(_.changes.contains("tables_truncated")))
+    assert(hist.exists(_.changes.contains("views_dropped")))
+  }
+
+  test("partition-spec evolution: metadata-only, per-file pruning under each spec, compaction unifies") {
+    val cat = newLake()
+    cat.createTable("t", StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("a", StringType),
+      StructField("b", StringType))), partitionBy = Seq("a"))
+    def slice(lo: Int, hi: Int) = spark.range(lo, hi).selectExpr(
+      "cast(id AS int) AS id",
+      "CASE WHEN id % 2 = 0 THEN 'a0' ELSE 'a1' END AS a",
+      "CASE WHEN id % 4 < 2 THEN 'b0' ELSE 'b1' END AS b")
+    cat.insert("t", slice(0, 100))
+    val filesOld = cat.current.tables("t").files.map(_.path)
+    cat.setPartitionBy("t", Seq("b"))
+    // evolution is metadata-only: the file set is untouched
+    assert(cat.current.tables("t").files.map(_.path) === filesOld)
+    cat.insert("t", slice(100, 200))
+    val st = cat.current.tables("t")
+    // old files carry old-spec value sets, new files new-spec ones
+    assert(st.files.count(_.pvals.get("a").exists(_.contains("a0"))) === 1)
+    assert(st.files.count(_.pvals.get("b").exists(_.contains("b0"))) === 1)
+    // probes under BOTH specs stay exact (pruning can only skip work)
+    assert(cat.readPartition("t", Map("a" -> "a0")).count() === 100)
+    assert(cat.readPartition("t", Map("b" -> "b0")).count() === 100)
+    // a partition column of the CURRENT spec cannot be dropped
+    intercept[IllegalArgumentException] {
+      cat.transaction(_.dropColumn("t", "b"))
+    }
+    // compaction re-lays every file onto the current spec and re-harvests
+    cat.compact("t", 1L << 20)
+    val st2 = cat.current.tables("t")
+    assert(st2.files.forall(_.pvals.contains("b")))
+    assert(cat.readPartition("t", Map("b" -> "b1")).count() === 100)
+    assert(cat.read("t").count() === 200)
+  }
+
+  test("mergeClauses: full MERGE surface — conditional update/delete, insert filter, by-source delete, NULL conds") {
+    val cat = newLake()
+    cat.createTable("acct", StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("name", StringType),
+      StructField("bal", DoubleType))), primaryKey = Seq("id"))
+    cat.insert("acct", Seq(
+      (1, "a", Some(100.0)),  // matched, src higher  -> updated
+      (2, "b", Some(50.0)),   // matched, src lower   -> kept unchanged
+      (3, "c", Some(-600.0)), // matched, delete cond -> deleted (beats update)
+      (4, "d", Some(20.0)),   // unmatched            -> kept
+      (5, "e", Some(-950.0)), // unmatched, by-source -> deleted
+      (8, "h", Some(30.0)))   // matched, NULL cond   -> kept unchanged
+      .toDF("id", "name", "bal"))
+    val src = Seq(
+      (1, "A2", Some(200.0)),
+      (2, "B2", Some(10.0)),
+      (3, "C2", Some(999.0)), // update cond satisfied too — delete must win
+      (6, "F", Some(5.0)),    // insert cond passes
+      (7, "G", Some(-5.0)),   // insert cond fails
+      (8, "H2", None: Option[Double])) // s.bal NULL -> no clause satisfied
+      .toDF("id", "name", "bal")
+    cat.mergeClauses("acct", src, Seq("id"), graft.lake.MergeClauses(
+      matchedDelete = Some("t.bal < -500.0"),
+      matchedUpdate = Some("s.bal > t.bal"),
+      notMatchedInsert = Some("bal > 0.0"),
+      bySourceDelete = Some("t.bal < -900.0")))
+    val m = cat.read("acct").collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(m === Map(
+      1 -> (("A2", 200.0)), 2 -> (("b", 50.0)),
+      4 -> (("d", 20.0)), 6 -> (("F", 5.0)), 8 -> (("h", 30.0))))
+    // change summary tags it like a merge
+    assert(cat.current.history.last.changes
+      .getOrElse("tables_merged", Nil).contains("acct"))
+
+    // without a by-source clause the CoW keeps untouched files verbatim
+    val filesBefore = cat.current.tables("acct").files
+    cat.insert("acct", Seq((20, "z", Some(1.0))).toDF("id", "name", "bal"))
+    cat.mergeClauses("acct", Seq((20, "z2", Some(2.0))).toDF("id", "name", "bal"),
+      Seq("id"), graft.lake.MergeClauses(matchedUpdate = Some("true")))
+    val filesAfter = cat.current.tables("acct").files
+    assert(filesBefore.forall(f => filesAfter.exists(_.path == f.path)),
+      "files untouched by the clause merge carry over unrewritten")
+    assert(cat.read("acct").filter(col("id") === 20)
+      .select("name").as[String].head() === "z2")
+  }
 }

@@ -100,6 +100,24 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("HashAggregate"), s)
   }
 
+  test("q7: nation filters push to scans, supplier side broadcasts, no cartesian") {
+    val s = planString("q7_nation_trade")
+    // the nation-pair restriction must reach the nation scans as an IN
+    // filter, shrinking supplier/customer BEFORE the fact joins
+    assert(s.contains("In(n_name"), s)
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"), s)
+    // shipdate range is pushed to the lineitem scan
+    assert(s.contains("GreaterThanOrEqual(l_shipdate"), s)
+  }
+
+  test("j14: interval-overlap join is a bucket equi-join, never a nested loop") {
+    val s = planString("j14_overlap_join")
+    assert(!s.contains("CartesianProduct") && !s.contains("NestedLoop"), s)
+    // overlap verification is a residual filter over the bucket join
+    assert(s.contains("Join"), s)
+  }
+
   test("q18: the HAVING aggregate reduces lineitem BEFORE any join") {
     val plan = SparkEntry.queries("q18_large_orders")(spark, d)
       .queryExecution.executedPlan

@@ -138,4 +138,44 @@ class TxPropertySpec extends SparkSpec {
     // files written before the ADD COLUMN)
     assert(rows.filter(col("origin").isNull).count() === 0)
   }
+
+  test("mergeClauses matches the clause-semantics model on random tables") {
+    // random base/source tables + threshold-parameterized clauses vs an
+    // in-memory model of the MERGE semantics (delete-before-update order,
+    // by-source delete, conditional insert)
+    val rowGen = for {
+      id <- Gen.choose(1, 12); v <- Gen.choose(-10, 10)
+    } yield (id, v)
+    def uniq(rows: List[(Int, Int)]): List[(Int, Int)] =
+      rows.groupBy(_._1).map(_._2.head).toList
+    val tblGen = Gen.listOfN(8, rowGen).map(uniq)
+    val prop = Prop.forAllNoShrink(
+      tblGen, tblGen, Gen.choose(-5, 5), Gen.choose(-5, 5)) {
+      (base, src, dThr, iThr) =>
+        val cat = new LakeCatalog(spark, tmpDir("mrgprop"))
+        cat.createTable("t", StructType(Seq(
+          StructField("id", IntegerType), StructField("v", IntegerType))),
+          primaryKey = Seq("id"))
+        if (base.nonEmpty) cat.insert("t", base.toDF("id", "v"))
+        cat.mergeClauses("t", src.toDF("id", "v"), Seq("id"),
+          graft.lake.MergeClauses(
+            matchedDelete = Some(s"t.v < $dThr"),
+            matchedUpdate = Some("s.v > t.v"),
+            notMatchedInsert = Some(s"v > $iThr"),
+            bySourceDelete = Some(s"t.v < ${dThr - 3}")))
+        val got = cat.read("t").as[(Int, Int)].collect().toMap
+        val b = base.toMap; val sm = src.toMap
+        val expect = scala.collection.mutable.Map[Int, Int]()
+        for ((id, tv) <- b) {
+          if (sm.contains(id)) {
+            if (!(tv < dThr)) expect(id) = if (sm(id) > tv) sm(id) else tv
+          } else if (!(tv < dThr - 3)) expect(id) = tv
+        }
+        for ((id, sv) <- sm if !b.contains(id) && sv > iThr) expect(id) = sv
+        got == expect.toMap
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
