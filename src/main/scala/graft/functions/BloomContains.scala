@@ -17,15 +17,10 @@ import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expre
   * probable matches (false positives are removed by the exact join that
   * follows — results stay exact, the oracle proves it). */
 object BloomContains {
+  /** Delegates to the shared registry list — see
+    * [[graft.GraftExtensions.functions]]. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_contains",
-      { args: Seq[Expression] =>
-        require(args.length == 2,
-          "graft_bloom_contains(bloomBytes, value) takes two arguments")
-        BloomFilterMightContain(args(0), args(1))
-      },
-      "built-in")
+    graft.GraftExtensions.register(spark)
 
   /** Serialized form accepted by BloomFilterMightContain. */
   def serialize(bf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {

@@ -69,14 +69,11 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object DotProduct {
-  /** Idempotently register `graft_dot` in the session's function registry
-    * so SQL-string plans (`selectExpr`) can call it. */
+  /** Idempotently register the engine's native functions (incl.
+    * `graft_dot`) in the session registry so SQL-string plans
+    * (`selectExpr`) can call them. Single source of truth:
+    * [[graft.GraftExtensions.functions]] — the same list the
+    * `spark.sql.extensions=graft.GraftExtensions` cluster hook injects. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot",
-      { args: Seq[Expression] =>
-        require(args.length == 2, "graft_dot(a, b) takes two arrays")
-        DotProduct(args(0), args(1))
-      },
-      "built-in")
+    graft.GraftExtensions.register(spark)
 }

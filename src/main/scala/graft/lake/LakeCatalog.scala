@@ -657,8 +657,17 @@ class LakeCatalog(val spark: SparkSession, val root: String,
   def delete(table: String, where: Column): Unit =
     transaction(_.delete(table, where))
 
+  /** Partition-retention fast-path delete — see [[Tx.deletePartitions]]. */
+  def deletePartitions(table: String, eq: Map[String, String]): Unit =
+    transaction(_.deletePartitions(table, eq))
+
   def merge(table: String, source: DataFrame, keys: Seq[String]): Unit =
     transaction(_.merge(table, source, keys))
+
+  /** Zero-copy registration of existing parquet files — see
+    * [[Tx.addDataFiles]]. */
+  def addDataFiles(table: String, dir: String): Unit =
+    transaction(_.addDataFiles(table, dir))
 
   /** mergeSchema ingestion — see [[Tx.insertEvolve]]; the schema adds and
     * the data land in ONE atomic commit. */

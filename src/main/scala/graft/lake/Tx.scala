@@ -461,6 +461,96 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     insert(table, df)
   }
 
+  /** Register EXISTING parquet files as table data, zero rewrite — the
+    * Iceberg `add_files` / Delta `CONVERT TO DELTA` migration primitive:
+    * importing a directory costs metadata plus ONE distributed
+    * validation/stats read, never a data copy — at 100 TB the difference
+    * between registering a corpus and rewriting it. The files are
+    * referenced IN PLACE by absolute path: the lake never rewrites or
+    * GC's them (vacuum walks only the lake root, so external files
+    * survive snapshot expiry and table drops — Iceberg's add_files
+    * contract), and CoW DML touching their rows writes replacement files
+    * under the root and simply drops the reference. Schema contract: the
+    * files must carry every table column at the exact declared type
+    * (name-matched, order-free); extra physical columns are rejected
+    * (they would silently vanish after the first CoW cycle). Rows pass
+    * the same distributed validation as an insert (PK uniqueness incl.
+    * against existing rows, NOT NULL, CHECK constraints). */
+  def addDataFiles(table: String, dir: String): Unit = {
+    flushInlined(table)
+    val st = state(table)
+    val dirPath = new Path(dir)
+    val parts = cat.fs.globStatus(new Path(dirPath, "*.parquet")).toSeq
+    require(parts.nonEmpty, s"no parquet files under $dir")
+    val declared = cat.structOf(st.columns).fields
+      .map(f => f.name -> f.dataType).toMap
+    val physical = spark.read.parquet(dir).schema
+    val extra = physical.map(_.name).filterNot(declared.contains)
+    require(extra.isEmpty,
+      s"files carry columns the table lacks: ${extra.mkString(",")} " +
+        "(evolve the schema first: addColumn / insertEvolve)")
+    declared.foreach { case (n, t) =>
+      val pf = physical.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"files lack column $n"))
+      require(pf.dataType == t,
+        s"type mismatch on $table.$n: table $t vs files ${pf.dataType}")
+    }
+    val rows = spark.read.schema(cat.structOf(st.columns)).parquet(dir)
+    validate(table, st, rows, checkPkAgainstExisting = true)
+    val withRows = parts.map { fst =>
+      val p = fst.getPath
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(p, cat.hadoopConf))
+      val n = try reader.getRecordCount finally reader.close()
+      (p, fst.getLen, n)
+    }
+    // same stats + partition-value harvest as a native write — imported
+    // files prune exactly like written ones (imports are rare and big,
+    // so no small-write gate here)
+    val statCols = {
+      val prioritized = st.columns.sortBy(c =>
+        (!st.partitionBy.contains(c.name), !st.primaryKey.contains(c.name)))
+      prioritized.filter(Stats.comparable).take(8)
+    }
+    val pvalCols = st.partitionBy
+    val MaxPvals = 64
+    val harvest: Map[String, (Map[String, ColStat], Map[String, Seq[String]])] =
+      if (statCols.isEmpty && pvalCols.isEmpty) Map.empty
+      else {
+        val aggs = statCols.flatMap { c =>
+          Seq(min(col(c.name)).cast("string").as(s"min_${c.name}"),
+            max(col(c.name)).cast("string").as(s"max_${c.name}"))
+        } ++ pvalCols.map { c =>
+          collect_set(col(c).cast("string")).as(s"pv_$c")
+        }
+        rows.groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            val stats = statCols.flatMap { c =>
+              val mn = r.getAs[String](s"min_${c.name}")
+              val mx = r.getAs[String](s"max_${c.name}")
+              if (mn == null || mx == null) None
+              else Some(c.name -> ColStat(mn, mx))
+            }.toMap
+            val pv = pvalCols.flatMap { c =>
+              val vs = r.getAs[scala.collection.Seq[String]](s"pv_$c")
+              if (vs == null || vs.size > MaxPvals) None
+              else Some(c -> vs.toSeq.sorted)
+            }.toMap
+            new java.net.URI(r.getAs[String]("__f")).getPath -> (stats, pv)
+          }.toMap
+      }
+    val entries = withRows.map { case (p, len, n) =>
+      val abs = p.toUri.getPath
+      val (stats, pv) = harvest.getOrElse(abs,
+        (Map.empty[String, ColStat], Map.empty[String, Seq[String]]))
+      FileEntry(abs, len, n, st.schemaVersion, stats, pv)
+    }
+    tables(table) = st.copy(files = st.files ++ entries)
+    change("tables_files_added", table)
+  }
+
   /** M8 inlined insert — DuckLake's "optional inlining" (ref
     * README.md:58-63, demos/04_small_file_optimization/demo.py:314-368):
     * the rows are validated like any insert, then stored INSIDE the
@@ -524,6 +614,52 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     * false)), consistent with affected-file discovery via filter(where). */
   def delete(table: String, where: Column): Unit = {
     rewriteAffected(table, where)(_.filter(not(coalesce(where, lit(false)))))
+    change("tables_deleted_from", table)
+  }
+
+  /** Retention delete by partition-key equality — the `DELETE WHERE
+    * day = X` / `DROP PARTITION` fast path: a file whose recorded
+    * partition-value set is EXACTLY the probed tuple is dropped from the
+    * manifest with zero I/O (every row provably matches); only files
+    * that MIGHT mix matching and non-matching rows rewrite copy-on-write
+    * (and only when their stats can't disprove a match). At 100 TB a
+    * daily retention sweep on a day-partitioned table is pure metadata —
+    * the shape Hive/Iceberg users express as dropping partitions. Rows
+    * never covered by any file vanish exactly like [[delete]] with the
+    * equivalent predicate (the semantics are identical; only the cost
+    * differs). */
+  def deletePartitions(table: String, eq: Map[String, String]): Unit = {
+    flushInlined(table)
+    val st = state(table)
+    require(eq.nonEmpty, "deletePartitions requires at least one key=value")
+    val typed = eq.map { case (cn, v) =>
+      val c = st.columns.find(_.name == cn).getOrElse(
+        throw new NoSuchElementException(s"no such column: $table.$cn"))
+      (c, v)
+    }
+    // drop: every recorded value set is exactly the probed value
+    val (dropped, kept0) = st.files.partition(f =>
+      typed.forall { case (c, v) => f.pvals.get(c.name).contains(Seq(v)) })
+    // among the kept, only files that might CONTAIN the tuple rewrite
+    val (mixed, untouched) = kept0.partition(f =>
+      typed.forall { case (c, v) =>
+        f.pvals.get(c.name) match {
+          case Some(vs) if vs.nonEmpty => vs.contains(v)
+          case _ => Stats.overlaps(f.stats.get(c.name), c, v, v)
+        }
+      })
+    val inlinedPred = typed.map { case (c, v) =>
+      col(c.name) === lit(v).cast(DataType.fromJson(c.typeJson))
+    }.reduce(_ && _)
+    if (mixed.nonEmpty) {
+      val rewritten = cat.readState(st.copy(files = mixed))
+        .filter(not(coalesce(inlinedPred, lit(false))))
+      val written = writeFiles(table, applyPartitionLayout(st, rewritten),
+        st.schemaVersion)
+      tables(table) = st.copy(files = untouched ++ written)
+    } else {
+      tables(table) = st.copy(files = untouched)
+    }
     change("tables_deleted_from", table)
   }
 

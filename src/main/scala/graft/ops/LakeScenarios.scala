@@ -1118,6 +1118,123 @@ object LakeScenarios {
           t(metric, value)
         ORDER BY metric""")),
 
+    // L35 — PARTITION-RETENTION delete (`DELETE WHERE day = X` as a
+    // DROP PARTITION fast path): a file whose recorded partition-value
+    // set is exactly the probed day drops from the manifest with ZERO
+    // I/O; a file that mixes days (hash clustering sends each day to ONE
+    // file, but a bucket can hold several days) rewrites alone. Either
+    // way the sweep touches exactly the one file holding the probe day —
+    // the daily retention delete every 100-TB event table runs costs one
+    // file, not a table scan. Contract: exactly one manifest entry
+    // removed, at most one written; survivors recomputed from the raw
+    // table; probe day derived from the data on both sides.
+    QDef("l35_partition_retention",
+      (s, d) => {
+        import s.implicits._
+        val cat = freshLake(s)
+        val ev = T.events(s, d).select(
+          col("event_id").cast(LongType).as("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type").as("etype"))
+        cat.createTable("ev", StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("day", StringType),
+          StructField("etype", StringType))),
+          partitionBy = Seq("day"))
+        cat.insert("ev", ev)
+        val d0 = ev.agg(min("day")).as[String].head()
+        val pre = cat.current.tables("ev").files.map(_.path).toSet
+        cat.deletePartitions("ev", Map("day" -> d0))
+        val post = cat.current.tables("ev").files.map(_.path).toSet
+        val surgical = (pre -- post).size == 1 && (post -- pre).size <= 1
+        Seq(
+          ("1_surgical_one_file", if (surgical) 1L else 0L),
+          ("2_rows_surviving", cat.read("ev").count()),
+          ("3_probe_day_rows", cat.read("ev")
+            .filter(col("day") === d0).count()),
+          ("4_survivor_id_sum", cat.read("ev")
+            .agg(coalesce(sum("event_id"), lit(0L))).as[Long].head()))
+          .toDF("metric", "value").orderBy("metric")
+      }, Some("""
+        WITH ev AS (SELECT event_id, strftime(ts, '%Y-%m-%d') AS day
+                    FROM events),
+             probe AS (SELECT min(day) AS pd FROM ev)
+        SELECT * FROM (VALUES
+          ('1_surgical_one_file', CAST(1 AS BIGINT)),
+          ('2_rows_surviving',
+            (SELECT count(*) FROM ev, probe WHERE day <> pd)),
+          ('3_probe_day_rows', CAST(0 AS BIGINT)),
+          ('4_survivor_id_sum',
+            (SELECT CAST(sum(event_id) AS BIGINT) FROM ev, probe
+             WHERE day <> pd)))
+          t(metric, value)
+        ORDER BY metric""")),
+
+    // L34 — ZERO-COPY FILE REGISTRATION (Iceberg `add_files` / Delta
+    // `CONVERT TO DELTA`): pre-existing parquet lands in the lake as
+    // metadata + one distributed validation/stats read — never a data
+    // copy. Files are referenced in place by absolute path (outside the
+    // lake root; vacuum never touches them), get the same min/max stats
+    // harvest as native writes (so they prune), and the rows pass full
+    // insert validation — a PK-colliding re-import refuses atomically.
+    // Oracle: the import replayed from the raw table + engine contracts
+    // (external reference, stats present, refusal) as literals.
+    QDef("l34_add_files",
+      (s, d) => {
+        import s.implicits._
+        def slice(lo: Int, hi: Int) = T.customer(s, d)
+          .filter(col("c_custkey") > lo && col("c_custkey") <= hi)
+          .selectExpr("cast(c_custkey AS bigint) AS id", "c_name AS name",
+            "cast(c_nationkey AS bigint) AS nat", "c_acctbal AS bal")
+        val cat = freshLake(s)
+        val ext = java.nio.file.Files.createTempDirectory("graft_ext_").toString
+        slice(50, 150).coalesce(2).write.mode("overwrite").parquet(ext)
+        val nExt = new java.io.File(ext).listFiles()
+          .count(f => f.getName.endsWith(".parquet"))
+        cat.createTable("cust", StructType(Seq(
+          StructField("id", LongType), StructField("name", StringType),
+          StructField("nat", LongType), StructField("bal", DoubleType))),
+          primaryKey = Seq("id"))
+        cat.insert("cust", slice(0, 50))
+        val vPre = cat.currentVersion
+        val nFilesPre = cat.current.tables("cust").files.size
+        cat.addDataFiles("cust", ext)
+        val imported = cat.current.tables("cust").files.drop(nFilesPre)
+        val extAbs = new java.io.File(ext).getAbsolutePath
+        val zeroCopy = imported.size == nExt &&
+          imported.forall(_.path.startsWith(extAbs))
+        val statsOk = imported.forall(_.stats.contains("id"))
+        val refused =
+          try { cat.addDataFiles("cust", ext); false }
+          catch { case _: ConstraintViolation => true }
+        Seq(
+          ("1_zero_copy_external", if (zeroCopy) 1L else 0L),
+          ("2_stats_harvested", if (statsOk) 1L else 0L),
+          ("3_rows_total", cat.read("cust").count()),
+          ("4_bal_cents", cat.read("cust")
+            .agg(coalesce(sum((col("bal").cast(DecimalType(18, 2)) * 100)
+              .cast(LongType)), lit(0L))).as[Long].head()),
+          ("5_time_travel_pre_import", cat.readAt("cust", vPre).count()),
+          ("6_pk_reimport_refused", if (refused) 1L else 0L))
+          .toDF("metric", "value").orderBy("metric")
+      }, Some("""
+        SELECT * FROM (VALUES
+          ('1_zero_copy_external',     CAST(1 AS BIGINT)),
+          ('2_stats_harvested',        CAST(1 AS BIGINT)),
+          ('3_rows_total',
+            (SELECT count(*) FROM customer
+             WHERE c_custkey > 0 AND c_custkey <= 150)),
+          ('4_bal_cents',
+            (SELECT CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT)
+             FROM customer WHERE c_custkey > 0 AND c_custkey <= 150)),
+          ('5_time_travel_pre_import',
+            (SELECT count(*) FROM customer
+             WHERE c_custkey > 0 AND c_custkey <= 50)),
+          ('6_pk_reimport_refused',    CAST(1 AS BIGINT)))
+          t(metric, value)
+        ORDER BY metric""")),
+
     // L33 — mergeSchema INGESTION (Delta `mergeSchema=true` write): a
     // batch arriving with columns the table lacks auto-ADDS them and
     // lands the data in ONE atomic commit; pre-evolution rows read NULL

@@ -492,6 +492,32 @@ object Pipeline {
         "AS n_docs_touched " +
         "FROM wd GROUP BY source ORDER BY source")),
 
+    // X20 BPE pair statistics — the inner loop of tokenizer training:
+    // count adjacent token pairs corpus-wide, take the top candidates
+    // (one BPE merge round = "count pairs, merge the argmax"; training
+    // iterates this, each round a job over the corpus). Same native
+    // posexplode + lead shape as the shingle machinery (HOF lambdas are
+    // interpreted — measured ~100x slower on the dd* family): map-side
+    // fan-out, one per-doc window shuffle, partial+final hash-agg, top-k.
+    QDef("x20_bpe_pairs",
+      (s, d) => {
+        val toks = docsWithToks(s, d)
+          .selectExpr("doc_id", "posexplode(toks) AS (pos, tok)")
+        toks
+          .withColumn("nxt", lead("tok", 1).over(
+            Window.partitionBy("doc_id").orderBy("pos")))
+          .filter(col("nxt").isNotNull)
+          .select(concat_ws(" ", col("tok"), col("nxt")).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(20)
+      },
+      Some(s"WITH t AS (SELECT doc_id, $toksD AS toks FROM documents), " +
+        "k AS (SELECT doc_id, unnest(range(1, len(toks))) AS k, toks FROM t), " +
+        "p AS (SELECT toks[k] || ' ' || toks[k+1] AS pair FROM k) " +
+        "SELECT pair, count(*) AS n FROM p GROUP BY pair " +
+        "ORDER BY n DESC, pair LIMIT 20")),
+
     // X19 domain-balanced sampling — the per-source document cap every
     // web-scale corpus applies so one dominant domain cannot swamp the
     // mixture (the "max N pages per domain" rule). Priority inside a

@@ -2124,6 +2124,65 @@ object Relational {
         "FROM documents) a) t " +
         "GROUP BY host ORDER BY host")),
 
+    // F27 — bitwise-function conformance sweep (AND/OR/XOR/shifts/
+    // popcount over the range source): map-only integer ops, exact by
+    // construction on both engines.
+    QDef("f27_bitwise_funcs",
+      (s, d) => s.range(512).selectExpr(
+        "id",
+        "id & 255 AS b_and",
+        "id | 7 AS b_or",
+        "id ^ 129 AS b_xor",
+        "shiftleft(id, 3) AS b_shl",
+        "shiftright(id, 2) AS b_shr",
+        "bit_count(id) AS b_pop")
+        .orderBy("id"),
+      Some("SELECT range AS id, range & 255 AS b_and, range | 7 AS b_or, " +
+        "xor(range, 129) AS b_xor, range << 3 AS b_shl, " +
+        "range >> 2 AS b_shr, CAST(bit_count(range) AS INT) AS b_pop " +
+        "FROM range(512) ORDER BY id")),
+
+    // T12 — OHLC resampling (the finance/telemetry "bars" shape): per
+    // (hour, type) open/close via deterministically ORDERED first/last
+    // windows (ties broken by event_id — floats pass through untouched,
+    // no arithmetic, so the hash compare is exact), high/low/count as a
+    // plain hash-agg. Scale shape: one shuffle on the bucket key for the
+    // window, agg reuses it.
+    QDef("t12_ohlc_resample",
+      (s, d) => {
+        val e = T.events(s, d).select(
+          date_trunc("hour", col("ts")).as("h"),
+          col("event_type"), col("ts"), col("event_id"), col("value"))
+        val w = Window.partitionBy("h", "event_type")
+          .orderBy("ts", "event_id")
+        e.withColumn("open", first("value").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .withColumn("close", last("value").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+          .groupBy("h", "event_type", "open", "close")
+          .agg(min("value").as("lo"), max("value").as("hi"),
+            count(lit(1)).as("n"))
+          .select("h", "event_type", "open", "close", "lo", "hi", "n")
+          .orderBy("h", "event_type")
+      },
+      Some("""
+        WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type, ts,
+                          event_id, value FROM events),
+        w AS (SELECT h, event_type,
+              first_value(value) OVER (PARTITION BY h, event_type
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS open,
+              last_value(value) OVER (PARTITION BY h, event_type
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS close,
+              value FROM e)
+        SELECT h, event_type, open, close, min(value) AS lo,
+               max(value) AS hi, count(*) AS n
+        FROM w GROUP BY h, event_type, open, close
+        ORDER BY h, event_type""")),
+
     // A+ — equi-width histogram (the width_bucket / DuckDB histogram()
     // analog, which Spark lacks as a built-in): one map-side integer
     // bucket key + one hash-agg. Buckets are computed in exact integer

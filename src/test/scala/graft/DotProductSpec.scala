@@ -43,4 +43,24 @@ class DotProductSpec extends SparkSpec {
       assert(out.toSeq === out2.toSeq)
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
+
+  test("GraftExtensions: one registry list serves the cluster hook and session registration") {
+    // the extensions hook must accept every declared function
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext) // would throw on a malformed injection
+    assert(GraftExtensions.functions.map(_._1.funcName).toSet ===
+      Set("graft_dot", "graft_bloom_contains"))
+    // the shared session-registration path resolves both names in SQL
+    GraftExtensions.register(spark)
+    val d = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(d === 11.0)
+    val bf = spark.range(100).stat.bloomFilter("id", 100, 0.01)
+    val ser = graft.functions.BloomContains.serialize(bf)
+    val hits = spark.range(200).selectExpr(
+      s"graft_bloom_contains(unhex('${ser.map("%02x".format(_)).mkString}'), id) AS h")
+      .where("h").count()
+    assert(hits >= 100, s"bloom must contain all inserted keys, got $hits")
+  }
 }

@@ -1046,6 +1046,82 @@ class LakeSpec extends SparkSpec {
     assert(cat.read("inventory").count() === 4)
   }
 
+  test("deletePartitions: pure files drop metadata-only, mixed files rewrite CoW, time travel intact") {
+    val cat = newLake()
+    cat.createTable("t", StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("day", StringType),
+      StructField("k", StringType))), partitionBy = Seq("day"))
+    def rows(lo: Int, hi: Int) = spark.range(lo, hi).selectExpr(
+      "cast(id AS int) AS id",
+      "CASE WHEN id % 2 = 0 THEN 'd0' ELSE 'd1' END AS day",
+      "CASE WHEN id % 4 < 2 THEN 'k0' ELSE 'k1' END AS k")
+    cat.insert("t", rows(0, 100)) // day-clustered: one file per day
+    val vPre = cat.currentVersion
+    val pre = cat.current.tables("t").files
+    // pure-partition drop: no new files, one fewer entry
+    cat.deletePartitions("t", Map("day" -> "d0"))
+    val post = cat.current.tables("t").files
+    assert(post.size === pre.size - 1)
+    assert(post.map(_.path).toSet.subsetOf(pre.map(_.path).toSet),
+      "metadata-only: nothing rewritten")
+    assert(cat.read("t").filter(col("day") === "d0").count() === 0)
+    assert(cat.read("t").count() === 50)
+    assert(cat.readAt("t", vPre).count() === 100, "time travel intact")
+    // non-partition key: files mix k values, so the delete rewrites CoW
+    cat.deletePartitions("t", Map("k" -> "k0"))
+    assert(cat.read("t").filter(col("k") === "k0").count() === 0)
+    assert(cat.read("t").count() === 25)
+    // semantics match plain delete on the same predicate
+    val cat2 = newLake()
+    cat2.createTable("t", StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("day", StringType),
+      StructField("k", StringType))), partitionBy = Seq("day"))
+    cat2.insert("t", rows(0, 100))
+    cat2.delete("t", col("day") === "d0")
+    cat2.delete("t", col("k") === "k0")
+    assert(cat2.read("t").orderBy("id").collect().toSeq ===
+      cat.read("t").orderBy("id").collect().toSeq)
+  }
+
+  test("addDataFiles: zero-copy import, CoW rewrite drops the reference, vacuum never touches external files") {
+    val cat = newLake()
+    cat.createTable("inventory", invSchema, primaryKey = Seq("product_id"))
+    cat.insert("inventory",
+      Seq((1, "widget", 10, 9.99)).toDF("product_id", "product_name", "quantity", "price"))
+    // external parquet, written outside the lake root
+    val ext = tmpDir("ext_files")
+    Seq((2, "gadget", 5, 19.5), (3, "doohickey", 2, 3.25))
+      .toDF("product_id", "product_name", "quantity", "price")
+      .coalesce(1).write.mode("overwrite").parquet(ext)
+    cat.addDataFiles("inventory", ext)
+    assert(cat.read("inventory").count() === 3)
+    val imported = cat.current.tables("inventory").files
+      .filter(_.path.startsWith(new java.io.File(ext).getAbsolutePath))
+    assert(imported.nonEmpty, "imported entries reference the external dir")
+    // schema contract: a file set with an extra column refuses
+    val bad = tmpDir("ext_bad")
+    Seq((9, "x", 1, 1.0, "extra"))
+      .toDF("product_id", "product_name", "quantity", "price", "surprise")
+      .write.mode("overwrite").parquet(bad)
+    intercept[IllegalArgumentException] { cat.addDataFiles("inventory", bad) }
+    // CoW update of an imported row: reference dropped, external file intact
+    cat.update("inventory", col("product_id") === 2, Map("quantity" -> lit(99)))
+    val afterUpdate = cat.current.tables("inventory").files
+    assert(cat.read("inventory").filter(col("product_id") === 2)
+      .select("quantity").as[Int].head() === 99)
+    val extFile = new java.io.File(ext).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(extFile.isFile, "external file still on disk after CoW rewrite")
+    // vacuum with aggressive expiry: external file survives physically
+    (1 to 3).foreach(i => cat.insert("inventory",
+      Seq((100 + i, "n", 1, 1.0)).toDF("product_id", "product_name", "quantity", "price")))
+    cat.vacuum(keepLast = 1, orphanGraceMs = 0L)
+    assert(extFile.isFile, "vacuum never deletes files outside the lake root")
+    assert(cat.read("inventory").count() === 6)
+  }
+
   test("rename/truncate/dropView: metadata-only DDL verbs, time travel intact") {
     val cat = newLake()
     cat.createTable("inventory", invSchema, primaryKey = Seq("product_id"))
