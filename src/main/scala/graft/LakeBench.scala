@@ -112,6 +112,39 @@ object LakeBench {
       cat.read("del_mor").agg(sum(col("id"))).collect()
     }
 
+    // 11. retention-delete comparison on a day-partitioned table: the
+    // partition fast path touches ONE file (pure files drop metadata-
+    // only) vs the generic CoW predicate delete scanning for affected
+    // files. At 100 TB this is the daily retention sweep's cost model.
+    def dayTable(name: String): Unit = {
+      cat.createTable(name, StructType(Seq(
+        StructField("id", LongType), StructField("day", StringType))),
+        partitionBy = Seq("day"))
+      cat.insert(name, spark.range(100000).selectExpr(
+        "id", "concat('2024-01-', lpad(cast(id % 28 + 1 AS string), 2, '0')) AS day"))
+    }
+    dayTable("ret_fast"); dayTable("ret_cow")
+    timed("retention_delete_partition") {
+      cat.deletePartitions("ret_fast", Map("day" -> "2024-01-01"))
+    }
+    timed("retention_delete_predicate") {
+      cat.delete("ret_cow", col("day") === "2024-01-01")
+    }
+    // 12. zero-copy import vs insert of the same external parquet
+    val extDir = java.nio.file.Files.createTempDirectory("graft_lb_ext_").toString
+    spark.range(200000).selectExpr("id", "concat('v_', id) AS value")
+      .write.mode("overwrite").parquet(extDir)
+    cat.createTable("imp_zero", StructType(Seq(
+      StructField("id", LongType), StructField("value", StringType))))
+    cat.createTable("imp_copy", StructType(Seq(
+      StructField("id", LongType), StructField("value", StringType))))
+    timed("import_add_files") {
+      cat.addDataFiles("imp_zero", extDir)
+    }
+    timed("import_insert_copy") {
+      cat.insert("imp_copy", spark.read.parquet(extDir))
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     println(s"""{"metric":"lake_ops_total","value":${results.values.sum},"unit":"sec","ops":$qs}""")

@@ -2020,6 +2020,72 @@ object Relational {
         "WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY " +
         "GROUP BY l_returnflag ORDER BY l_returnflag")),
 
+    // Headline composite: TPC-H Q10-shaped returned-item losers — which
+    // customers returned the most value in a quarter. The returnflag +
+    // date filters reduce lineitem/orders BEFORE the joins; the nation
+    // dim broadcasts; exact-decimal revenue; top 20.
+    QDef("q10_returned_items",
+      (s, d) => {
+        val l = T.lineitem(s, d).filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val o = T.orders(s, d)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+          .select("o_orderkey", "o_custkey")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(T.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("n_name"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+            .cast(DoubleType).as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+          .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+      },
+      Some("SELECT c_custkey, c_name, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue, " +
+        "c_acctbal, n_name " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' " +
+        "AND l_returnflag = 'R' " +
+        "GROUP BY c_custkey, c_name, c_acctbal, n_name " +
+        "ORDER BY revenue DESC, c_custkey LIMIT 20")),
+
+    // Headline composite: TPC-H Q16-shaped supplier diversity with a
+    // NOT IN subquery — suppliers per (brand, size) EXCLUDING a
+    // disqualified set. NOT IN over a subquery is the null-aware
+    // anti-join plan shape (semantics differ from NOT EXISTS when the
+    // subquery could yield NULL — Catalyst plans a broadcast null-aware
+    // anti join rather than a plain anti join).
+    QDef("q16_supplier_diversity",
+      (s, d) => {
+        T.lineitem(s, d).createOrReplaceTempView("q16_lineitem")
+        T.part(s, d).createOrReplaceTempView("q16_part")
+        T.supplier(s, d).createOrReplaceTempView("q16_supplier")
+        s.sql("""
+          SELECT p_brand, p_size,
+                 count(DISTINCT l_suppkey) AS supplier_cnt
+          FROM q16_lineitem JOIN q16_part ON l_partkey = p_partkey
+          WHERE l_suppkey NOT IN
+            (SELECT s_suppkey FROM q16_supplier WHERE s_acctbal < 0)
+          GROUP BY p_brand, p_size
+          ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 50""")
+      },
+      Some("SELECT p_brand, p_size, " +
+        "count(DISTINCT l_suppkey) AS supplier_cnt " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_suppkey NOT IN " +
+        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+        "GROUP BY p_brand, p_size " +
+        "ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 50")),
+
     // O7 — LIMIT/OFFSET pagination (Dataset.offset, Spark 3.4+): a total
     // order plus a page window. Spark plans the whole page prefix as a
     // top-(offset+limit) — fine for page-depth pagination; keyset

@@ -111,6 +111,14 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("GreaterThanOrEqual(l_shipdate"), s)
   }
 
+  test("q16: NOT IN subquery plans a null-aware anti join, never a nested-loop filter") {
+    val s = planString("q16_supplier_diversity")
+    // Catalyst decorrelates NOT IN to a broadcast null-aware anti join
+    // (NAAJ) — the semantically-correct anti join under possible NULLs
+    assert(s.contains("NAAJ") || s.contains("LeftAnti"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("j14: interval-overlap join is a bucket equi-join, never a nested loop") {
     val s = planString("j14_overlap_join")
     assert(!s.contains("CartesianProduct") && !s.contains("NestedLoop"), s)

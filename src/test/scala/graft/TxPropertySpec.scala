@@ -139,6 +139,40 @@ class TxPropertySpec extends SparkSpec {
     assert(rows.filter(col("origin").isNull).count() === 0)
   }
 
+  test("deletePartitions is semantics-equal to delete on random layouts and probes") {
+    // random row sets over a small value domain, random partition layout
+    // (partitioned on the probed column, on another column, or not at
+    // all), random probe value (present or absent): the fast path must
+    // produce exactly what the generic CoW predicate delete produces
+    val rowGen = for {
+      id <- Gen.choose(1, 60); day <- Gen.choose(0, 4); k <- Gen.choose(0, 2)
+    } yield (id, s"d$day", s"k$k")
+    val layoutGen = Gen.oneOf(Seq("day"), Seq("k"), Nil)
+    val probeGen = Gen.choose(0, 5).map(v => s"d$v") // d5 never exists
+    val prop = Prop.forAllNoShrink(
+      Gen.listOfN(40, rowGen), layoutGen, probeGen) { (rows0, layout, probe) =>
+      val rows = rows0.groupBy(_._1).map(_._2.head).toList // unique ids
+      val schema = StructType(Seq(
+        StructField("id", IntegerType), StructField("day", StringType),
+        StructField("k", StringType)))
+      val fast = new LakeCatalog(spark, tmpDir("dpfast"))
+      val slow = new LakeCatalog(spark, tmpDir("dpslow"))
+      Seq(fast, slow).foreach { c =>
+        c.createTable("t", schema, primaryKey = Seq("id"),
+          partitionBy = layout)
+        if (rows.nonEmpty) c.insert("t", rows.toDF("id", "day", "k"))
+      }
+      fast.deletePartitions("t", Map("day" -> probe))
+      slow.delete("t", col("day") === probe)
+      val a = fast.read("t").orderBy("id").collect().toSeq
+      val b = slow.read("t").orderBy("id").collect().toSeq
+      a == b
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("mergeClauses matches the clause-semantics model on random tables") {
     // random base/source tables + threshold-parameterized clauses vs an
     // in-memory model of the MERGE semantics (delete-before-update order,
