@@ -329,6 +329,72 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     * demos/01_transaction_rollback/demo.py:30,74): every table of the
     * catalog is visible by name, resolution happens in an isolated child
     * session so caller temp views are untouched. */
+  /** SQL statement router — the reference's interface is SQL end-to-end
+    * (`conn.execute(...)` against the attached DuckLake), so the catalog
+    * accepts the DML/DDL subset too, each statement one atomic commit
+    * (auto-commit semantics):
+    *
+    *  - `INSERT INTO t VALUES ... | SELECT ... | WITH ...` (VALUES
+    *    columns align positionally to the table schema)
+    *  - `UPDATE t SET a = e[, ...] [WHERE cond]`
+    *  - `DELETE FROM t [WHERE cond]`
+    *  - `CREATE TABLE t AS select` / `CREATE [OR REPLACE] VIEW v AS ...`
+    *  - `DROP TABLE|VIEW x`, `TRUNCATE TABLE t`,
+    *    `ALTER TABLE t RENAME TO u`
+    *  - anything else runs as a query via [[sql]]
+    *
+    * Expressions (SET right-hand sides, WHERE conditions) are handed to
+    * Spark's own parser via `expr`, so the full scalar-function surface
+    * works; only the statement HEAD is recognized here. Mutating
+    * statements return an empty frame; queries return their result. */
+  def execute(statement: String): DataFrame = {
+    import LakeCatalog.{splitTopLevel, topLevelSplitOnce}
+    val s0 = statement.trim.stripSuffix(";").trim
+    val InsertRe = """(?is)^INSERT\s+INTO\s+(\w+)\s+(.+)$""".r
+    val DeleteRe = """(?is)^DELETE\s+FROM\s+(\w+)(\s+WHERE\s+.+)?$""".r
+    val UpdateRe = """(?is)^UPDATE\s+(\w+)\s+SET\s+(.+)$""".r
+    val CtasRe = """(?is)^CREATE\s+TABLE\s+(\w+)\s+AS\s+(.+)$""".r
+    val ViewRe = """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.+)$""".r
+    val DropTRe = """(?is)^DROP\s+TABLE\s+(\w+)$""".r
+    val DropVRe = """(?is)^DROP\s+VIEW\s+(\w+)$""".r
+    val TruncRe = """(?is)^TRUNCATE\s+TABLE\s+(\w+)$""".r
+    val RenameRe = """(?is)^ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)$""".r
+    def empty: DataFrame =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Nil))
+    s0 match {
+      case InsertRe(t, body) =>
+        // SQL INSERT maps the source POSITIONALLY (both VALUES and
+        // SELECT bodies), unlike the by-name DataFrame API insert
+        val src = sql(body.trim)
+        val st = stateOf(current, t)
+        require(src.columns.length == st.columns.length,
+          s"INSERT arity ${src.columns.length} != table ${st.columns.length}")
+        insert(t, src.toDF(st.columns.map(_.name): _*)); empty
+      case DeleteRe(t, where) =>
+        val cond = Option(where)
+          .map(w => expr(w.trim.replaceFirst("(?is)^WHERE\\s+", "")))
+          .getOrElse(lit(true))
+        delete(t, cond); empty
+      case UpdateRe(t, rest) =>
+        val (setList, whereOpt) = topLevelSplitOnce(rest, "where")
+        val sets = splitTopLevel(setList, ',').map { a =>
+          val (lhs, rhs) = topLevelSplitOnce(a, "=") match {
+            case (l, Some(r)) => (l.trim, r.trim)
+            case _ => throw new IllegalArgumentException(s"bad assignment: $a")
+          }
+          lhs -> expr(rhs)
+        }.toMap
+        update(t, whereOpt.map(expr).getOrElse(lit(true)), sets); empty
+      case CtasRe(t, select) => createTableAs(t, sql(select.trim)); empty
+      case ViewRe(v, body) => createView(v, body.trim); empty
+      case DropTRe(t) => dropTable(t); empty
+      case DropVRe(v) => dropView(v); empty
+      case TruncRe(t) => truncateTable(t); empty
+      case RenameRe(from, to) => renameTable(from, to); empty
+      case q => sql(q)
+    }
+  }
+
   def sql(query: String): DataFrame = {
     val s = current
     val iso = spark.newSession()
@@ -826,5 +892,51 @@ class LakeCatalog(val spark: SparkSession, val root: String,
       }
       snap.views.foreach { case (n, sql) => tx.createView(n, sql) }
     }
+  }
+}
+
+object LakeCatalog {
+  /** Split `s` on `sep` at paren-depth 0 outside single-quoted strings —
+    * the minimal scanner [[LakeCatalog.execute]]'s UPDATE head needs
+    * (commas inside function calls and string literals must not split). */
+  private[lake] def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.Buffer[String]()
+    val sb = new StringBuilder
+    var depth = 0; var inStr = false
+    s.foreach {
+      case '\'' => inStr = !inStr; sb += '\''
+      case '(' if !inStr => depth += 1; sb += '('
+      case ')' if !inStr => depth -= 1; sb += ')'
+      case c if c == sep && !inStr && depth == 0 =>
+        out += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    out += sb.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Split once at the first top-level occurrence of `keyword` (word,
+    * case-insensitive) or `=`; returns (head, Some(tail)) or (s, None). */
+  private[lake] def topLevelSplitOnce(
+      s: String, keyword: String): (String, Option[String]) = {
+    var depth = 0; var inStr = false
+    var i = 0
+    val kw = keyword.toLowerCase
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '\'') inStr = !inStr
+      else if (!inStr && c == '(') depth += 1
+      else if (!inStr && c == ')') depth -= 1
+      else if (!inStr && depth == 0) {
+        if (kw == "=" && c == '=')
+          return (s.substring(0, i), Some(s.substring(i + 1)))
+        if (kw != "=" && s.regionMatches(true, i, kw, 0, kw.length) &&
+            (i == 0 || s(i - 1).isWhitespace) &&
+            (i + kw.length >= s.length || s(i + kw.length).isWhitespace))
+          return (s.substring(0, i), Some(s.substring(i + kw.length)))
+      }
+      i += 1
+    }
+    (s, None)
   }
 }

@@ -1118,6 +1118,65 @@ object LakeScenarios {
           t(metric, value)
         ORDER BY metric""")),
 
+    // L36 — SQL DML end-to-end (the reference's actual interface:
+    // `conn.execute(...)` against the attached DuckLake — ref
+    // demos/01_transaction_rollback/demo.py:30,74): the demo-1-style
+    // inventory lifecycle driven ENTIRELY through
+    // `LakeCatalog.execute` SQL strings (CTAS, UPDATE with expressions,
+    // DELETE, multi-row INSERT VALUES, CREATE VIEW, final SELECT over
+    // tables + the stored view), each statement one atomic commit.
+    // Oracle: the identical statement sequence replayed as DuckDB CTEs.
+    QDef("l36_sql_dml",
+      (s, d) => {
+        val cat = freshLake(s)
+        cat.createTableAs("inv", inventoryDf(s, d))
+        cat.execute(
+          "CREATE TABLE promo AS SELECT product_id, price FROM inv WHERE price > 1500.0")
+        cat.execute("UPDATE inv SET quantity = quantity + 10, " +
+          "price = price + 1.0 WHERE product_id % 3 = 0")
+        cat.execute("DELETE FROM inv WHERE quantity < 5")
+        cat.execute("INSERT INTO inv VALUES " +
+          "(9001, 'sql_item_a', 7, 19.99), (9002, 'sql_item_b', 12, 5.5)")
+        cat.execute(
+          "CREATE VIEW v_expensive AS SELECT * FROM inv WHERE price > 100.0")
+        cat.execute("""
+          SELECT i.product_id, i.product_name, i.quantity, i.price,
+                 CASE WHEN p.product_id IS NOT NULL THEN 1 ELSE 0 END
+                   AS was_promo,
+                 CASE WHEN e.product_id IS NOT NULL THEN 1 ELSE 0 END
+                   AS is_expensive
+          FROM inv i LEFT JOIN promo p ON i.product_id = p.product_id
+          LEFT JOIN v_expensive e ON i.product_id = e.product_id
+          ORDER BY i.product_id""")
+      }, Some("""
+        WITH inv0 AS (SELECT CAST(p_partkey AS INT) AS product_id,
+                             p_name AS product_name,
+                             CAST(p_size AS INT) AS quantity,
+                             p_retailprice AS price
+                      FROM part WHERE p_partkey <= 100),
+        promo AS (SELECT product_id, price FROM inv0 WHERE price > 1500.0),
+        upd AS (SELECT product_id, product_name,
+                 CASE WHEN product_id % 3 = 0 THEN quantity + 10
+                      ELSE quantity END AS quantity,
+                 CASE WHEN product_id % 3 = 0 THEN price + 1.0
+                      ELSE price END AS price
+                FROM inv0),
+        del AS (SELECT * FROM upd WHERE NOT (quantity < 5)),
+        ins AS (SELECT * FROM del UNION ALL
+                SELECT * FROM (VALUES
+                  (9001, 'sql_item_a', 7, 19.99),
+                  (9002, 'sql_item_b', 12, 5.5))
+                  t(product_id, product_name, quantity, price)),
+        expens AS (SELECT * FROM ins WHERE price > 100.0)
+        SELECT i.product_id, i.product_name, i.quantity, i.price,
+               CASE WHEN p.product_id IS NOT NULL THEN 1 ELSE 0 END
+                 AS was_promo,
+               CASE WHEN e.product_id IS NOT NULL THEN 1 ELSE 0 END
+                 AS is_expensive
+        FROM ins i LEFT JOIN promo p ON i.product_id = p.product_id
+        LEFT JOIN expens e ON i.product_id = e.product_id
+        ORDER BY i.product_id""")),
+
     // L35 — PARTITION-RETENTION delete (`DELETE WHERE day = X` as a
     // DROP PARTITION fast path): a file whose recorded partition-value
     // set is exactly the probed day drops from the manifest with ZERO

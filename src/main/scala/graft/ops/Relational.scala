@@ -2086,6 +2086,60 @@ object Relational {
         "GROUP BY p_brand, p_size " +
         "ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 50")),
 
+    // Headline composite: TPC-H Q19-shaped disjunctive filter — an
+    // OR-of-ANDs predicate across a join. The plan-level observable:
+    // Catalyst factors the single-side implications out of the
+    // disjunction (p_brand IN (...) to the part scan, the l_quantity
+    // envelope to the lineitem scan) so both scans prune BEFORE the
+    // join, and the full disjunction remains as the residual condition.
+    QDef("q19_disjunctive",
+      (s, d) => {
+        val l = T.lineitem(s, d)
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        val p = T.part(s, d).select("p_partkey", "p_brand", "p_size")
+        l.join(p, col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+              col("l_quantity").between(1, 20)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(11, 20) &&
+              col("l_quantity").between(10, 30)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(21, 40) &&
+              col("l_quantity").between(20, 40)))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1) - col("l_discount").cast(DecimalType(4, 2))))
+              .cast(DoubleType).as("revenue"))
+      },
+      Some("SELECT count(*) AS n_items, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 " +
+        "AND l_quantity BETWEEN 1 AND 20) " +
+        "OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20 " +
+        "AND l_quantity BETWEEN 10 AND 30) " +
+        "OR (p_brand = 'Brand#3' AND p_size BETWEEN 21 AND 40 " +
+        "AND l_quantity BETWEEN 20 AND 40)")),
+
+    // A21 — filtered/boolean aggregate conformance: count_if, bool_and,
+    // bool_or (DuckDB spells count_if as FILTER) — exact integer/boolean
+    // outputs, one hash-agg.
+    QDef("a21_filtered_aggs",
+      (s, d) => T.customer(s, d)
+        .groupBy("c_nationkey")
+        .agg(
+          expr("count_if(c_acctbal > 5000.0)").as("n_rich"),
+          expr("count_if(c_mktsegment = 'BUILDING')").as("n_building"),
+          expr("bool_and(c_acctbal > -1000.0)").as("all_above_floor"),
+          expr("bool_or(c_acctbal < 0.0)").as("any_negative"))
+        .orderBy("c_nationkey"),
+      Some("SELECT c_nationkey, " +
+        "count(*) FILTER (WHERE c_acctbal > 5000.0) AS n_rich, " +
+        "count(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS n_building, " +
+        "bool_and(c_acctbal > -1000.0) AS all_above_floor, " +
+        "bool_or(c_acctbal < 0.0) AS any_negative " +
+        "FROM customer GROUP BY c_nationkey ORDER BY c_nationkey")),
+
     // O7 — LIMIT/OFFSET pagination (Dataset.offset, Spark 3.4+): a total
     // order plus a page window. Spark plans the whole page prefix as a
     // top-(offset+limit) — fine for page-depth pagination; keyset

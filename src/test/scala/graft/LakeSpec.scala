@@ -1046,6 +1046,41 @@ class LakeSpec extends SparkSpec {
     assert(cat.read("inventory").count() === 4)
   }
 
+  test("execute: SQL DML/DDL statement router, one atomic commit per statement") {
+    val cat = newLake()
+    cat.createTable("inv", invSchema, primaryKey = Seq("product_id"))
+    cat.execute(
+      "INSERT INTO inv VALUES (1, 'widget', 10, 9.99), (2, 'gadget', 5, 19.5)")
+    assert(cat.read("inv").count() === 2)
+    // SET list with a comma inside a function call must not mis-split
+    cat.execute("UPDATE inv SET quantity = quantity - greatest(1, 2), " +
+      "price = price * 2 WHERE product_id = 1")
+    val r1 = cat.read("inv").filter(col("product_id") === 1)
+      .select("quantity", "price").as[(Int, Double)].head()
+    assert(r1 === ((8, 19.98)))
+    cat.execute("DELETE FROM inv WHERE product_id = 2")
+    assert(cat.read("inv").count() === 1)
+    cat.execute("CREATE TABLE kept AS SELECT * FROM inv WHERE quantity > 0")
+    cat.execute("CREATE VIEW v_ids AS SELECT product_id FROM inv")
+    assert(cat.execute("SELECT count(*) AS n FROM v_ids")
+      .as[Long].head() === 1)
+    cat.execute("ALTER TABLE kept RENAME TO kept2")
+    cat.execute("TRUNCATE TABLE kept2")
+    assert(cat.read("kept2").count() === 0)
+    cat.execute("DROP VIEW v_ids")
+    cat.execute("DROP TABLE kept2")
+    intercept[NoSuchElementException] { cat.read("kept2").count() }
+    // a failing statement rolls back atomically (PK violation)
+    intercept[ConstraintViolation] {
+      cat.execute("INSERT INTO inv VALUES (1, 'dup', 1, 1.0)")
+    }
+    assert(cat.read("inv").count() === 1)
+    // INSERT INTO ... SELECT resolves lake tables
+    cat.execute("INSERT INTO inv SELECT product_id + 100, product_name, " +
+      "quantity, price FROM inv")
+    assert(cat.read("inv").count() === 2)
+  }
+
   test("deletePartitions: pure files drop metadata-only, mixed files rewrite CoW, time travel intact") {
     val cat = newLake()
     cat.createTable("t", StructType(Seq(

@@ -111,6 +111,15 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("GreaterThanOrEqual(l_shipdate"), s)
   }
 
+  test("q19: single-side implications factor out of the disjunction to both scans") {
+    val s = planString("q19_disjunctive")
+    // the p_brand disjunction reaches the part scan and the l_quantity
+    // envelope reaches the lineitem scan — both BEFORE the join
+    assert(s.contains("EqualTo(p_brand") || s.contains("In(p_brand"), s)
+    assert(s.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("q16: NOT IN subquery plans a null-aware anti join, never a nested-loop filter") {
     val s = planString("q16_supplier_diversity")
     // Catalyst decorrelates NOT IN to a broadcast null-aware anti join

@@ -72,7 +72,9 @@ class TxPropertySpec extends SparkSpec {
     // version as the catalog that wrote them
     // 0=insert 1=update 2=delete 3=compact 4=cluster 5=zorder
     // 6=MoR delete 7=restore-to-previous 8=clone+replace (WAP round)
-    val dmlGen: Gen[Int] = Gen.choose(0, 8)
+    // 9=truncate 10=partition-spec toggle 11=retention delete
+    // 12=zero-copy external import 13=clause merge
+    val dmlGen: Gen[Int] = Gen.choose(0, 13)
     val prop = Prop.forAllNoShrink(Gen.listOfN(8, dmlGen)) { ops =>
       val cat = freshCat()
       val v0 = cat.currentVersion // ord exists from here on
@@ -98,6 +100,28 @@ class TxPropertySpec extends SparkSpec {
           tx.replaceTable("ord", "ord_stage")
           tx.dropTable("ord_stage")
         }; nextOid += 1
+        case 9 => cat.truncateTable("ord")
+        case 10 =>
+          val cur = cat.current.tables("ord").partitionBy
+          cat.setPartitionBy("ord", if (cur == Seq("pid")) Nil else Seq("pid"))
+        case 11 => cat.deletePartitions("ord", Map("pid" -> "2"))
+        case 12 =>
+          val ext = java.nio.file.Files
+            .createTempDirectory("graft_prop_ext_").toString
+          Seq((9000 + nextOid, 4, 1), (9001 + nextOid, 4, 2))
+            .toDF("oid", "pid", "n").coalesce(1)
+            .write.mode("overwrite").parquet(ext)
+          cat.addDataFiles("ord", ext)
+          nextOid += 2
+        case 13 =>
+          cat.mergeClauses("ord",
+            Seq((nextOid, 5, 1), (1, 1, 7)).toDF("oid", "pid", "n"),
+            Seq("oid"), graft.lake.MergeClauses(
+              matchedDelete = Some("t.n > 8"),
+              matchedUpdate = Some("s.n > t.n"),
+              notMatchedInsert = Some("n > 0"),
+              bySourceDelete = Some("t.pid = 99")))
+          nextOid += 1
         case _ => ()
       }
       val cold = new LakeCatalog(spark, cat.root)
