@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 import graft.{QDef, Tables => T}
 
 /** Large-scale training-data pipeline operators over the `documents` and
@@ -648,6 +648,53 @@ object Pipeline {
         "WHERE doc_id % 97 <> 0) tdocs LEFT JOIN pt USING (train_id) " +
         "GROUP BY source ORDER BY source")),
 
+    // X21 cross-source contamination matrix — how much content leaks
+    // BETWEEN corpus sources (mirror sites, syndication, scraper
+    // overlap): distinct (source, 3-gram shingle) pairs through a
+    // source-frequency cap (a shingle present in > 8 of the sources is
+    // boilerplate, not provenance signal — and the cap is what bounds
+    // the pair fan-out at cap² per shingle), self-joined on the shingle
+    // to count shared shingles per source pair. Scale shape: one
+    // shuffle to distinct (source, shingle), one window for the cap,
+    // one shingle-keyed self-join — work is ~sum(nsrc²) per surviving
+    // shingle, never sources × corpus. The per-source distinct-shingle
+    // totals ride along so the consumer can turn counts into overlap
+    // coefficients.
+    QDef("x21_cross_source_overlap",
+      (s, d) => {
+        val ss = docShinglesX(s, d)
+          .join(T.documents(s, d).select("doc_id", "source"), Seq("doc_id"))
+          .select(col("source"), col("s")).distinct()
+          .withColumn("nsrc", count(lit(1)).over(Window.partitionBy("s")))
+          .filter(col("nsrc") <= 8).drop("nsrc")
+          .persist()
+        val totals = ss.groupBy("source").agg(count(lit(1)).as("n"))
+        ss.as("a").join(ss.as("b"),
+            col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .join(broadcast(totals).withColumnRenamed("source", "src_a")
+            .withColumnRenamed("n", "n_a"), Seq("src_a"))
+          .join(broadcast(totals).withColumnRenamed("source", "src_b")
+            .withColumnRenamed("n", "n_b"), Seq("src_b"))
+          .select("src_a", "src_b", "n_shared", "n_a", "n_b")
+          .orderBy("src_a", "src_b")
+      },
+      Some(s"WITH shd0 AS ($docShinglesXD), " +
+        "ss0 AS (SELECT DISTINCT d.source, x.s FROM shd0 x " +
+        "JOIN documents d USING (doc_id)), " +
+        "ss AS (SELECT ss0.* FROM ss0 JOIN (SELECT s FROM ss0 GROUP BY s " +
+        "HAVING count(*) <= 8) k USING (s)), " +
+        "tot AS (SELECT source, count(*) AS n FROM ss GROUP BY 1), " +
+        "pairs AS (SELECT a.source AS src_a, b.source AS src_b, " +
+        "count(*) AS n_shared FROM ss a JOIN ss b " +
+        "ON a.s = b.s AND a.source < b.source GROUP BY 1, 2 " +
+        "HAVING count(*) >= 2) " +
+        "SELECT src_a, src_b, n_shared, ta.n AS n_a, tb.n AS n_b " +
+        "FROM pairs JOIN tot ta ON ta.source = src_a " +
+        "JOIN tot tb ON tb.source = src_b ORDER BY src_a, src_b")),
+
     // ------------------------------------------------------- deduplication
     // DD1 exact dedup: hash-groupBy on the head fingerprint; groups with
     // >1 member keep min(doc_id) as canonical. One shuffle on the hash —
@@ -1268,6 +1315,98 @@ object Pipeline {
         SELECT event_type, day, cnt,
                (n*cnt - sx)*(n*cnt - sx) > 4*(n*sxx - sx*sx) AS is_anomaly
         FROM st ORDER BY event_type, day""")),
+
+    // T13 retention cohorts — the weekly cohort-retention triangle:
+    // cohort = week of a user's FIRST event; each (cohort, weeks-since)
+    // cell counts users still active that week, with the cohort's size
+    // alongside (ratios are left to the consumer — integer cells
+    // hash-match cross-engine, divisions wouldn't). Scale shape: ONE
+    // shuffle on user_id (collect_set of ≤ weeks-in-range dates per
+    // user — bounded state), then explode + hash-agg on the tiny
+    // (cohort, week_num) grid; cohort sizes come from the grid itself
+    // (week_num = 0) as a broadcast self-join, never a second pass over
+    // the events.
+    QDef("t13_retention_cohorts",
+      (s, d) => {
+        val perUser = T.events(s, d)
+          .select(col("user_id"),
+            to_date(date_trunc("week", col("ts"))).as("week"))
+          .groupBy("user_id").agg(collect_set("week").as("weeks"))
+          .select(array_min(col("weeks")).as("cohort_week"),
+            explode(col("weeks")).as("week"))
+        val ret = perUser
+          .select(col("cohort_week"),
+            (datediff(col("week"), col("cohort_week")) / lit(7))
+              .cast(IntegerType).as("week_num"))
+          .groupBy("cohort_week", "week_num")
+          .agg(count(lit(1)).as("n_active"))
+        val sizes = ret.filter(col("week_num") === 0)
+          .select(col("cohort_week"), col("n_active").as("n_cohort"))
+        ret.join(broadcast(sizes), Seq("cohort_week"))
+          .select("cohort_week", "week_num", "n_active", "n_cohort")
+          .orderBy("cohort_week", "week_num")
+      },
+      Some("""
+        WITH uw AS (SELECT DISTINCT user_id,
+               CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+             FROM events),
+             co AS (SELECT user_id, week,
+               min(week) OVER (PARTITION BY user_id) AS cohort_week FROM uw),
+             ret AS (SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS week_num,
+               count(*) AS n_active FROM co GROUP BY 1, 2)
+        SELECT r.cohort_week, r.week_num, r.n_active, s.n_active AS n_cohort
+        FROM ret r JOIN ret s
+          ON s.cohort_week = r.cohort_week AND s.week_num = 0
+        ORDER BY r.cohort_week, r.week_num""")),
+
+    // T14 interval merge (gaps-and-islands) — each event opens a
+    // 15-minute activity interval; overlapping intervals per user merge
+    // into islands (classic cumulative-max island detection), reported
+    // as island count + exact covered microseconds per user. Scale
+    // shape: one shuffle on user_id, one sort serving BOTH windows
+    // (running max-end shifted a row back, then the island-id running
+    // sum over the same (ts, event_id) order — explicit ROWS frames
+    // with a total tie-break so ties resolve identically cross-engine),
+    // then two shrinking hash-aggs. Covered time is epoch-microsecond
+    // integer arithmetic — no float, no boundary-rounding semantics.
+    QDef("t14_interval_merge",
+      (s, d) => {
+        val iv = T.events(s, d).select(col("user_id"), col("event_id"),
+          col("ts"), (col("ts") + expr("INTERVAL 15 MINUTES")).as("te"))
+        val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val isl = iv
+          .withColumn("prev_end", max("te").over(
+            ord.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("new_island",
+            when(col("prev_end").isNull || col("ts") > col("prev_end"), 1L)
+              .otherwise(0L))
+          .withColumn("island", sum("new_island").over(
+            ord.rowsBetween(Window.unboundedPreceding, 0)))
+        isl.groupBy("user_id", "island")
+          .agg(min("ts").as("s0"), max("te").as("e0"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_islands"),
+            sum(unix_micros(col("e0")) - unix_micros(col("s0")))
+              .as("covered_us"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH iv AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(ts AS TIMESTAMP) + INTERVAL 15 MINUTE AS te FROM events),
+             mk AS (SELECT *, max(te) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+               FROM iv),
+             isl AS (SELECT *, SUM(CASE WHEN prev_end IS NULL OR ts > prev_end
+                 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS island
+               FROM mk),
+             m AS (SELECT user_id, island, min(ts) AS s0, max(te) AS e0
+               FROM isl GROUP BY 1, 2)
+        SELECT user_id, count(*) AS n_islands,
+               CAST(SUM(epoch_us(e0) - epoch_us(s0)) AS BIGINT) AS covered_us
+        FROM m GROUP BY 1 ORDER BY user_id""")),
 
     // X5 corpus curation composite — the end-to-end pipeline shape: score
     // quality (X2 logic) → drop low-quality docs → drop exact-dup losers

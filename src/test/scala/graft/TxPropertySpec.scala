@@ -114,8 +114,11 @@ class TxPropertySpec extends SparkSpec {
           cat.addDataFiles("ord", ext)
           nextOid += 2
         case 13 =>
+          // fresh key offset 20000: keeps the generated row disjoint from
+          // the fixed oid=1 probe (at nextOid=1 they'd collide and the
+          // engine would — correctly — refuse the non-unique source)
           cat.mergeClauses("ord",
-            Seq((nextOid, 5, 1), (1, 1, 7)).toDF("oid", "pid", "n"),
+            Seq((20000 + nextOid, 5, 1), (1, 1, 7)).toDF("oid", "pid", "n"),
             Seq("oid"), graft.lake.MergeClauses(
               matchedDelete = Some("t.n > 8"),
               matchedUpdate = Some("s.n > t.n"),
