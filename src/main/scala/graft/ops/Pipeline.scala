@@ -1137,6 +1137,82 @@ object Pipeline {
         "SELECT qid, rank, nid, adot, cos FROM rk WHERE rank <= 3 " +
         "ORDER BY qid, rank")),
 
+    // SS6 hybrid search — the RAG-retrieval shape: a KEYWORD leg (shared
+    // rare terms through the df-capped inverted index, scored by integer
+    // term rarity Σ(N − df) so ranking never touches floats) and a
+    // VECTOR leg (exact cosine top-k, the ss1 baseline), fused by
+    // reciprocal-rank fusion rrf = Σ 1/(60 + rank) — the standard
+    // score-scale-free combiner. Scale shape: the keyword leg is
+    // shuffle-on-term with work ~sum(df²) per surviving term (dd2's
+    // bound), the vector leg is per-query and swaps for ss2/ss3/ss5's
+    // ANN path unchanged at 100 TB, and the fusion is a full outer join
+    // of two top-10 lists — O(queries × 20) rows. Ranks are unique per
+    // leg (row_number with total tie-break), so rrf is deterministic and
+    // the doubles are the same two IEEE divisions on both engines.
+    QDef("ss6_hybrid_search",
+      (s, d) => {
+        val terms = docsWithToks(s, d)
+          .select(col("doc_id"), explode(array_distinct(col("toks"))).as("t"))
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("t")))
+          .filter(col("df") <= 64)
+          .persist()
+        val n = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        val kwTop = terms.as("q").filter(col("q.doc_id") % 100 === 0)
+          .join(terms.as("c"),
+            col("q.t") === col("c.t") && col("q.doc_id") =!= col("c.doc_id"))
+          .crossJoin(broadcast(n))
+          .groupBy(col("q.doc_id").as("qid"), col("c.doc_id").as("cid"))
+          .agg(sum(col("n_docs") - col("c.df")).as("kw_score"))
+          .withColumn("rank_kw", row_number().over(Window.partitionBy("qid")
+            .orderBy(col("kw_score").desc, col("cid"))))
+          .filter(col("rank_kw") <= 10)
+        val e = embNorm(s, d)
+        val vecTop = e.as("a").filter(col("a.vec_id") % 100 === 0)
+          .join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+          .selectExpr("a.vec_id AS qid", "b.vec_id AS cid",
+            s"round($cosSparkAB, 6) AS cos")
+          .withColumn("rank_vec", row_number().over(Window.partitionBy("qid")
+            .orderBy(col("cos").desc, col("cid"))))
+          .filter(col("rank_vec") <= 10)
+        kwTop.select("qid", "cid", "rank_kw")
+          .join(vecTop.select("qid", "cid", "rank_vec"),
+            Seq("qid", "cid"), "full_outer")
+          .select(col("qid"), col("cid"),
+            round(coalesce(lit(1.0) / (lit(60) + col("rank_kw")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0)), 6)
+              .as("rrf"))
+          .withColumn("rank", row_number().over(Window.partitionBy("qid")
+            .orderBy(col("rrf").desc, col("cid"))))
+          .filter(col("rank") <= 5)
+          .select("qid", "rank", "cid", "rrf")
+          .orderBy("qid", "rank")
+      },
+      Some(s"WITH t0 AS (SELECT doc_id, unnest(list_distinct($toksD)) AS t " +
+        "FROM (SELECT doc_id, text FROM documents)), " +
+        "tf AS (SELECT t0.*, df FROM t0 JOIN (SELECT t, count(*) AS df " +
+        "FROM t0 GROUP BY 1 HAVING count(*) <= 64) d USING (t)), " +
+        "n AS (SELECT count(*) AS n_docs FROM documents), " +
+        "kw AS (SELECT q.doc_id AS qid, c.doc_id AS cid, " +
+        "SUM(n_docs - c.df) AS kw_score FROM tf q " +
+        "JOIN tf c ON q.t = c.t AND q.doc_id <> c.doc_id, n " +
+        "WHERE q.doc_id % 100 = 0 GROUP BY 1, 2), " +
+        "kt AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY kw_score DESC, cid) AS rank_kw FROM kw QUALIFY rank_kw <= 10), " +
+        s"e AS ($embNormD), " +
+        s"vec AS (SELECT a.vec_id AS qid, b.vec_id AS cid, " +
+        s"round($cosDuckAB, 6) AS cos FROM e a JOIN e b " +
+        "ON a.vec_id <> b.vec_id WHERE a.vec_id % 100 = 0), " +
+        "vt AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid " +
+        "ORDER BY cos DESC, cid) AS rank_vec FROM vec QUALIFY rank_vec <= 10), " +
+        "fu AS (SELECT coalesce(kt.qid, vt.qid) AS qid, " +
+        "coalesce(kt.cid, vt.cid) AS cid, " +
+        "round(coalesce(1.0e0/(60 + rank_kw), 0.0e0) + " +
+        "coalesce(1.0e0/(60 + rank_vec), 0.0e0), 6) AS rrf " +
+        "FROM kt FULL JOIN vt ON kt.qid = vt.qid AND kt.cid = vt.cid) " +
+        "SELECT qid, rank, cid, rrf FROM (SELECT qid, cid, rrf, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) AS rank " +
+        "FROM fu) WHERE rank <= 5 ORDER BY qid, rank")),
+
     // T7 time-series profile: hourly event buckets (batch analog of the
     // streaming windowed agg; date_trunc is µs-identical on both engines).
     QDef("t7_hourly_profile",
