@@ -1410,12 +1410,16 @@ object Pipeline {
           .groupBy("user_id").agg(collect_set("week").as("weeks"))
           .select(array_min(col("weeks")).as("cohort_week"),
             explode(col("weeks")).as("week"))
+        // persisted: the O(weeks²) grid feeds both the output rows and
+        // the cohort-size lookup — without it the size branch would
+        // re-run the whole event aggregation (a second 100-TB pass)
         val ret = perUser
           .select(col("cohort_week"),
             (datediff(col("week"), col("cohort_week")) / lit(7))
               .cast(IntegerType).as("week_num"))
           .groupBy("cohort_week", "week_num")
           .agg(count(lit(1)).as("n_active"))
+          .persist()
         val sizes = ret.filter(col("week_num") === 0)
           .select(col("cohort_week"), col("n_active").as("n_cohort"))
         ret.join(broadcast(sizes), Seq("cohort_week"))

@@ -413,4 +413,56 @@ class PlanSpec extends SparkSpec {
       "sampling filter must run map-side, one agg exchange only\n" +
         s.take(2000))
   }
+
+  test("retention cohorts: one event pass, cohort sizes broadcast back") {
+    val s = planString("t13_retention_cohorts")
+    // the grid self-join for cohort sizes must broadcast (the grid is
+    // O(weeks²) rows), never sort-merge; and the events parquet is read
+    // exactly once — sizes come from the persisted grid, not a second
+    // scan of the raw events
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
+    assert(!s.contains("SortMergeJoin"), s.take(2000))
+    // both the output rows AND the size lookup must read the persisted
+    // grid (the plan-string embeds the cached lineage under each
+    // InMemoryRelation; what matters is that both consumers hit it)
+    assert("InMemoryTableScan".r.findAllIn(s).size >= 2,
+      "cohort sizes must derive from the persisted grid, not a second " +
+        "event scan\n" + s.take(2000))
+  }
+
+  test("interval merge: one user_id sort serves both windows") {
+    val s = planString("t14_interval_merge")
+    // prev-end max and island running sum share partitioning AND order,
+    // so the plan needs ONE hash shuffle on user_id + one sort feeding
+    // both Window operators; the two shrinking hash-aggs reuse the same
+    // partitioning, and the only other sort is the final presentation
+    // ORDER BY
+    assert("Exchange hashpartitioning".r.findAllIn(s).size <= 1,
+      "both windows + aggs must share the user_id shuffle\n" + s.take(2000))
+    assert("Sort \\[".r.findAllIn(s).size <= 2,
+      "one sort must serve both windows\n" + s.take(2000))
+    assert("Window".r.findAllIn(s).size >= 2, s.take(2000))
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+  }
+
+  test("cross-source overlap joins stay shingle-keyed, never cartesian") {
+    val s = planString("x21_cross_source_overlap")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      "pair generation must be an equi-join on the shingle\n" + s.take(2000))
+  }
+
+  test("hybrid search: keyword leg term-keyed; only the vector leg loops") {
+    val s = planString("ss6_hybrid_search")
+    // the keyword inverted-index self-join is an equi-join on the term;
+    // the allowed loop joins are the intentional ss1-style exact vector
+    // leg (tiny query side) and the broadcast of the 1-row corpus-count
+    // frame — nothing may go full cartesian
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+    val loops = "BroadcastNestedLoopJoin".r.findAllIn(s).size
+    assert(loops <= 2,
+      s"only the vector leg + 1-row count may loop, got $loops\n" + s.take(2000))
+    assert(s.contains("HashJoin") || s.contains("SortMergeJoin"),
+      "keyword leg must be a hash/merge equi-join\n" + s.take(2000))
+  }
 }
