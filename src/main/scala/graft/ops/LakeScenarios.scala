@@ -1844,6 +1844,26 @@ object LakeScenarios {
         "(SELECT * FROM (VALUES (0), (2)) t(frame_no)) f " +
         "GROUP BY f.frame_no ORDER BY f.frame_no")),
 
+    // MM4 — cross-item frame-level dedup (the video-corpus dd1): every
+    // sampled frame fingerprinted, recurring fingerprints counted across
+    // items per frame position. The payload is the md5 digest, so the
+    // oracle re-derives each 4-byte frame's fingerprint as the matching
+    // md5-hex substring — fan-out, fingerprinting and dedup rollup are
+    // all HASH-verified.
+    QDef("mm4_frame_dedup",
+      (s, d) => Multimodal.frameDedupProfile(s, d),
+      Some("""
+        WITH fr AS (SELECT doc_id, f.i AS frame_no,
+                      substr(md5(text), f.i*8 + 1, 8) AS fp
+                    FROM documents CROSS JOIN
+                      (SELECT CAST(unnest(range(4)) AS INT) AS i) f),
+             g AS (SELECT frame_no, fp, count(*) AS n FROM fr GROUP BY 1, 2)
+        SELECT frame_no, CAST(SUM(n) AS BIGINT) AS n_frames,
+               count(*) AS n_distinct,
+               CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_extra
+        FROM g GROUP BY 1 ORDER BY frame_no""")),
+
     // ST1 — Structured Streaming: events replayed as a micro-batch
     // stream, watermark + tumbling-window agg, drained deterministically
     // (SURVEY.md §2.13 extension; see graft.streaming.EventStream).

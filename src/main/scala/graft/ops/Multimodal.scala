@@ -108,6 +108,26 @@ object Multimodal {
       .orderBy("format")
   }
 
+  /** Judged query MM4: cross-item FRAME-level dedup — the video-corpus
+    * variant of dd1: sample every frame, fingerprint its bytes, and
+    * count recurring fingerprints across items (intros, logo cards and
+    * stock footage recur across millions of videos; frame-level dedup is
+    * how a video training corpus drops them). One shuffle on the
+    * (frame_no, fingerprint) pair, then a tiny per-position rollup —
+    * identical plan at 10⁹ videos. Integer outputs only. */
+  def frameDedupProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val frames = sampleFrames(itemsFromDocuments(spark, sfDir), stride = 1)
+    frames.toDF()
+      .select(col("frame_no"), lower(hex(col("frame_bytes"))).as("fp"))
+      .groupBy("frame_no", "fp")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("frame_no")
+      .agg(sum("n").as("n_frames"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("n") > 1, col("n") - 1).otherwise(0L)).as("n_dup_extra"))
+      .orderBy("frame_no")
+  }
+
   /** Rows-only judged query: frame sampling fan-out profile. */
   def frameProfile(spark: SparkSession, sfDir: String): DataFrame = {
     val frames = sampleFrames(itemsFromDocuments(spark, sfDir), stride = 2)
