@@ -695,6 +695,48 @@ object Pipeline {
         "FROM pairs JOIN tot ta ON ta.source = src_a " +
         "JOIN tot tb ON tb.source = src_b ORDER BY src_a, src_b")),
 
+    // X22 leakage-safe grouped split — train/val/test assignment by
+    // DEDUP GROUP, not by row: hashing individual doc_ids scatters a
+    // duplicated document across splits and the eval set leaks into
+    // training. Here every doc inherits its exact-dup group's canonical
+    // id (dd1's min-per-fingerprint window) and the 80/10/10 assignment
+    // hashes THAT — identical docs land in the same split by
+    // construction. Scale shape: one shuffle on the fingerprint for the
+    // canonical window, then a map-side hash + 3-group rollup; the split
+    // is a pure function of content, so it is stable across reruns and
+    // corpus growth (a doc's split never depends on what else arrived).
+    QDef("x22_grouped_split",
+      (s, d) => {
+        val t = docsWithToks(s, d).selectExpr(
+          "doc_id",
+          "cast(size(toks) AS bigint) AS n_tokens",
+          "md5(array_join(slice(toks, 1, 10), ' ')) AS head_fp")
+        t.withColumn("canonical",
+            min("doc_id").over(Window.partitionBy("head_fp")))
+          .withColumn("bucket",
+            expr(s"${h32s.format("cast(canonical AS string)")} % 10"))
+          .withColumn("split",
+            when(col("bucket") <= 7, "train")
+              .when(col("bucket") === 8, "val").otherwise("test"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("canonical")).as("n_groups"),
+            sum("n_tokens").as("n_tokens"))
+          .orderBy("split")
+      },
+      Some(s"WITH t0 AS (SELECT doc_id, $toksD AS toks FROM documents), " +
+        "t AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens, " +
+        "md5(array_to_string(toks[1:10], ' ')) AS head_fp FROM t0), " +
+        "c AS (SELECT t.*, min(doc_id) OVER (PARTITION BY head_fp) " +
+        "AS canonical FROM t), " +
+        "sp AS (SELECT *, CASE WHEN b <= 7 THEN 'train' WHEN b = 8 " +
+        "THEN 'val' ELSE 'test' END AS split FROM (SELECT *, " +
+        s"${h32d.format("CAST(canonical AS VARCHAR)")} % 10 AS b FROM c)) " +
+        "SELECT split, count(*) AS n_docs, " +
+        "count(DISTINCT canonical) AS n_groups, " +
+        "CAST(SUM(n_tokens) AS BIGINT) AS n_tokens " +
+        "FROM sp GROUP BY 1 ORDER BY split")),
+
     // ------------------------------------------------------- deduplication
     // DD1 exact dedup: hash-groupBy on the head fingerprint; groups with
     // >1 member keep min(doc_id) as canonical. One shuffle on the hash —
