@@ -1580,6 +1580,39 @@ object Relational {
         s"${moneySumSql("p_retailprice")} AS sum_price " +
         "FROM part GROUP BY 1 ORDER BY p_brand")),
 
+    // S13 NESTED-type round-trip + nested-schema pruning: line items
+    // packed as an array<struct> per order (the denormalized document
+    // shape object stores actually hold), written to parquet, read back,
+    // and aggregated from ONE nested leaf. The judged scale property is
+    // the read schema: Spark's nested-schema pruning must push the
+    // projection INTO the struct so the scan decodes only items.qty —
+    // on a wide document table that is the difference between reading
+    // one column chunk and the whole payload (PlanSpec pins it). The
+    // array is sort_array'd before the write so the file bytes are
+    // deterministic; the aggregate is order-free DECIMAL.
+    QDef("s13_nested_roundtrip",
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_" +
+          s"${s.sparkContext.applicationId}_nested_" +
+          d.replaceAll("[^A-Za-z0-9]", "_")
+        T.lineitem(s, d)
+          .select(col("l_orderkey"),
+            struct(col("l_linenumber").as("ln"),
+              col("l_quantity").as("qty"),
+              col("l_extendedprice").as("price")).as("item"))
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_list(col("item"))).as("items"))
+          .write.mode("overwrite").parquet(dir)
+        s.read.parquet(dir)
+          .select(col("l_orderkey"), explode(col("items.qty")).as("qty"))
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_items"), moneySum(col("qty")).as("total_qty"))
+          .orderBy("l_orderkey")
+      },
+      Some("SELECT l_orderkey, count(*) AS n_items, " +
+        s"${moneySumSql("l_quantity")} AS total_qty " +
+        "FROM lineitem GROUP BY 1 ORDER BY l_orderkey")),
+
     // J11 correlated EXISTS / NOT EXISTS — customers with at least one
     // urgent order and no order over 300k, the canonical correlated-
     // predicate pair. Catalyst rewrites EXISTS to a left-semi and
@@ -2261,6 +2294,36 @@ object Relational {
         "xor(range, 129) AS b_xor, range << 3 AS b_shl, " +
         "range >> 2 AS b_shr, CAST(bit_count(range) AS INT) AS b_pop " +
         "FROM range(512) ORDER BY id")),
+
+    // F28 string formatting/manipulation sweep — the second half of the
+    // string surface (f12 covers case/substr/regex/pad/reverse):
+    // translate, repeat, ascii/chr codecs, left/right slices, substring
+    // position, field splitting, and character-set trims. Map-only.
+    QDef("f28_string_format",
+      (s, d) => T.part(s, d)
+        .filter(col("p_partkey") % 7 === 0)
+        .select(col("p_partkey"),
+          translate(col("p_name"), "aeiou", "12345").as("xlate"),
+          repeat(substring(col("p_name"), 1, 2), 3).as("rep"),
+          ascii(col("p_name")).as("first_code"),
+          chr(lit(65) + col("p_partkey") % 26).as("letter"),
+          expr("left(p_name, 5)").as("l5"),
+          expr("right(p_name, 4)").as("r4"),
+          instr(col("p_name"), "o").cast(LongType).as("pos_o"),
+          expr("split_part(p_name, ' ', 2)").as("word2"),
+          ltrim(col("p_name"), "bs").as("ltr"),
+          rtrim(col("p_name"), "gt").as("rtr"))
+        .orderBy("p_partkey"),
+      Some("SELECT p_partkey, " +
+        "translate(p_name, 'aeiou', '12345') AS xlate, " +
+        "repeat(substr(p_name, 1, 2), 3) AS rep, " +
+        "CAST(ascii(p_name) AS INT) AS first_code, " +
+        "chr(CAST(65 + p_partkey % 26 AS INT)) AS letter, " +
+        "left(p_name, 5) AS l5, right(p_name, 4) AS r4, " +
+        "strpos(p_name, 'o') AS pos_o, " +
+        "split_part(p_name, ' ', 2) AS word2, " +
+        "ltrim(p_name, 'bs') AS ltr, rtrim(p_name, 'gt') AS rtr " +
+        "FROM part WHERE p_partkey % 7 = 0 ORDER BY p_partkey")),
 
     // T12 — OHLC resampling (the finance/telemetry "bars" shape): per
     // (hour, type) open/close via deterministically ORDERED first/last

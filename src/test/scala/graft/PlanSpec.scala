@@ -452,6 +452,17 @@ class PlanSpec extends SparkSpec {
       "pair generation must be an equi-join on the shingle\n" + s.take(2000))
   }
 
+  test("nested round-trip prunes the struct to the referenced leaf") {
+    // the scan of the array<struct<ln,qty,price>> column must decode
+    // ONLY items.qty — on a wide document table nested-schema pruning is
+    // the difference between one column chunk and the whole payload
+    val s = planString("s13_nested_roundtrip")
+    val read = s.split("ReadSchema").last
+    assert(read.contains("qty"), s.take(2000))
+    assert(!read.contains("price") && !read.contains("ln:"),
+      "scan must not decode unreferenced struct fields\n" + s.take(2000))
+  }
+
   test("hybrid search: keyword leg term-keyed; only the vector leg loops") {
     val s = planString("ss6_hybrid_search")
     // the keyword inverted-index self-join is an equi-join on the term;

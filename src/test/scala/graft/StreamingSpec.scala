@@ -31,6 +31,24 @@ class StreamingSpec extends SparkSpec {
     assert(sm.size >= bm.size - 3)
   }
 
+  test("streaming results are state-partition-count invariant") {
+    // the stateful-operator partition count is a TUNING knob (store-commit
+    // fixed cost vs scheduling), never a semantics knob: the drained
+    // result at 2 and 8 state partitions must be row-identical. This pins
+    // the invariance claim the bench tuning relies on — any state-store
+    // keying or watermark bug that leaks partitioning into results fails
+    // here, not in a round artifact.
+    def runAt(n: String): Seq[Row] = {
+      spark.conf.set("spark.graft.streaming.statePartitions", n)
+      try EventStream.windowedProfile(spark, d).collect().toSeq
+      finally spark.conf.unset("spark.graft.streaming.statePartitions")
+    }
+    val at2 = runAt("2")
+    val at8 = runAt("8")
+    assert(at2.nonEmpty)
+    assert(at2 === at8, "state partition count changed the RESULT")
+  }
+
   test("stream lands in the lake exactly-once: one commit per batch, replay is a no-op") {
     import org.apache.spark.sql.types._
     import spark.implicits._
