@@ -395,16 +395,46 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     }
   }
 
+  /** The reference's headline time-travel SQL syntax
+    * (ref README.md:215-220, demos/02_time_travel/demo.py:163-232):
+    * `t AT (VERSION => 42)`, `t AT (VERSION => 'tagname')`,
+    * `t AT (TIMESTAMP => '2024-01-15 14:00:00')`. */
+  private val AtClauseRe =
+    ("""(?is)\b(\w+)\s+AT\s*\(\s*(VERSION|TIMESTAMP)\s*=>\s*""" +
+      """(?:(\d+)|'([^']*)')\s*\)""").r
+
   def sql(query: String): DataFrame = {
     val s = current
     val iso = spark.newSession()
+    // Time-travel clauses rewrite to versioned temp views BEFORE parsing,
+    // so the syntax composes with arbitrary SQL — joining two versions,
+    // NOT EXISTS diffs across snapshots, tags as stable version names.
+    // Each referenced (table, version) registers the EXACT file list of
+    // that snapshot (same path as readAt — no listing, no stale files).
+    val rewritten = AtClauseRe.replaceAllIn(query, m => {
+      val table = m.group(1)
+      val v = m.group(2).toUpperCase match {
+        case "VERSION" =>
+          Option(m.group(3)).map(_.toLong).getOrElse(resolveRef(m.group(4)))
+        case _ =>
+          val raw = Option(m.group(4)).getOrElse(m.group(3)).trim
+          val ldt = java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
+          versionAsOf(ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+      }
+      val alias = s"${table}__at_v$v"
+      val snap = snapshot(v)
+      val st = snap.tables.getOrElse(table, throw new NoSuchElementException(
+        s"table $table not in snapshot $v"))
+      readState(st, iso).createOrReplaceTempView(alias)
+      java.util.regex.Matcher.quoteReplacement(alias)
+    })
     s.tables.foreach { case (t, st) =>
       readState(st, iso).createOrReplaceTempView(t)
     }
     s.views.foreach { case (v, viewSql) =>
       iso.sql(viewSql).createOrReplaceTempView(v)
     }
-    iso.sql(query)
+    iso.sql(rewritten)
   }
 
   /** Materialize a stored view (D3): tables become temp views, the stored

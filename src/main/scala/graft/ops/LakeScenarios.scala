@@ -1177,6 +1177,53 @@ object LakeScenarios {
         LEFT JOIN expens e ON i.product_id = e.product_id
         ORDER BY i.product_id""")),
 
+    // L37 — the reference's headline time-travel SQL SYNTAX end to end
+    // (ref README.md:215-220, demos/02_time_travel/demo.py:163-232):
+    // `t AT (VERSION => n)` resolved to the exact snapshot file list,
+    // `AT (VERSION => 'tag')` through the named-ref table, and —
+    // composition being the point of a rewrite over real SQL — a
+    // cross-version NOT EXISTS diff recovering exactly the rows a DELETE
+    // removed. Oracle: the DML chain replayed as CTEs; every (snap,
+    // count, sum) cell must hash-match.
+    QDef("l37_time_travel_sql",
+      (s, d) => {
+        val cat = freshLake(s)
+        val src = T.orders(s, d).filter(col("o_orderkey") <= 2000)
+          .selectExpr("cast(o_orderkey AS bigint) AS id")
+        cat.createTableAs("t", src)              // v1
+        cat.delete("t", col("id") % 2 === 0)     // v2
+        cat.tag("before_cleanup", 1L)            // v3 (refs-only commit)
+        cat.sql("""
+          SELECT 'deleted' AS snap, count(*) AS n,
+                 CAST(coalesce(sum(x.id), 0) AS BIGINT) AS sum_id
+          FROM t AT (VERSION => 1) x
+          WHERE NOT EXISTS (SELECT 1 FROM t AT (VERSION => 2) y
+                            WHERE y.id = x.id)
+          UNION ALL SELECT 'tag', count(*),
+                 CAST(coalesce(sum(id), 0) AS BIGINT)
+          FROM t AT (VERSION => 'before_cleanup')
+          UNION ALL SELECT 'v1', count(*),
+                 CAST(coalesce(sum(id), 0) AS BIGINT)
+          FROM t AT (VERSION => 1)
+          UNION ALL SELECT 'current', count(*),
+                 CAST(coalesce(sum(id), 0) AS BIGINT)
+          FROM t
+          ORDER BY snap""")
+      }, Some("""
+        WITH v1 AS (SELECT CAST(o_orderkey AS BIGINT) AS id
+                    FROM orders WHERE o_orderkey <= 2000),
+             v2 AS (SELECT id FROM v1 WHERE id % 2 <> 0),
+             del AS (SELECT id FROM v1 WHERE id % 2 = 0)
+        SELECT 'deleted' AS snap, count(*) AS n,
+               CAST(coalesce(sum(id), 0) AS BIGINT) AS sum_id FROM del
+        UNION ALL SELECT 'tag', count(*),
+               CAST(coalesce(sum(id), 0) AS BIGINT) FROM v1
+        UNION ALL SELECT 'v1', count(*),
+               CAST(coalesce(sum(id), 0) AS BIGINT) FROM v1
+        UNION ALL SELECT 'current', count(*),
+               CAST(coalesce(sum(id), 0) AS BIGINT) FROM v2
+        ORDER BY snap""")),
+
     // L35 — PARTITION-RETENTION delete (`DELETE WHERE day = X` as a
     // DROP PARTITION fast path): a file whose recorded partition-value
     // set is exactly the probed day drops from the manifest with ZERO

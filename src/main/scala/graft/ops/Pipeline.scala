@@ -1530,6 +1530,33 @@ object Pipeline {
                CAST(SUM(epoch_us(e0) - epoch_us(s0)) AS BIGINT) AS covered_us
         FROM m GROUP BY 1 ORDER BY user_id""")),
 
+    // T15 engagement stickiness (DAU/WAU) — the two-granularity distinct
+    // count: per week, how many distinct users were active (WAU) and how
+    // many distinct (user, day) actives they sum to (Σ DAU). Emitted as
+    // the two integer operands — the ratio is one division the consumer
+    // does; integers hash-match cross-engine, quotients wouldn't. Scale
+    // shape: ONE pass — groupBy (week, user) with a distinct-day count
+    // collapses the event volume first, then a tiny per-week rollup;
+    // never a distinct over raw events per window.
+    QDef("t15_stickiness",
+      (s, d) => T.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .withColumn("week", to_date(date_trunc("week", col("day"))))
+        .groupBy("week", "user_id")
+        .agg(countDistinct(col("day")).as("days_active"))
+        .groupBy("week")
+        .agg(count(lit(1)).as("wau"), sum("days_active").as("sum_dau"))
+        .orderBy("week"),
+      Some("""
+        WITH uw AS (SELECT CAST(date_trunc('week',
+                      CAST(ts AS TIMESTAMP)) AS DATE) AS week, user_id,
+                      count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE))
+                        AS days_active
+                    FROM events GROUP BY 1, 2)
+        SELECT week, count(*) AS wau,
+               CAST(SUM(days_active) AS BIGINT) AS sum_dau
+        FROM uw GROUP BY 1 ORDER BY week""")),
+
     // X5 corpus curation composite — the end-to-end pipeline shape: score
     // quality (X2 logic) → drop low-quality docs → drop exact-dup losers
     // (DD1 logic, keep min doc_id per head fingerprint) → per-source

@@ -331,6 +331,34 @@ class LakeSpec extends SparkSpec {
     assert(out === ((2L, 30.0)))
   }
 
+  test("AT (VERSION/TIMESTAMP/tag) SQL syntax resolves time travel") {
+    // the reference's headline syntax (ref README.md:215-220): version
+    // number, tag name, and wall-clock timestamp must all resolve to the
+    // same snapshots the readAt/readAsOf API returns, and the rewrite
+    // must compose (two versions of one table in one statement)
+    val cat = newLake()
+    cat.createTableAs("t", Seq(1, 2, 3, 4).toDF("id"))        // v1
+    cat.delete("t", col("id") % 2 === 0)                      // v2
+    cat.tag("keep", 1L)                                       // v3
+    assert(cat.sql("SELECT count(*) AS n FROM t AT (VERSION => 1)")
+      .as[Long].head() === 4L)
+    assert(cat.sql("SELECT count(*) AS n FROM t AT (VERSION => 'keep')")
+      .as[Long].head() === 4L)
+    // cross-version diff in ONE statement
+    assert(cat.sql(
+      "SELECT count(*) AS n FROM t AT (VERSION => 1) x WHERE NOT EXISTS " +
+        "(SELECT 1 FROM t AT (VERSION => 2) y WHERE y.id = x.id)")
+      .as[Long].head() === 2L)
+    // timestamp form: the v1 commit's own wall-clock instant (exact-ms
+    // boundary is inclusive, like readAsOf)
+    val t1 = cat.current.history.find(_.snapshotId == 1L).get.timestampMs
+    val iso = java.time.Instant.ofEpochMilli(t1)
+      .atOffset(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+    assert(cat.sql(s"SELECT count(*) AS n FROM t AT (TIMESTAMP => '$iso')")
+      .as[Long].head() ===
+      cat.readAsOf("t", t1).count())
+  }
+
   test("nested types round-trip through the lake (array columns)") {
     val cat = newLake()
     // embeddings-shaped table: vec_id + array<float>
