@@ -403,6 +403,37 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     ("""(?is)\b(\w+)\s+AT\s*\(\s*(VERSION|TIMESTAMP)\s*=>\s*""" +
       """(?:(\d+)|'([^']*)')\s*\)""").r
 
+  /** SQL-level metadata TABLE FUNCTIONS — the `ducklake_snapshots()` /
+    * `ducklake_table_info()` / `ducklake_table_changes(...)` surface
+    * (ref utils/ducklake_utils.py:58-78): rewritten to global temp views
+    * (global: they must resolve from the isolated child session) so
+    * metadata is queryable with plain SQL, no Scala API needed. */
+  private val SnapFnRe = """(?i)graft_snapshots\s*\(\s*\)""".r
+  private val InfoFnRe = """(?i)graft_table_info\s*\(\s*\)""".r
+  private val ChangesFnRe =
+    """(?i)graft_table_changes\s*\(\s*'(\w+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+
+  private def rewriteMetaFns(query: String): String = {
+    // view names carry the catalog identity: two catalogs queried from
+    // one session must not clobber each other's metadata views
+    val ns = s"c${Integer.toHexString(root.hashCode)}"
+    var q = query
+    if (SnapFnRe.findFirstIn(q).isDefined) {
+      snapshots().createOrReplaceGlobalTempView(s"graft_snapshots_$ns")
+      q = SnapFnRe.replaceAllIn(q, s"global_temp.graft_snapshots_$ns")
+    }
+    if (InfoFnRe.findFirstIn(q).isDefined) {
+      tableInfo().createOrReplaceGlobalTempView(s"graft_table_info_$ns")
+      q = InfoFnRe.replaceAllIn(q, s"global_temp.graft_table_info_$ns")
+    }
+    ChangesFnRe.replaceAllIn(q, m => {
+      val (t, v1, v2) = (m.group(1), m.group(2).toLong, m.group(3).toLong)
+      val alias = s"graft_changes_${ns}_${t}_${v1}_$v2"
+      tableChanges(t, v1, v2).createOrReplaceGlobalTempView(alias)
+      s"global_temp.$alias"
+    })
+  }
+
   def sql(query: String): DataFrame = {
     val s = current
     val iso = spark.newSession()
@@ -411,7 +442,7 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     // NOT EXISTS diffs across snapshots, tags as stable version names.
     // Each referenced (table, version) registers the EXACT file list of
     // that snapshot (same path as readAt — no listing, no stale files).
-    val rewritten = AtClauseRe.replaceAllIn(query, m => {
+    val rewritten = AtClauseRe.replaceAllIn(rewriteMetaFns(query), m => {
       val table = m.group(1)
       val v = m.group(2).toUpperCase match {
         case "VERSION" =>

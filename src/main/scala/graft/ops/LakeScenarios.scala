@@ -1224,6 +1224,63 @@ object LakeScenarios {
                CAST(coalesce(sum(id), 0) AS BIGINT) FROM v2
         ORDER BY snap""")),
 
+    // L38 — SQL-level metadata TABLE FUNCTIONS (the reference's
+    // `ducklake_snapshots()` / `ducklake_table_info()` /
+    // `ducklake_table_changes(t, v1, v2)` surface — ref
+    // utils/ducklake_utils.py:58-78): the whole metadata model queryable
+    // with plain SQL, no Scala API. The judged statement profiles a
+    // change feed (all FOUR change types — the PK pairs a vanished +
+    // appeared row as update pre/postimage), the snapshot feed, and the
+    // table inventory in ONE query. Oracle: the DML chain replayed as
+    // CTEs; file counts/bytes/timestamps (env-dependent) deliberately
+    // excluded from the projection.
+    QDef("l38_meta_sql",
+      (s, d) => {
+        val cat = freshLake(s)
+        val src = T.orders(s, d).filter(col("o_orderkey") <= 1000)
+          .selectExpr("cast(o_orderkey AS bigint) AS id",
+            "cast(o_custkey AS bigint) AS cust")
+        cat.createTable("t", org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cust",
+            org.apache.spark.sql.types.LongType))), primaryKey = Seq("id"))
+        cat.insert("t", src)                                     // v2
+        cat.delete("t", col("id") % 10 === 0)                    // v3
+        cat.update("t", col("id") % 7 === 0,
+          Map("cust" -> (col("cust") + lit(1000000L))))          // v4
+        cat.sql("""
+          SELECT 'changes_2_4' AS section, change_type AS k, count(*) AS n,
+                 CAST(coalesce(sum(id), 0) AS BIGINT) AS sum_id
+          FROM graft_table_changes('t', 2, 4) GROUP BY 1, 2
+          UNION ALL
+          SELECT 'snapshots', 'feed', count(*),
+                 CAST(SUM(snapshot_id) AS BIGINT)
+          FROM graft_snapshots()
+          UNION ALL
+          SELECT 'tables', table_name, row_count, schema_version
+          FROM graft_table_info()
+          ORDER BY section, k""")
+      }, Some("""
+        WITH v2 AS (SELECT CAST(o_orderkey AS BIGINT) AS id,
+                           CAST(o_custkey AS BIGINT) AS cust
+                    FROM orders WHERE o_orderkey <= 1000),
+             v3 AS (SELECT * FROM v2 WHERE id % 10 <> 0),
+             v4 AS (SELECT id, CASE WHEN id % 7 = 0
+                      THEN cust + 1000000 ELSE cust END AS cust FROM v3),
+             deleted AS (SELECT id FROM v2 WHERE id % 10 = 0),
+             updated AS (SELECT id FROM v3 WHERE id % 7 = 0)
+        SELECT 'changes_2_4' AS section, 'delete' AS k, count(*) AS n,
+               CAST(coalesce(sum(id), 0) AS BIGINT) AS sum_id FROM deleted
+        UNION ALL SELECT 'changes_2_4', 'update_postimage', count(*),
+               CAST(coalesce(sum(id), 0) AS BIGINT) FROM updated
+        UNION ALL SELECT 'changes_2_4', 'update_preimage', count(*),
+               CAST(coalesce(sum(id), 0) AS BIGINT) FROM updated
+        UNION ALL SELECT 'snapshots', 'feed', 4, CAST(1+2+3+4 AS BIGINT)
+        UNION ALL SELECT 'tables', 't',
+               (SELECT count(*) FROM v4), 1
+        ORDER BY section, k""")),
+
     // L35 — PARTITION-RETENTION delete (`DELETE WHERE day = X` as a
     // DROP PARTITION fast path): a file whose recorded partition-value
     // set is exactly the probed day drops from the manifest with ZERO
