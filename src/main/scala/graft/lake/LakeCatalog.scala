@@ -361,6 +361,54 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     val RenameRe = """(?is)^ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)$""".r
     def empty: DataFrame =
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Nil))
+    if (s0.toUpperCase.startsWith("MERGE INTO")) return executeMerge(s0)
+    val CreateTblRe = """(?is)^CREATE\s+TABLE\s+(\w+)\s*\((.+)\)\s*$""".r
+    val AddColRe =
+      """(?is)^ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)(?:\s+DEFAULT\s+(.+))?$""".r
+    val DropColRe =
+      """(?is)^ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)$""".r
+    val RenameColRe =
+      """(?is)^ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)$""".r
+    val NotNullRe =
+      """(?is)^ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+SET\s+NOT\s+NULL$""".r
+    val SetTypeRe =
+      """(?is)^ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+(?:SET\s+DATA\s+)?TYPE\s+(.+)$""".r
+    s0 match {
+      case CreateTblRe(t, colsBody) if !colsBody.trim.isEmpty =>
+        val pk = scala.collection.mutable.ArrayBuffer.empty[String]
+        val nn = scala.collection.mutable.ArrayBuffer.empty[String]
+        val colDdl = splitTopLevel(colsBody, ',').map { c0 =>
+          var c = c0.trim
+          val name = c.takeWhile(!_.isWhitespace)
+          if (c.toUpperCase.contains("PRIMARY KEY")) {
+            pk += name
+            c = c.replaceAll("(?i)\\s+PRIMARY\\s+KEY", "")
+          }
+          if (c.toUpperCase.contains("NOT NULL")) {
+            nn += name
+            c = c.replaceAll("(?i)\\s+NOT\\s+NULL", "")
+          }
+          s"$name ${sqlTypeToSpark(c.trim.drop(name.length).trim)}"
+        }.mkString(", ")
+        createTable(t, StructType.fromDDL(colDdl), pk.toSeq, nn.toSeq)
+        return empty
+      case AddColRe(t, name, tpe, dflt) =>
+        transaction(_.addColumn(t, name,
+          StructType.fromDDL(s"x ${sqlTypeToSpark(tpe.trim)}").head.dataType,
+          Option(dflt).map(_.trim)))
+        return empty
+      case DropColRe(t, name) =>
+        transaction(_.dropColumn(t, name)); return empty
+      case RenameColRe(t, from, to) =>
+        transaction(_.renameColumn(t, from, to)); return empty
+      case NotNullRe(t, name) =>
+        transaction(_.setNotNull(t, name)); return empty
+      case SetTypeRe(t, name, tpe) =>
+        transaction(_.changeColumnType(t, name,
+          StructType.fromDDL(s"x ${sqlTypeToSpark(tpe.trim)}").head.dataType))
+        return empty
+      case _ => ()
+    }
     s0 match {
       case InsertRe(t, body) =>
         // SQL INSERT maps the source POSITIONALLY (both VALUES and
@@ -432,6 +480,111 @@ class LakeCatalog(val spark: SparkSession, val root: String,
       tableChanges(t, v1, v2).createOrReplaceGlobalTempView(alias)
       s"global_temp.$alias"
     })
+  }
+
+  /** Normalize the reference's (DuckDB-flavored) SQL type names to ones
+    * Spark's DDL parser accepts — the CREATE TABLE statements in the
+    * reference demos use VARCHAR / INTEGER / DECIMAL(10,2) / TIMESTAMP
+    * (ref demos/01_transaction_rollback/demo.py:35-54). */
+  private def sqlTypeToSpark(t: String): String = {
+    val u = t.trim.toUpperCase
+    if (u.startsWith("VARCHAR") || u == "TEXT" || u == "CHAR") "STRING"
+    else if (u == "INTEGER") "INT"
+    else if (u == "DATETIME") "TIMESTAMP"
+    else if (u == "DOUBLE PRECISION") "DOUBLE"
+    else if (u == "REAL") "FLOAT"
+    else if (u == "BLOB" || u == "BYTEA") "BINARY"
+    else t.trim
+  }
+
+  /** `MERGE INTO` for the SQL router — the standard statement shape
+    * mapped onto [[Tx.mergeClauses]] (one atomic copy-on-write commit,
+    * every clause branch):
+    *
+    * {{{
+    * MERGE INTO t [AS a] USING (select|values body) [AS b]
+    *   ON a.k = b.k [AND ...]
+    *   [WHEN MATCHED [AND cond] THEN DELETE]
+    *   [WHEN MATCHED [AND cond] THEN UPDATE SET *]
+    *   [WHEN NOT MATCHED [AND cond] THEN INSERT *]
+    *   [WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE]
+    * }}}
+    *
+    * ON must be a conjunction of same-name key equalities (the lake
+    * merge is keyed); UPDATE/INSERT are whole-row (`SET *` / `INSERT *`
+    * — Delta's star forms), since the source is schema-aligned first.
+    * Clause conditions may reference both aliases; they are rewritten to
+    * the engine's canonical `t.`/`s.` prefixes (insert conditions see
+    * bare source columns, as in the API). */
+  private def executeMerge(stmt: String): DataFrame = {
+    val HeadRe =
+      """(?is)^MERGE\s+INTO\s+(\w+)(?:\s+AS)?(?:\s+(\w+))?\s+USING\s*\(""".r
+    val m = HeadRe.findFirstMatchIn(stmt).getOrElse(
+      throw new IllegalArgumentException(s"unparseable MERGE head: $stmt"))
+    val table = m.group(1)
+    val tAlias = Option(m.group(2)).getOrElse(table)
+    // balanced-paren scan for the USING body
+    var depth = 1; var i = m.end
+    while (depth > 0 && i < stmt.length) {
+      stmt.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    require(depth == 0, "unbalanced parens in MERGE USING")
+    val body = stmt.substring(m.end, i - 1)
+    val TailRe = """(?is)^\s*(?:AS\s+)?(\w+)?\s+ON\s+(.+)$""".r
+    val (sAlias, onAndClauses) = stmt.substring(i) match {
+      case TailRe(a, rest) => (Option(a).getOrElse("src"), rest)
+      case other =>
+        throw new IllegalArgumentException(s"unparseable MERGE tail: $other")
+    }
+    val parts = onAndClauses.split("(?i)\\bWHEN\\b").map(_.trim)
+    val onCond = parts.head
+    val keys = onCond.split("(?i)\\s+AND\\s+").toSeq.map { eq =>
+      val EqRe = """(?s)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$""".r
+      eq match {
+        case EqRe(a1, k1, a2, k2)
+            if k1.equalsIgnoreCase(k2) &&
+              Set(a1, a2).map(_.toLowerCase) ==
+                Set(tAlias, sAlias).map(_.toLowerCase) => k1
+        case _ => throw new IllegalArgumentException(
+          s"MERGE ON must be same-name key equalities over both aliases: $eq")
+      }
+    }
+    def canon(cond: String, bareSource: Boolean): String = {
+      val c1 = cond.replaceAll(s"(?i)\\b$tAlias\\.", "t.")
+      if (bareSource) c1.replaceAll(s"(?i)\\b$sAlias\\.", "")
+      else c1.replaceAll(s"(?i)\\b$sAlias\\.", "s.")
+    }
+    var cl = MergeClauses()
+    val MatchedDel = """(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE$""".r
+    val MatchedUpd =
+      """(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+\*$""".r
+    val NotMatchedIns =
+      """(?is)^NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+INSERT(?:\s+\*)?$""".r
+    val BySourceDel =
+      """(?is)^NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE$""".r
+    parts.tail.foreach {
+      case BySourceDel(c) =>
+        cl = cl.copy(bySourceDelete =
+          Some(Option(c).map(canon(_, bareSource = false)).getOrElse("true")))
+      case MatchedDel(c) =>
+        cl = cl.copy(matchedDelete =
+          Some(Option(c).map(canon(_, bareSource = false)).getOrElse("true")))
+      case MatchedUpd(c) =>
+        cl = cl.copy(matchedUpdate =
+          Some(Option(c).map(canon(_, bareSource = false)).getOrElse("true")))
+      case NotMatchedIns(c) =>
+        cl = cl.copy(notMatchedInsert =
+          Some(Option(c).map(canon(_, bareSource = true)).getOrElse("true")))
+      case other => throw new IllegalArgumentException(
+        s"unsupported MERGE clause: WHEN $other")
+    }
+    mergeClauses(table, sql(body.trim), keys, cl)
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Nil))
   }
 
   def sql(query: String): DataFrame = {

@@ -1281,6 +1281,99 @@ object LakeScenarios {
                (SELECT count(*) FROM v4), 1
         ORDER BY section, k""")),
 
+    // L39 — SQL MERGE INTO through the statement router: the full
+    // four-branch statement (conditional MATCHED DELETE, MATCHED UPDATE
+    // SET *, conditional NOT MATCHED INSERT *, NOT MATCHED BY SOURCE
+    // DELETE) parsed onto Tx.mergeClauses as ONE atomic commit — the
+    // last DML verb reachable only from the Scala API now reachable from
+    // SQL. The source is a SELECT over the target's own current
+    // snapshot (self-referential merge, the hard consistency case: the
+    // source must see pre-merge state). Oracle: all four branches
+    // replayed as CTEs.
+    QDef("l39_sql_merge",
+      (s, d) => {
+        val cat = freshLake(s)
+        cat.createTableAs("t", T.orders(s, d)
+          .filter(col("o_orderkey") <= 600)
+          .selectExpr("cast(o_orderkey AS bigint) AS id",
+            "cast(o_custkey AS bigint) AS cust"))
+        cat.execute("""
+          MERGE INTO t USING (
+            SELECT id * 2 AS id, cust + 7 AS cust
+            FROM t WHERE id > 200 AND id <= 350
+          ) s ON t.id = s.id
+          WHEN MATCHED AND s.cust % 3 = 0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED AND cust % 2 = 0 THEN INSERT *
+          WHEN NOT MATCHED BY SOURCE AND t.id > 590 THEN DELETE""")
+        cat.read("t").agg(
+          count(lit(1)).as("n_rows"),
+          sum("id").cast("long").as("sum_id"),
+          sum("cust").cast("long").as("sum_cust"))
+      }, Some("""
+        WITH v1 AS (SELECT CAST(o_orderkey AS BIGINT) AS id,
+                           CAST(o_custkey AS BIGINT) AS cust
+                    FROM orders WHERE o_orderkey <= 600),
+             src AS (SELECT id * 2 AS id, cust + 7 AS cust
+                     FROM v1 WHERE id > 200 AND id <= 350),
+             upd AS (SELECT v1.id, s.cust AS scust
+                     FROM v1 JOIN src s USING (id)),
+             kept AS (
+               SELECT id, cust FROM v1
+               WHERE id NOT IN (SELECT id FROM src) AND NOT (id > 590)
+               UNION ALL
+               SELECT id, scust AS cust FROM upd WHERE scust % 3 <> 0
+               UNION ALL
+               SELECT id, cust FROM src
+               WHERE id NOT IN (SELECT id FROM v1) AND cust % 2 = 0)
+        SELECT count(*) AS n_rows, CAST(SUM(id) AS BIGINT) AS sum_id,
+               CAST(SUM(cust) AS BIGINT) AS sum_cust FROM kept""")),
+
+    // L40 — SQL DDL end to end: the reference's demo-3 statement chain
+    // replayed VERBATIM through the router (ref
+    // demos/03_schema_evolution/demo.py:103-240 and
+    // demos/01_transaction_rollback/demo.py:35-54) — CREATE TABLE with
+    // column defs + PRIMARY KEY/NOT NULL (DuckDB-flavored type names
+    // normalized to Spark's), ADD COLUMN with DEFAULT read by
+    // pre-evolution files, ALTER COLUMN TYPE, SET NOT NULL (validates
+    // existing rows first), the validate-then-swap DROP/RENAME recipe.
+    // Oracle: the final table is a pure function of the literal chain.
+    QDef("l40_sql_ddl",
+      (s, _) => {
+        val cat = freshLake(s)
+        Seq(
+          "CREATE TABLE ev (event_id INTEGER PRIMARY KEY, " +
+            "event_type VARCHAR NOT NULL, event_data VARCHAR)",
+          "INSERT INTO ev VALUES (1, 'login', 'u1'), (2, 'click', 'u2'), " +
+            "(3, 'logout', 'u3')",
+          "ALTER TABLE ev ADD COLUMN priority INTEGER DEFAULT 5",
+          "INSERT INTO ev VALUES (4, 'login', 'u4', 9)",
+          "ALTER TABLE ev ADD COLUMN event_category VARCHAR",
+          "INSERT INTO ev VALUES (5, 'purchase', 'u5', 2, 'commerce')",
+          "ALTER TABLE ev ALTER COLUMN priority TYPE BIGINT",
+          "UPDATE ev SET event_category = 'uncategorized' " +
+            "WHERE event_category IS NULL",
+          "ALTER TABLE ev ALTER COLUMN event_category SET NOT NULL",
+          "ALTER TABLE ev ADD COLUMN event_data_validated VARCHAR",
+          "UPDATE ev SET event_data_validated = upper(event_data)",
+          "ALTER TABLE ev DROP COLUMN event_data",
+          "ALTER TABLE ev RENAME COLUMN event_data_validated TO event_data"
+        ).foreach(cat.execute)
+        cat.sql("SELECT event_id, event_type, priority, event_category, " +
+          "event_data FROM ev ORDER BY event_id")
+      }, Some("""
+        SELECT CAST(event_id AS INT) AS event_id, event_type,
+               CAST(priority AS BIGINT) AS priority, event_category,
+               event_data
+        FROM (VALUES
+          (1, 'login',    5, 'uncategorized', 'U1'),
+          (2, 'click',    5, 'uncategorized', 'U2'),
+          (3, 'logout',   5, 'uncategorized', 'U3'),
+          (4, 'login',    9, 'uncategorized', 'U4'),
+          (5, 'purchase', 2, 'commerce',      'U5'))
+          t(event_id, event_type, priority, event_category, event_data)
+        ORDER BY event_id""")),
+
     // L35 — PARTITION-RETENTION delete (`DELETE WHERE day = X` as a
     // DROP PARTITION fast path): a file whose recorded partition-value
     // set is exactly the probed day drops from the manifest with ZERO

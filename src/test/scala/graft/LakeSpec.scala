@@ -359,6 +359,32 @@ class LakeSpec extends SparkSpec {
       cat.readAsOf("t", t1).count())
   }
 
+  test("MERGE INTO statement routes all four clause branches atomically") {
+    val cat = newLake()
+    cat.createTableAs("t", Seq((1L, 10L), (2L, 20L), (3L, 30L), (9L, 90L))
+      .toDF("id", "v"))
+    cat.execute("""
+      MERGE INTO t AS tgt USING (
+        SELECT * FROM VALUES (2, 21), (3, 99), (5, 50), (6, 61) AS x(id, v)
+      ) src ON tgt.id = src.id
+      WHEN MATCHED AND src.v > 50 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED AND v % 2 = 0 THEN INSERT *
+      WHEN NOT MATCHED BY SOURCE AND tgt.v >= 90 THEN DELETE""")
+    // id=2 updated (21), id=3 deleted (99>50), id=5 inserted (50 even),
+    // id=6 not inserted (61 odd), id=9 by-source-deleted, id=1 untouched
+    val out = cat.read("t").orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 10L), (2L, 21L), (5L, 50L)))
+    // the whole statement was ONE commit
+    assert(cat.currentVersion === 2L)
+    // malformed ON (non-equi) is refused loudly, nothing committed
+    intercept[IllegalArgumentException] {
+      cat.execute("MERGE INTO t USING (SELECT 1 AS id, 2 AS v) s " +
+        "ON t.id < s.id WHEN MATCHED THEN DELETE")
+    }
+    assert(cat.currentVersion === 2L)
+  }
+
   test("nested types round-trip through the lake (array columns)") {
     val cat = newLake()
     // embeddings-shaped table: vec_id + array<float>
