@@ -351,6 +351,8 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     import LakeCatalog.{splitTopLevel, topLevelSplitOnce}
     val s0 = statement.trim.stripSuffix(";").trim
     val InsertRe = """(?is)^INSERT\s+INTO\s+(\w+)\s+(.+)$""".r
+    val InsertColsRe =
+      """(?is)^INSERT\s+INTO\s+(\w+)\s*\(([A-Za-z_][\w\s,]*)\)\s*(.+)$""".r
     val DeleteRe = """(?is)^DELETE\s+FROM\s+(\w+)(\s+WHERE\s+.+)?$""".r
     val UpdateRe = """(?is)^UPDATE\s+(\w+)\s+SET\s+(.+)$""".r
     val CtasRe = """(?is)^CREATE\s+TABLE\s+(\w+)\s+AS\s+(.+)$""".r
@@ -362,6 +364,9 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     def empty: DataFrame =
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Nil))
     if (s0.toUpperCase.startsWith("MERGE INTO")) return executeMerge(s0)
+    val CreateTblPartRe =
+      ("""(?is)^CREATE\s+TABLE\s+(\w+)\s*\((.+)\)""" +
+        """\s+PARTITIONED\s+BY\s*\(([^)]*)\)\s*$""").r
     val CreateTblRe = """(?is)^CREATE\s+TABLE\s+(\w+)\s*\((.+)\)\s*$""".r
     val AddColRe =
       """(?is)^ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+(.+?)(?:\s+DEFAULT\s+(.+))?$""".r
@@ -374,7 +379,14 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     val SetTypeRe =
       """(?is)^ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+(?:SET\s+DATA\s+)?TYPE\s+(.+)$""".r
     s0 match {
-      case CreateTblRe(t, colsBody) if !colsBody.trim.isEmpty =>
+      case _ if s0.toUpperCase.startsWith("CREATE TABLE") &&
+          !s0.toUpperCase.matches("(?s)^CREATE\\s+TABLE\\s+\\w+\\s+AS\\s.*") =>
+        val (t, colsBody, partBy) = s0 match {
+          case CreateTblPartRe(n, c, p) => (n, c, Some(p))
+          case CreateTblRe(n, c) => (n, c, None)
+          case other => throw new IllegalArgumentException(
+            s"unparseable CREATE TABLE: $other")
+        }
         val pk = scala.collection.mutable.ArrayBuffer.empty[String]
         val nn = scala.collection.mutable.ArrayBuffer.empty[String]
         val colDdl = splitTopLevel(colsBody, ',').map { c0 =>
@@ -390,7 +402,9 @@ class LakeCatalog(val spark: SparkSession, val root: String,
           }
           s"$name ${sqlTypeToSpark(c.trim.drop(name.length).trim)}"
         }.mkString(", ")
-        createTable(t, StructType.fromDDL(colDdl), pk.toSeq, nn.toSeq)
+        val parts = partBy.toSeq
+          .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        createTable(t, StructType.fromDDL(colDdl), pk.toSeq, nn.toSeq, parts)
         return empty
       case AddColRe(t, name, tpe, dflt) =>
         transaction(_.addColumn(t, name,
@@ -410,6 +424,15 @@ class LakeCatalog(val spark: SparkSession, val root: String,
       case _ => ()
     }
     s0 match {
+      case InsertColsRe(t, colList, body) =>
+        // INSERT with an explicit column list: source columns map
+        // positionally onto the LISTED names; unlisted table columns
+        // fill their DEFAULT (then NULL) via the by-name insert path
+        val cols = colList.split(',').map(_.trim).toSeq
+        val src = sql(body.trim)
+        require(src.columns.length == cols.length,
+          s"INSERT arity ${src.columns.length} != column list ${cols.length}")
+        insert(t, src.toDF(cols: _*)); empty
       case InsertRe(t, body) =>
         // SQL INSERT maps the source POSITIONALLY (both VALUES and
         // SELECT bodies), unlike the by-name DataFrame API insert

@@ -385,6 +385,29 @@ class LakeSpec extends SparkSpec {
     assert(cat.currentVersion === 2L)
   }
 
+  test("router: column-list INSERT and PARTITIONED BY create") {
+    val cat = newLake()
+    cat.execute("CREATE TABLE m (id INTEGER PRIMARY KEY, " +
+      "name VARCHAR, score DOUBLE, day VARCHAR) PARTITIONED BY (day)")
+    assert(cat.current.tables("m").partitionBy === Seq("day"))
+    // listed columns map positionally; unlisted fill NULL
+    cat.execute("INSERT INTO m (id, day) VALUES (1, 'mon'), (2, 'tue')")
+    cat.execute("INSERT INTO m (day, id, score) " +
+      "SELECT 'wed', 3, 9.5e0")
+    val rows = cat.read("m").orderBy("id")
+      .selectExpr("id", "coalesce(name, '-')", "coalesce(score, -1.0)", "day")
+      .as[(Int, String, Double, String)].collect().toSeq
+    assert(rows === Seq((1, "-", -1.0, "mon"), (2, "-", -1.0, "tue"),
+      (3, "-", 9.5, "wed")))
+    // arity mismatch against the LIST (not the table) is refused
+    intercept[IllegalArgumentException] {
+      cat.execute("INSERT INTO m (id, day) VALUES (4, 'thu', 'extra')")
+    }
+    // CTAS still routes as CTAS, not column-def CREATE
+    cat.execute("CREATE TABLE m2 AS SELECT id, day FROM m WHERE id >= 2")
+    assert(cat.read("m2").count() === 2L)
+  }
+
   test("nested types round-trip through the lake (array columns)") {
     val cat = newLake()
     // embeddings-shaped table: vec_id + array<float>
