@@ -334,13 +334,24 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     * accepts the DML/DDL subset too, each statement one atomic commit
     * (auto-commit semantics):
     *
-    *  - `INSERT INTO t VALUES ... | SELECT ... | WITH ...` (VALUES
-    *    columns align positionally to the table schema)
+    *  - `INSERT INTO t [(col, ...)] VALUES ... | SELECT ... | WITH ...`
+    *    (VALUES columns align positionally to the table schema, or to
+    *    the explicit column list with DEFAULT/NULL fill for the rest)
     *  - `UPDATE t SET a = e[, ...] [WHERE cond]`
     *  - `DELETE FROM t [WHERE cond]`
-    *  - `CREATE TABLE t AS select` / `CREATE [OR REPLACE] VIEW v AS ...`
+    *  - `MERGE INTO t USING (...) ON ... WHEN ...` (see [[executeMerge]])
+    *  - `CREATE TABLE t (col TYPE [PRIMARY KEY|NOT NULL], ...)
+    *    [PARTITIONED BY (col, ...)]` (DuckDB-flavored type names
+    *    normalized) / `CREATE TABLE t AS select` /
+    *    `CREATE [OR REPLACE] VIEW v AS ...`
+    *  - `ALTER TABLE t ADD COLUMN c TYPE [DEFAULT e] | DROP COLUMN c |
+    *    RENAME COLUMN a TO b | ALTER COLUMN c SET NOT NULL |
+    *    ALTER COLUMN c [SET DATA] TYPE T`
     *  - `DROP TABLE|VIEW x`, `TRUNCATE TABLE t`,
     *    `ALTER TABLE t RENAME TO u`
+    *  - queries support `t AT (VERSION|TIMESTAMP => ...)` time travel
+    *    and the `graft_snapshots()/graft_table_info()/
+    *    graft_table_changes(t, v1, v2)` metadata functions
     *  - anything else runs as a query via [[sql]]
     *
     * Expressions (SET right-hand sides, WHERE conditions) are handed to
