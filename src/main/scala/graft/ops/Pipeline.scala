@@ -400,6 +400,52 @@ object Pipeline {
         "round(CAST(sum(sp) AS DOUBLE) / count(*), 6) AS avg_surprise " +
         "FROM sc GROUP BY source ORDER BY source")),
 
+    // X23 CCNet-style quality buckets — the head/middle/tail split that
+    // decides what a corpus keeps: per-doc LM-proxy score (x15's unigram
+    // surprise, DECIMAL-summed then averaged), then PER-SOURCE terciles
+    // via ntile(3) with a total tie-break. Partitioning the tercile
+    // window by source is both the curation semantics CCNet actually
+    // uses (each source contributes its best third — a global cut would
+    // just rank easy sources above hard ones) and the 100-TB shape: the
+    // sort is shuffle-on-source, never a single global order.
+    QDef("x23_quality_buckets",
+      (s, d) => {
+        val e = docsWithToks(s, d)
+          .select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
+          .persist()
+        val u = e.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val tot = e.agg(count(lit(1)).cast(DoubleType).as("tot"))
+        val per = e.join(u, "tok").crossJoin(broadcast(tot))
+          .selectExpr("doc_id", "source",
+            "cast(round(-ln(cnt / tot), 6) AS decimal(20,6)) AS sp")
+          .groupBy("doc_id", "source")
+          .agg(round(sum(col("sp")).cast(DoubleType) / count(lit(1)), 6)
+            .as("score"))
+        per
+          .withColumn("bucket", ntile(3).over(Window.partitionBy("source")
+            .orderBy(col("score"), col("doc_id"))))
+          .groupBy("source", "bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            round(min("score"), 6).as("min_s"),
+            round(max("score"), 6).as("max_s"))
+          .orderBy("source", "bucket")
+      },
+      Some(s"WITH e AS (SELECT doc_id, source, unnest($toksD) AS tok " +
+        "FROM documents), " +
+        "u AS (SELECT tok, count(*) AS cnt FROM e GROUP BY tok), " +
+        "tot AS (SELECT count(*) AS tot FROM e), " +
+        "sc AS (SELECT e.doc_id, e.source, " +
+        "CAST(round(-ln(cnt * 1.0 / tot), 6) AS DECIMAL(20,6)) AS sp " +
+        "FROM e JOIN u USING (tok), tot), " +
+        "per AS (SELECT doc_id, source, " +
+        "round(CAST(sum(sp) AS DOUBLE) / count(*), 6) AS score " +
+        "FROM sc GROUP BY 1, 2), " +
+        "b AS (SELECT *, ntile(3) OVER (PARTITION BY source " +
+        "ORDER BY score, doc_id) AS bucket FROM per) " +
+        "SELECT source, bucket, count(*) AS n_docs, " +
+        "round(min(score), 6) AS min_s, round(max(score), 6) AS max_s " +
+        "FROM b GROUP BY 1, 2 ORDER BY source, bucket")),
+
     // X17 bigram CONDITIONAL logprob — the next rung of LM-proxy quality
     // scoring above x15's unigram surprise: per-token surprise against
     // the corpus bigram model, -ln(c(w1 w2) / c(w1 ·)). Bigrams come
