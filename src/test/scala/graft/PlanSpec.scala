@@ -452,6 +452,17 @@ class PlanSpec extends SparkSpec {
       "pair generation must be an equi-join on the shingle\n" + s.take(2000))
   }
 
+  test("quality buckets: tercile window partitions by source, no global sort") {
+    val s = planString("x23_quality_buckets")
+    // the ntile window must be partitioned (shuffle-on-source), never a
+    // single global ordering; the only loop join is the 1-row corpus
+    // total broadcast
+    assert(s.contains("Window"), s.take(2000))
+    assert(!s.contains("CartesianProduct"), s.take(2000))
+    assert("windowspecdefinition\\(source".r.findAllIn(s).nonEmpty,
+      "ntile must partition by source\n" + s.take(2000))
+  }
+
   test("nested round-trip prunes the struct to the referenced leaf") {
     // the scan of the array<struct<ln,qty,price>> column must decode
     // ONLY items.qty — on a wide document table nested-schema pruning is
