@@ -49,9 +49,34 @@ def main(sf_dir, out_dir):
             failures.append((name, f"oracle SQL error: {e}"))
             continue
         ecols = list(exp.columns)
+        etypes = [str(t) for t in exp.types]
+        gtypes = [str(t) for t in got.types]
         erows = exp.fetchall()
         if sorted(gcols) != sorted(ecols):
             failures.append((name, f"columns differ: spark={sorted(gcols)} oracle={sorted(ecols)}"))
+            continue
+        # The driver's hash is TYPE-sensitive (a HUGEINT SUM vs a BIGINT
+        # parquet column hash-differ even when values match — round-8 escape
+        # a19_histogram). Compare the DuckDB result types per column, with a
+        # small equivalence map for differences the driver's materialization
+        # provably erases (both sides land as the same pandas dtype).
+        def canon(t):
+            t = t.upper()
+            if t in ("TIMESTAMP WITH TIME ZONE",):
+                return "TIMESTAMP"  # UTC-pinned session: same instant values
+            # int WIDTH drift is value-exact and provably accepted by the
+            # driver's hash (11 round-8 green rows pair Spark INT32 against
+            # DuckDB BIGINT, e.g. row_number). HUGEINT is deliberately NOT
+            # in the family: a bare SUM(BIGINT) comes back as HUGEINT,
+            # materializes inexactly, and is exactly the a19 escape.
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+                return "INT_FAMILY"
+            return t
+        tm = [(c, canon(gtypes[gcols.index(c)]), canon(etypes[ecols.index(c)]))
+              for c in sorted(gcols)]
+        drift = [(c, g, e) for c, g, e in tm if g != e]
+        if drift:
+            failures.append((name, f"column TYPES differ (driver hash is type-sensitive): {drift}"))
             continue
         gidx = [gcols.index(c) for c in sorted(gcols)]
         eidx = [ecols.index(c) for c in sorted(ecols)]

@@ -2396,7 +2396,7 @@ object Relational {
           "min_cents", "max_cents")
         .orderBy("bucket"),
       Some("SELECT bucket, CAST(bucket * 25000 AS DOUBLE) AS lo_dollars, " +
-        "count(*) AS n_orders, SUM(cents) AS sum_cents, " +
+        "count(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS sum_cents, " +
         "MIN(cents) AS min_cents, MAX(cents) AS max_cents " +
         "FROM (SELECT cents, cents // 2500000 AS bucket FROM " +
         "(SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) " +
