@@ -378,7 +378,7 @@ object Pipeline {
         // the corpus total) would each recompute the explode otherwise
         val e = docsWithToks(s, d)
           .select(col("source"), explode(col("toks")).as("tok"))
-          .persist()
+          .transform(Cached.track)
         val u = e.groupBy("tok").agg(count(lit(1)).as("cnt"))
         val tot = e.agg(count(lit(1)).cast(DoubleType).as("tot"))
         e.join(u, "tok").crossJoin(broadcast(tot))
@@ -412,7 +412,7 @@ object Pipeline {
       (s, d) => {
         val e = docsWithToks(s, d)
           .select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
-          .persist()
+          .transform(Cached.track)
         val u = e.groupBy("tok").agg(count(lit(1)).as("cnt"))
         val tot = e.agg(count(lit(1)).cast(DoubleType).as("tot"))
         val per = e.join(u, "tok").crossJoin(broadcast(tot))
@@ -464,7 +464,7 @@ object Pipeline {
           .withColumn("w2", lead("w1", 1).over(w))
           .filter(col("w2").isNotNull)
           .select(col("source"), col("w1"), col("w2"))
-          .persist()
+          .transform(Cached.track)
         val cnt2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
           .withColumn("c1", sum("c2").over(Window.partitionBy("w1")))
         bg.join(cnt2, Seq("w1", "w2"))
@@ -661,7 +661,7 @@ object Pipeline {
         val shd = docShinglesX(s, d)
           .withColumn("df", count(lit(1)).over(Window.partitionBy("s")))
           .filter(col("df") <= 64).drop("df")
-          .persist()
+          .transform(Cached.track)
         val ev = shd.filter(col("doc_id") % 97 === 0)
         val tr = shd.filter(col("doc_id") % 97 =!= 0)
         val perTrain = tr.as("t").join(ev.as("e"), col("t.s") === col("e.s"))
@@ -713,7 +713,7 @@ object Pipeline {
           .select(col("source"), col("s")).distinct()
           .withColumn("nsrc", count(lit(1)).over(Window.partitionBy("s")))
           .filter(col("nsrc") <= 8).drop("nsrc")
-          .persist()
+          .transform(Cached.track)
         val totals = ss.groupBy("source").agg(count(lit(1)).as("n"))
         ss.as("a").join(ss.as("b"),
             col("a.s") === col("b.s") && col("a.source") < col("b.source"))
@@ -821,7 +821,7 @@ object Pipeline {
           .withColumn("df",
             count(lit(1)).over(Window.partitionBy("s")))
           .filter(col("df") <= 64).drop("df")
-          .persist()
+          .transform(Cached.track)
         val cnt = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val pairs = shd.as("a").join(shd.as("b"),
             col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -854,7 +854,7 @@ object Pipeline {
       (s, d) => {
         // persisted once for its four consumers (signature build, both
         // verify sides, per-doc counts) — same rationale as dd2
-        val shd = docShinglesX(s, d).persist()
+        val shd = docShinglesX(s, d).transform(Cached.track)
         val bands = minhashBands(shd)
         val cand = bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
@@ -991,7 +991,7 @@ object Pipeline {
         // persisted: both sides of the candidate self-join read it, and
         // the signature subtree (posexplode+window+16-min agg) is the
         // expensive part
-        val bands = minhashBands(docShinglesX(s, d)).persist()
+        val bands = minhashBands(docShinglesX(s, d)).transform(Cached.track)
         val cand = bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
               col("a.doc_id") < col("b.doc_id"))
@@ -1031,7 +1031,7 @@ object Pipeline {
     // window over the cluster key on top of dd6's plan.
     QDef("dd7_survivor_select",
       (s, d) => {
-        val bands = minhashBands(docShinglesX(s, d)).persist()
+        val bands = minhashBands(docShinglesX(s, d)).transform(Cached.track)
         val cand = bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
               col("a.doc_id") < col("b.doc_id"))
@@ -1228,22 +1228,25 @@ object Pipeline {
     // SS6 hybrid search — the RAG-retrieval shape: a KEYWORD leg (shared
     // rare terms through the df-capped inverted index, scored by integer
     // term rarity Σ(N − df) so ranking never touches floats) and a
-    // VECTOR leg (exact cosine top-k, the ss1 baseline), fused by
-    // reciprocal-rank fusion rrf = Σ 1/(60 + rank) — the standard
-    // score-scale-free combiner. Scale shape: the keyword leg is
-    // shuffle-on-term with work ~sum(df²) per surviving term (dd2's
-    // bound), the vector leg is per-query and swaps for ss2/ss3/ss5's
-    // ANN path unchanged at 100 TB, and the fusion is a full outer join
-    // of two top-10 lists — O(queries × 20) rows. Ranks are unique per
-    // leg (row_number with total tie-break), so rrf is deterministic and
-    // the doubles are the same two IEEE divisions on both engines.
+    // VECTOR leg (the ss4 scale path: LSH-bucketed candidates → integer
+    // quantized-dot shortlist → exact cosine re-rank of the shortlist
+    // only — never queries × corpus), fused by reciprocal-rank fusion
+    // rrf = Σ 1/(60 + rank) — the standard score-scale-free combiner.
+    // Scale shape: the keyword leg is shuffle-on-term with work
+    // ~sum(df²) per surviving term (dd2's bound), the vector leg is
+    // bucket-local hash joins end to end (PlanSpec pins no
+    // BroadcastNestedLoopJoin anywhere in this plan), and the fusion is
+    // a full outer join of two top-10 lists — O(queries × 20) rows.
+    // Ranks are unique per leg (row_number with total tie-break) and the
+    // quantized dot is exact integer arithmetic, so rrf is deterministic
+    // and the doubles are the same two IEEE divisions on both engines.
     QDef("ss6_hybrid_search",
       (s, d) => {
         val terms = docsWithToks(s, d)
           .select(col("doc_id"), explode(array_distinct(col("toks"))).as("t"))
           .withColumn("df", count(lit(1)).over(Window.partitionBy("t")))
           .filter(col("df") <= 64)
-          .persist()
+          .transform(Cached.track)
         val n = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
         val kwTop = terms.as("q").filter(col("q.doc_id") % 100 === 0)
           .join(terms.as("c"),
@@ -1254,11 +1257,32 @@ object Pipeline {
           .withColumn("rank_kw", row_number().over(Window.partitionBy("qid")
             .orderBy(col("kw_score").desc, col("cid"))))
           .filter(col("rank_kw") <= 10)
-        val e = embNorm(s, d)
-        val vecTop = e.as("a").filter(col("a.vec_id") % 100 === 0)
-          .join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-          .selectExpr("a.vec_id AS qid", "b.vec_id AS cid",
-            s"round($cosSparkAB, 6) AS cos")
+        val e = embNorm(s, d).withColumn("qv",
+          expr("transform(v, x -> cast(greatest(-8L, least(7L, floor(x * 16))) AS double))"))
+        val vbands = e.selectExpr("vec_id",
+          "explode(transform(sequence(0, 3), b -> struct(b AS band, " +
+            "aggregate(sequence(0, 7), 0L, (acc, j) -> acc + " +
+            "IF(element_at(v, b * 16 + j + 1) >= cast(0 AS double), " +
+            "shiftleft(1L, j), 0L)) AS bv))) AS x")
+          .selectExpr("vec_id", "x.band AS band", "x.bv AS bv")
+        val vcand = vbands.as("qb").join(vbands.as("nb"),
+            col("qb.band") === col("nb.band") && col("qb.bv") === col("nb.bv") &&
+              col("qb.vec_id") =!= col("nb.vec_id"))
+          .filter(col("qb.vec_id") % 100 === 0)
+          .select(col("qb.vec_id").as("qid"), col("nb.vec_id").as("cid"))
+          .distinct()
+        val vshort = vcand
+          .join(e.as("a"), col("qid") === col("a.vec_id"))
+          .join(e.as("b"), col("cid") === col("b.vec_id"))
+          .selectExpr("qid", "cid",
+            "cast(graft_dot(a.qv, b.qv) AS bigint) AS adot")
+          .withColumn("arank", row_number().over(
+            Window.partitionBy("qid").orderBy(col("adot").desc, col("cid"))))
+          .filter(col("arank") <= 20)
+        val vecTop = vshort
+          .join(e.as("a"), col("qid") === col("a.vec_id"))
+          .join(e.as("b"), col("cid") === col("b.vec_id"))
+          .selectExpr("qid", "cid", s"round($cosSparkAB, 6) AS cos")
           .withColumn("rank_vec", row_number().over(Window.partitionBy("qid")
             .orderBy(col("cos").desc, col("cid"))))
           .filter(col("rank_vec") <= 10)
@@ -1286,10 +1310,24 @@ object Pipeline {
         "WHERE q.doc_id % 100 = 0 GROUP BY 1, 2), " +
         "kt AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid " +
         "ORDER BY kw_score DESC, cid) AS rank_kw FROM kw QUALIFY rank_kw <= 10), " +
-        s"e AS ($embNormD), " +
-        s"vec AS (SELECT a.vec_id AS qid, b.vec_id AS cid, " +
-        s"round($cosDuckAB, 6) AS cos FROM e a JOIN e b " +
-        "ON a.vec_id <> b.vec_id WHERE a.vec_id % 100 = 0), " +
+        "e AS (SELECT vec_id, v, nrm, " +
+        "list_transform(v, x -> greatest(-8, least(7, floor(x * 16)))::BIGINT) AS qv " +
+        s"FROM ($embNormD)), " +
+        "vbands AS (SELECT vec_id, t.band, " +
+        "list_sum(list_transform(range(0, 8), j -> CASE WHEN " +
+        "v[t.band * 16 + j + 1] >= 0 THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS bv " +
+        "FROM e, (SELECT unnest(range(0, 4)) AS band) t), " +
+        "vcand AS (SELECT DISTINCT qb.vec_id qid, nb.vec_id cid " +
+        "FROM vbands qb JOIN vbands nb ON qb.band = nb.band AND qb.bv = nb.bv " +
+        "AND qb.vec_id <> nb.vec_id WHERE qb.vec_id % 100 = 0), " +
+        "vapprox AS (SELECT qid, cid, " +
+        "list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i]))::BIGINT AS adot " +
+        "FROM vcand JOIN e a ON qid = a.vec_id JOIN e b ON cid = b.vec_id), " +
+        "vshort AS (SELECT qid, cid, adot, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY adot DESC, cid) AS arank FROM vapprox), " +
+        s"vec AS (SELECT s.qid, s.cid, round($cosDuckAB, 6) AS cos " +
+        "FROM vshort s JOIN e a ON s.qid = a.vec_id JOIN e b ON s.cid = b.vec_id " +
+        "WHERE s.arank <= 20), " +
         "vt AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid " +
         "ORDER BY cos DESC, cid) AS rank_vec FROM vec QUALIFY rank_vec <= 10), " +
         "fu AS (SELECT coalesce(kt.qid, vt.qid) AS qid, " +
@@ -1507,7 +1545,7 @@ object Pipeline {
               .cast(IntegerType).as("week_num"))
           .groupBy("cohort_week", "week_num")
           .agg(count(lit(1)).as("n_active"))
-          .persist()
+          .transform(Cached.track)
         val sizes = ret.filter(col("week_num") === 0)
           .select(col("cohort_week"), col("n_active").as("n_cohort"))
         ret.join(broadcast(sizes), Seq("cohort_week"))

@@ -474,17 +474,17 @@ class PlanSpec extends SparkSpec {
       "scan must not decode unreferenced struct fields\n" + s.take(2000))
   }
 
-  test("hybrid search: keyword leg term-keyed; only the vector leg loops") {
+  test("hybrid search: both legs bucket/term-keyed; only the 1-row count loops") {
     val s = planString("ss6_hybrid_search")
-    // the keyword inverted-index self-join is an equi-join on the term;
-    // the allowed loop joins are the intentional ss1-style exact vector
-    // leg (tiny query side) and the broadcast of the 1-row corpus-count
-    // frame — nothing may go full cartesian
+    // the keyword inverted-index self-join is an equi-join on the term and
+    // the vector leg is the ss4 LSH-bucketed shortlist (equi-joins on the
+    // band key) — the ONLY allowed loop join is the broadcast of the 1-row
+    // corpus-count frame; nothing may go full cartesian
     assert(!s.contains("CartesianProduct"), s.take(2000))
     val loops = "BroadcastNestedLoopJoin".r.findAllIn(s).size
-    assert(loops <= 2,
-      s"only the vector leg + 1-row count may loop, got $loops\n" + s.take(2000))
+    assert(loops <= 1,
+      s"only the 1-row corpus-count broadcast may loop, got $loops\n" + s.take(2000))
     assert(s.contains("HashJoin") || s.contains("SortMergeJoin"),
-      "keyword leg must be a hash/merge equi-join\n" + s.take(2000))
+      "keyword + vector legs must be hash/merge equi-joins\n" + s.take(2000))
   }
 }
