@@ -71,16 +71,23 @@ object Bench {
     // timing — a swallowed exception here is indistinguishable from a
     // sub-second query in the round artifact
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
-    for (_ <- 1 to passes; (name, fn) <- qlist; _ <- 1 to burst) {
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        mins(name) = math.min(mins.getOrElse(name, Double.MaxValue), sec)
-      } catch { case e: Throwable =>
-        failed(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
-        System.err.println(s"[bench] $name FAILED: ${failed(name)}")
+    for (_ <- 1 to passes; (name, fn) <- qlist) {
+      for (_ <- 1 to burst) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          mins(name) = math.min(mins.getOrElse(name, Double.MaxValue), sec)
+        } catch { case e: Throwable =>
+          failed(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+          System.err.println(s"[bench] $name FAILED: ${failed(name)}")
+        }
       }
+      // drop this query's tracked intermediate caches before moving on —
+      // the burst's back-to-back run still reuses them (CacheManager keys
+      // by analyzed plan), but the session never accumulates 200 queries'
+      // worth of cached exploded-token frames
+      ops.Cached.release()
     }
     val results = mins.toSeq
     val duck = baseline(sfDir)

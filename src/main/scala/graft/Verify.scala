@@ -34,7 +34,7 @@ object Verify {
         val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
         errors(name) = msg
         System.err.println(s"[verify] $name failed: $msg")
-      }
+      } finally ops.Cached.release()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

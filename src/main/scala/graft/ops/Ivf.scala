@@ -79,7 +79,7 @@ object Ivf {
     val assigned = model.transform(e)
       .withColumnRenamed("prediction", "cell")
       .select("vec_id", "v", "nrm", "cell")
-      .persist()
+      .transform(Cached.track)
     (assigned, model.clusterCenters)
   }
 

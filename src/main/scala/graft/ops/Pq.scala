@@ -68,7 +68,7 @@ object Pq {
     }
     val encoded = e.select(
       (Seq("vec_id", "v", "nrm", "vn") ++
-        (0 until M).map(m => s"code$m")).map(col): _*).persist()
+        (0 until M).map(m => s"code$m")).map(col): _*).transform(Cached.track)
     (encoded, books.result())
   }
 
