@@ -1029,7 +1029,7 @@ object LakeScenarios {
       (s, d) => {
         val cat = freshLake(s)
         val bandsAll = Pipeline.minhashBands(Pipeline.docShinglesX(s, d))
-          .persist()
+          .transform(Cached.track)
         val docs = T.documents(s, d)
           .selectExpr("doc_id", "source", "cast(n_chars AS bigint) AS n_chars")
         cat.transaction { tx =>
@@ -1638,6 +1638,122 @@ object LakeScenarios {
         SELECT CAST(k AS BIGINT) AS k, count(*) AS n_rows,
                CAST(sum(v) AS BIGINT) AS sum_v, TRUE AS incremental
         FROM fin GROUP BY k ORDER BY k""")),
+
+    // L42 — interactive SQL TRANSACTIONS through the single execute()
+    // entry point: the reference's whole `conn.execute(sql)` surface is
+    // statements, including BEGIN TRANSACTION / COMMIT / ROLLBACK (ref
+    // demos/01_transaction_rollback/demo.py:85-104,148-151) — so demo
+    // 1's lifecycle replays here as a pure statement stream: a
+    // multi-table transaction whose staged writes are VISIBLE to SELECTs
+    // inside the transaction (read-your-writes), COMMIT publishing ONE
+    // snapshot for both tables, and a doomed second transaction whose
+    // ROLLBACK leaves no trace — no rows, no snapshot. Every metric row
+    // is recomputed by DuckDB from the part slice.
+    QDef("l42_sql_txn",
+      (s, d) => {
+        import s.implicits._
+        val cat = freshLake(s)
+        cat.createTableAs("inv", inventoryDf(s, d))
+        cat.execute(
+          "CREATE TABLE ord (order_id INTEGER, product_id INTEGER, qty INTEGER)")
+        cat.execute("BEGIN TRANSACTION")
+        cat.execute(
+          "INSERT INTO ord VALUES (101, 1, 10), (102, 2, 5), (103, 3, 7)")
+        cat.execute("UPDATE inv SET quantity = quantity - 10 WHERE product_id = 1")
+        cat.execute("UPDATE inv SET quantity = quantity - 5 WHERE product_id = 2")
+        cat.execute("UPDATE inv SET quantity = quantity - 7 WHERE product_id = 3")
+        // read-your-writes: the staged orders are visible BEFORE commit
+        val stagedOrders =
+          cat.execute("SELECT count(*) AS n FROM ord").as[Long].head()
+        val vBefore = cat.currentVersion
+        cat.execute("COMMIT")
+        val vAfterCommit = cat.currentVersion
+        cat.execute("BEGIN TRANSACTION")
+        cat.execute("INSERT INTO ord VALUES (104, 1, 999)")
+        cat.execute("UPDATE inv SET quantity = quantity - 999 WHERE product_id = 1")
+        val stagedQty = cat.execute(
+          "SELECT CAST(quantity AS BIGINT) AS q FROM inv WHERE product_id = 1")
+          .as[Long].head()
+        cat.execute("ROLLBACK")
+        val vAfterRollback = cat.currentVersion
+        Seq(
+          ("1_staged_orders_visible", stagedOrders),
+          ("2_commit_one_snapshot", vAfterCommit - vBefore),
+          ("3_staged_qty_visible", stagedQty),
+          ("4_rollback_no_snapshot", vAfterRollback - vAfterCommit),
+          ("5_orders_after_rollback",
+            cat.execute("SELECT count(*) AS n FROM ord").as[Long].head()),
+          ("6_inv_qty_total",
+            cat.execute("SELECT CAST(sum(quantity) AS BIGINT) AS q FROM inv")
+              .as[Long].head()))
+          .toDF("metric", "value").orderBy("metric")
+      }, Some("""
+        WITH inv0 AS (SELECT CAST(p_partkey AS INT) AS pid,
+                             CAST(p_size AS INT) AS q
+                      FROM part WHERE p_partkey <= 100)
+        SELECT * FROM (VALUES
+          ('1_staged_orders_visible', CAST(3 AS BIGINT)),
+          ('2_commit_one_snapshot',   CAST(1 AS BIGINT)),
+          ('3_staged_qty_visible',
+            (SELECT CAST(q - 10 - 999 AS BIGINT) FROM inv0 WHERE pid = 1)),
+          ('4_rollback_no_snapshot',  CAST(0 AS BIGINT)),
+          ('5_orders_after_rollback', CAST(3 AS BIGINT)),
+          ('6_inv_qty_total',
+            (SELECT CAST(sum(q) - 22 AS BIGINT) FROM inv0)))
+          t(metric, value)
+        ORDER BY metric""")),
+
+    // L41 — JOIN + FILTER materialized view, incrementally maintained:
+    // the MV is `SELECT grp, count(*), sum(v) FROM sales JOIN kdim USING
+    // (k) WHERE id % 2 = 0 GROUP BY grp` (the reference's own views join
+    // + aggregate, ref demos/05_catalog_portability/demo.py:150-164).
+    // Refresh applies Δ(F⋈D) = ΔF⋈D₀ ∪ F₀⋈ΔD ∪ ΔF⋈ΔD with signs
+    // multiplied, old states via time travel at the shared watermark:
+    // fact-only churn costs O(fact delta) (one leg), dim churn pays the
+    // extra legs. BOTH refreshes here must take the incremental path —
+    // the `incremental` column is the judged contract — and the final MV
+    // must equal the full recompute DuckDB replays as CTEs.
+    QDef("l41_join_mv",
+      (s, d) => {
+        val cat = freshLake(s)
+        val src = T.orders(s, d).selectExpr(
+          "cast(o_orderkey AS bigint) AS id",
+          "cast(o_custkey % 20 AS bigint) AS k",
+          "cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint) AS v")
+        cat.createTable("sales", StructType(Seq(
+          StructField("id", LongType), StructField("k", LongType),
+          StructField("v", LongType))), primaryKey = Seq("id"))
+        cat.insert("sales", src.filter(col("id") <= 3000))
+        cat.createTableAs("kdim", s.range(20).selectExpr(
+          "cast(id AS bigint) AS k", "cast(id % 4 AS bigint) AS grp"))
+        graft.lake.Mv.createJoin(cat, "sales_by_grp", "sales", "kdim",
+          "k", "k", Some("id % 2 = 0"), Seq("grp"), Seq("v"))
+        // fact-side churn only → one-leg incremental refresh
+        cat.insert("sales", src.filter(col("id") > 3000 && col("id") <= 4000))
+        cat.update("sales", col("id") <= 500, Map("v" -> (col("v") + 100L)))
+        cat.delete("sales", col("k") === 7L)
+        val m1 = graft.lake.Mv.refresh(cat, "sales_by_grp")
+        // dim-side churn → the F₀⋈ΔD / ΔF⋈ΔD legs engage
+        cat.update("kdim", col("k") === 3L, Map("grp" -> lit(0L)))
+        val m2 = graft.lake.Mv.refresh(cat, "sales_by_grp")
+        cat.read("sales_by_grp")
+          .select(col("grp"), col("n_rows"), col("sum_v"),
+            lit(m1 == "incremental" && m2 == "incremental").as("incremental"))
+          .orderBy("grp")
+      }, Some("""
+        WITH rows0 AS (
+          SELECT o_orderkey AS id, o_custkey % 20 AS k,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+          FROM orders WHERE o_orderkey <= 4000),
+        upd AS (SELECT id, k, CASE WHEN id <= 500 THEN v + 100 ELSE v END AS v
+                FROM rows0),
+        fin AS (SELECT * FROM upd WHERE k <> 7 AND id % 2 = 0),
+        kdim AS (SELECT r AS k,
+                        CASE WHEN r = 3 THEN 0 ELSE r % 4 END AS grp
+                 FROM (SELECT unnest(range(0, 20)) AS r))
+        SELECT CAST(grp AS BIGINT) AS grp, count(*) AS n_rows,
+               CAST(sum(v) AS BIGINT) AS sum_v, TRUE AS incremental
+        FROM fin JOIN kdim USING (k) GROUP BY grp ORDER BY grp""")),
 
     // L23 — BLOOM-indexed POINT lookup: a per-file bloom sidecar
     // (table property `index.bloom`; the Hudi/Iceberg bloom-index
