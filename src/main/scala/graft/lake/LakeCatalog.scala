@@ -150,6 +150,14 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     s.tables.getOrElse(table,
       throw new NoSuchElementException(s"table not found: $table"))
 
+  /** Table state as the SQL surface sees it: the staged state when an
+    * interactive transaction is open (read-your-writes), else the
+    * current committed snapshot. */
+  private def liveState(table: String): TableState = activeTx match {
+    case Some((tx, _)) => tx.stagedState(table)
+    case None => stateOf(current, table)
+  }
+
   /** Current-snapshot scan (S2). */
   def read(table: String): DataFrame = readState(stateOf(current, table))
 
@@ -332,8 +340,13 @@ class LakeCatalog(val spark: SparkSession, val root: String,
   /** SQL statement router — the reference's interface is SQL end-to-end
     * (`conn.execute(...)` against the attached DuckLake), so the catalog
     * accepts the DML/DDL subset too, each statement one atomic commit
-    * (auto-commit semantics):
+    * (auto-commit semantics) unless an interactive transaction is open:
     *
+    *  - `BEGIN [TRANSACTION]` / `COMMIT` / `ROLLBACK` — interactive
+    *    transactions (ref demos/01:85-104): while open, every statement
+    *    below stages into ONE pending commit, SELECTs read the staged
+    *    state, COMMIT publishes a single snapshot, ROLLBACK discards
+    *    everything; a losing commit race aborts (no statement replay)
     *  - `INSERT INTO t [(col, ...)] VALUES ... | SELECT ... | WITH ...`
     *    (VALUES columns align positionally to the table schema, or to
     *    the explicit column list with DEFAULT/NULL fill for the rest)
@@ -350,8 +363,11 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     *  - `DROP TABLE|VIEW x`, `TRUNCATE TABLE t`,
     *    `ALTER TABLE t RENAME TO u`
     *  - queries support `t AT (VERSION|TIMESTAMP => ...)` time travel
-    *    and the `graft_snapshots()/graft_table_info()/
-    *    graft_table_changes(t, v1, v2)` metadata functions
+    *    (quoted wall-clocks resolve in the session timezone; unquoted
+    *    digits are epoch millis) and the `graft_snapshots()/
+    *    graft_table_info()/graft_table_changes(t, v1, v2)` metadata
+    *    functions; occurrences inside string LITERALS are data, not
+    *    syntax, and are never rewritten
     *  - anything else runs as a query via [[sql]]
     *
     * Expressions (SET right-hand sides, WHERE conditions) are handed to
@@ -374,6 +390,12 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     val RenameRe = """(?is)^ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)$""".r
     def empty: DataFrame =
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Nil))
+    s0.toUpperCase match {
+      case "BEGIN" | "BEGIN TRANSACTION" => beginTransaction(); return empty
+      case "COMMIT" => commitTransaction(); return empty
+      case "ROLLBACK" => rollbackTransaction(); return empty
+      case _ => ()
+    }
     if (s0.toUpperCase.startsWith("MERGE INTO")) return executeMerge(s0)
     val CreateTblPartRe =
       ("""(?is)^CREATE\s+TABLE\s+(\w+)\s*\((.+)\)""" +
@@ -415,21 +437,21 @@ class LakeCatalog(val spark: SparkSession, val root: String,
         }.mkString(", ")
         val parts = partBy.toSeq
           .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-        createTable(t, StructType.fromDDL(colDdl), pk.toSeq, nn.toSeq, parts)
+        inTx(_.createTable(t, StructType.fromDDL(colDdl), pk.toSeq, nn.toSeq, parts))
         return empty
       case AddColRe(t, name, tpe, dflt) =>
-        transaction(_.addColumn(t, name,
+        inTx(_.addColumn(t, name,
           StructType.fromDDL(s"x ${sqlTypeToSpark(tpe.trim)}").head.dataType,
           Option(dflt).map(_.trim)))
         return empty
       case DropColRe(t, name) =>
-        transaction(_.dropColumn(t, name)); return empty
+        inTx(_.dropColumn(t, name)); return empty
       case RenameColRe(t, from, to) =>
-        transaction(_.renameColumn(t, from, to)); return empty
+        inTx(_.renameColumn(t, from, to)); return empty
       case NotNullRe(t, name) =>
-        transaction(_.setNotNull(t, name)); return empty
+        inTx(_.setNotNull(t, name)); return empty
       case SetTypeRe(t, name, tpe) =>
-        transaction(_.changeColumnType(t, name,
+        inTx(_.changeColumnType(t, name,
           StructType.fromDDL(s"x ${sqlTypeToSpark(tpe.trim)}").head.dataType))
         return empty
       case _ => ()
@@ -443,20 +465,20 @@ class LakeCatalog(val spark: SparkSession, val root: String,
         val src = sql(body.trim)
         require(src.columns.length == cols.length,
           s"INSERT arity ${src.columns.length} != column list ${cols.length}")
-        insert(t, src.toDF(cols: _*)); empty
+        inTx(_.insert(t, src.toDF(cols: _*))); empty
       case InsertRe(t, body) =>
         // SQL INSERT maps the source POSITIONALLY (both VALUES and
         // SELECT bodies), unlike the by-name DataFrame API insert
         val src = sql(body.trim)
-        val st = stateOf(current, t)
+        val st = liveState(t)
         require(src.columns.length == st.columns.length,
           s"INSERT arity ${src.columns.length} != table ${st.columns.length}")
-        insert(t, src.toDF(st.columns.map(_.name): _*)); empty
+        inTx(_.insert(t, src.toDF(st.columns.map(_.name): _*))); empty
       case DeleteRe(t, where) =>
         val cond = Option(where)
           .map(w => expr(w.trim.replaceFirst("(?is)^WHERE\\s+", "")))
           .getOrElse(lit(true))
-        delete(t, cond); empty
+        inTx(_.delete(t, cond)); empty
       case UpdateRe(t, rest) =>
         val (setList, whereOpt) = topLevelSplitOnce(rest, "where")
         val sets = splitTopLevel(setList, ',').map { a =>
@@ -466,13 +488,13 @@ class LakeCatalog(val spark: SparkSession, val root: String,
           }
           lhs -> expr(rhs)
         }.toMap
-        update(t, whereOpt.map(expr).getOrElse(lit(true)), sets); empty
-      case CtasRe(t, select) => createTableAs(t, sql(select.trim)); empty
-      case ViewRe(v, body) => createView(v, body.trim); empty
-      case DropTRe(t) => dropTable(t); empty
-      case DropVRe(v) => dropView(v); empty
-      case TruncRe(t) => truncateTable(t); empty
-      case RenameRe(from, to) => renameTable(from, to); empty
+        inTx(_.update(t, whereOpt.map(expr).getOrElse(lit(true)), sets)); empty
+      case CtasRe(t, select) => inTx(_.createTableAs(t, sql(select.trim))); empty
+      case ViewRe(v, body) => inTx(_.createView(v, body.trim)); empty
+      case DropTRe(t) => inTx(_.dropTable(t)); empty
+      case DropVRe(v) => inTx(_.dropView(v)); empty
+      case TruncRe(t) => inTx(_.truncateTable(t)); empty
+      case RenameRe(from, to) => inTx(_.renameTable(from, to)); empty
       case q => sql(q)
     }
   }
@@ -495,25 +517,44 @@ class LakeCatalog(val spark: SparkSession, val root: String,
   private val ChangesFnRe =
     """(?i)graft_table_changes\s*\(\s*'(\w+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
 
-  private def rewriteMetaFns(query: String): String = {
-    // view names carry the catalog identity: two catalogs queried from
-    // one session must not clobber each other's metadata views
-    val ns = s"c${Integer.toHexString(root.hashCode)}"
+  /** Rewrite the metadata table functions to global temp views. Returns
+    * the rewritten query plus the view names it registered — [[sql]]
+    * drops them once the statement is analyzed (view resolution inlines
+    * the child plan, so the name is not needed afterwards), keeping the
+    * global-temp namespace from accumulating over a session. Matches
+    * inside string literals are left untouched. */
+  private def rewriteMetaFns(query: String): (String, Seq[String]) = {
+    // view names carry the catalog identity COLLISION-FREE (the full
+    // root path, sanitized): a 32-bit hash can collide between two
+    // catalogs in one JVM and silently serve the wrong catalog's
+    // metadata to the other's query
+    val ns = "c" + root.replaceAll("[^A-Za-z0-9]", "_")
+    val made = scala.collection.mutable.ArrayBuffer.empty[String]
+    def guard(q: String, re: scala.util.matching.Regex)(
+        mk: scala.util.matching.Regex.Match => String): String = {
+      val spans = LakeCatalog.literalSpans(q)
+      re.replaceAllIn(q, m => java.util.regex.Matcher.quoteReplacement(
+        if (spans(m.start)) m.matched else mk(m)))
+    }
     var q = query
-    if (SnapFnRe.findFirstIn(q).isDefined) {
-      snapshots().createOrReplaceGlobalTempView(s"graft_snapshots_$ns")
-      q = SnapFnRe.replaceAllIn(q, s"global_temp.graft_snapshots_$ns")
+    q = guard(q, SnapFnRe) { _ =>
+      val v = s"graft_snapshots_$ns"
+      snapshots().createOrReplaceGlobalTempView(v); made += v
+      s"global_temp.$v"
     }
-    if (InfoFnRe.findFirstIn(q).isDefined) {
-      tableInfo().createOrReplaceGlobalTempView(s"graft_table_info_$ns")
-      q = InfoFnRe.replaceAllIn(q, s"global_temp.graft_table_info_$ns")
+    q = guard(q, InfoFnRe) { _ =>
+      val v = s"graft_table_info_$ns"
+      tableInfo().createOrReplaceGlobalTempView(v); made += v
+      s"global_temp.$v"
     }
-    ChangesFnRe.replaceAllIn(q, m => {
+    q = guard(q, ChangesFnRe) { m =>
       val (t, v1, v2) = (m.group(1), m.group(2).toLong, m.group(3).toLong)
       val alias = s"graft_changes_${ns}_${t}_${v1}_$v2"
       tableChanges(t, v1, v2).createOrReplaceGlobalTempView(alias)
+      made += alias
       s"global_temp.$alias"
-    })
+    }
+    (q, made.toSeq)
   }
 
   /** Normalize the reference's (DuckDB-flavored) SQL type names to ones
@@ -575,7 +616,7 @@ class LakeCatalog(val spark: SparkSession, val root: String,
       case other =>
         throw new IllegalArgumentException(s"unparseable MERGE tail: $other")
     }
-    val parts = onAndClauses.split("(?i)\\bWHEN\\b").map(_.trim)
+    val parts = LakeCatalog.splitWhenTopLevel(onAndClauses)
     val onCond = parts.head
     val keys = onCond.split("(?i)\\s+AND\\s+").toSeq.map { eq =>
       val EqRe = """(?s)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$""".r
@@ -588,10 +629,22 @@ class LakeCatalog(val spark: SparkSession, val root: String,
           s"MERGE ON must be same-name key equalities over both aliases: $eq")
       }
     }
+    // Rewrite through a collision-proof placeholder: if the SOURCE alias is
+    // literally "t" (or the target alias "s"), a naive sequential rewrite
+    // (tAlias->"t." first, then sAlias->"s.") would re-rewrite the "t."
+    // tokens pass 1 just produced and silently turn target references into
+    // source references. The  sentinel cannot appear in SQL text, so
+    // pass 2 can never touch pass 1's output.
+    require(!tAlias.equalsIgnoreCase(sAlias),
+      s"MERGE target and source aliases must differ, both are '$tAlias'")
     def canon(cond: String, bareSource: Boolean): String = {
-      val c1 = cond.replaceAll(s"(?i)\\b$tAlias\\.", "t.")
-      if (bareSource) c1.replaceAll(s"(?i)\\b$sAlias\\.", "")
-      else c1.replaceAll(s"(?i)\\b$sAlias\\.", "s.")
+      val ph = "\u0001tgt\u0001."
+      val c1 = cond.replaceAll(s"(?i)\\b$tAlias\\.",
+        java.util.regex.Matcher.quoteReplacement(ph))
+      val c2 =
+        if (bareSource) c1.replaceAll(s"(?i)\\b$sAlias\\.", "")
+        else c1.replaceAll(s"(?i)\\b$sAlias\\.", "s.")
+      c2.replace(ph, "t.")
     }
     var cl = MergeClauses()
     val MatchedDel = """(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE$""".r
@@ -617,27 +670,50 @@ class LakeCatalog(val spark: SparkSession, val root: String,
       case other => throw new IllegalArgumentException(
         s"unsupported MERGE clause: WHEN $other")
     }
-    mergeClauses(table, sql(body.trim), keys, cl)
+    inTx(_.mergeClauses(table, sql(body.trim), keys, cl))
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Nil))
   }
 
   def sql(query: String): DataFrame = {
-    val s = current
+    // inside an open interactive transaction, SELECTs see the STAGED
+    // state (read-your-writes) — the view a SQL database gives between
+    // BEGIN and COMMIT; buildSnapshot is pure construction over the
+    // staged table map, nothing is published
+    val s = activeTx match {
+      case Some((tx, v)) => tx.buildSnapshot(v + 1)
+      case None => current
+    }
     val iso = spark.newSession()
     // Time-travel clauses rewrite to versioned temp views BEFORE parsing,
     // so the syntax composes with arbitrary SQL — joining two versions,
     // NOT EXISTS diffs across snapshots, tags as stable version names.
     // Each referenced (table, version) registers the EXACT file list of
     // that snapshot (same path as readAt — no listing, no stale files).
-    val rewritten = AtClauseRe.replaceAllIn(rewriteMetaFns(query), m => {
+    // Matches inside string literals are skipped — `SELECT 't AT
+    // (VERSION => 1)'` is data, not syntax.
+    val (metaQ, metaViews) = rewriteMetaFns(query)
+    val spans = LakeCatalog.literalSpans(metaQ)
+    val rewritten = AtClauseRe.replaceAllIn(metaQ, m => {
+      if (spans(m.start))
+        java.util.regex.Matcher.quoteReplacement(m.matched)
+      else {
       val table = m.group(1)
       val v = m.group(2).toUpperCase match {
         case "VERSION" =>
           Option(m.group(3)).map(_.toLong).getOrElse(resolveRef(m.group(4)))
         case _ =>
-          val raw = Option(m.group(4)).getOrElse(m.group(3)).trim
-          val ldt = java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
-          versionAsOf(ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+          // unquoted digits = epoch millis (a wall-clock string must be
+          // quoted); quoted wall-clocks resolve in the SESSION timezone,
+          // not hardcoded UTC (they coincide under the UTC-pinned bench)
+          Option(m.group(3)) match {
+            case Some(digits) => versionAsOf(digits.toLong)
+            case None =>
+              val raw = m.group(4).trim
+              val zone = java.time.ZoneId.of(
+                spark.conf.get("spark.sql.session.timeZone", "UTC"))
+              val ldt = java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
+              versionAsOf(ldt.atZone(zone).toInstant.toEpochMilli)
+          }
       }
       val alias = s"${table}__at_v$v"
       val snap = snapshot(v)
@@ -645,6 +721,7 @@ class LakeCatalog(val spark: SparkSession, val root: String,
         s"table $table not in snapshot $v"))
       readState(st, iso).createOrReplaceTempView(alias)
       java.util.regex.Matcher.quoteReplacement(alias)
+      }
     })
     s.tables.foreach { case (t, st) =>
       readState(st, iso).createOrReplaceTempView(t)
@@ -652,7 +729,11 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     s.views.foreach { case (v, viewSql) =>
       iso.sql(viewSql).createOrReplaceTempView(v)
     }
-    iso.sql(rewritten)
+    // analysis inlines the metadata views' child plans, so the global
+    // temp names can be dropped immediately — nothing accumulates in
+    // the application-lifetime global_temp namespace
+    try iso.sql(rewritten)
+    finally metaViews.foreach(spark.catalog.dropGlobalTempView)
   }
 
   /** Materialize a stored view (D3): tables become temp views, the stored
@@ -882,6 +963,52 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     * lost publish race the body re-runs against the fresh snapshot
     * (optimistic concurrency — the DuckLake "many concurrent writers
     * through one transactional catalog" model, ref README.md:244). */
+  // --------------------------------------- interactive SQL transactions
+
+  /** Open interactive transaction, if any — the reference's BEGIN
+    * TRANSACTION / COMMIT / ROLLBACK statement surface (ref
+    * demos/01_transaction_rollback/demo.py:85-104,148-151). While open,
+    * every DML/DDL statement routed through [[execute]] stages into it
+    * and SELECTs read the STAGED state (read-your-writes); COMMIT
+    * publishes ONE snapshot covering everything staged. Interactive
+    * statements cannot be replayed, so on a losing OCC race COMMIT
+    * aborts (discarding the staged files) instead of retrying — the
+    * same observable behavior as a serialization failure in a SQL
+    * database. One open transaction per catalog instance. */
+  private var activeTx: Option[(Tx, Long)] = None
+
+  def beginTransaction(): Unit = synchronized {
+    require(activeTx.isEmpty, "transaction already open")
+    val v = currentVersion
+    activeTx = Some((new Tx(this, snapshot(v)), v))
+  }
+
+  def commitTransaction(): Unit = synchronized {
+    val (tx, v) = activeTx.getOrElse(
+      throw new IllegalStateException("COMMIT without an open transaction"))
+    activeTx = None
+    val next = tx.buildSnapshot(v + 1)
+    store.publish(v + 1, next, snapshot(v)) match {
+      case Some(stored) => snapCache.put(v + 1, stored)
+      case None =>
+        tx.cleanupStaged()
+        throw new IllegalStateException("commit conflict: a concurrent " +
+          "writer published first; transaction rolled back")
+    }
+  }
+
+  def rollbackTransaction(): Unit = synchronized {
+    activeTx.foreach(_._1.cleanupStaged())
+    activeTx = None
+  }
+
+  /** Route a mutation into the open interactive transaction when one
+    * exists, else auto-commit it as its own transaction. */
+  private def inTx[T](f: Tx => T): T = activeTx match {
+    case Some((tx, _)) => f(tx)
+    case None => transaction(f)
+  }
+
   def transaction[T](f: Tx => T): T = {
     var attempts = 0
     while (attempts < 25) {
@@ -1161,6 +1288,64 @@ object LakeCatalog {
     }
     out += sb.toString
     out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Positions inside single-quoted SQL string literals (quote chars
+    * included) — the statement-level regex rewrites must never fire
+    * there. Doubled `''` escapes toggle twice and net out inside. */
+  private[lake] def literalSpans(s: String): Array[Boolean] = {
+    val in = new Array[Boolean](s.length)
+    var open = false
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') { in(i) = true; open = !open }
+      else in(i) = open
+      i += 1
+    }
+    in
+  }
+
+  /** Split a MERGE tail on clause-level WHEN boundaries only: a WHEN
+    * inside a string literal, inside parens, or inside a CASE..END
+    * expression belongs to a clause CONDITION (`WHEN MATCHED AND CASE
+    * WHEN ... END THEN ...`), not to the clause list, and the naive
+    * `\bWHEN\b` split mis-parsed exactly those. Returns the ON-condition
+    * head followed by each clause body with its WHEN keyword stripped —
+    * the same shape the naive split produced. */
+  private[lake] def splitWhenTopLevel(s: String): Seq[String] = {
+    val spans = literalSpans(s)
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    def wordAt(i: Int, w: String): Boolean =
+      s.regionMatches(true, i, w, 0, w.length) &&
+        (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+        (i + w.length >= s.length || !isWordChar(s.charAt(i + w.length)))
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var depth = 0; var caseDepth = 0
+    var i = 0
+    while (i < s.length) {
+      if (spans(i)) i += 1
+      else s.charAt(i) match {
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ =>
+          if (wordAt(i, "CASE")) { caseDepth += 1; i += 4 }
+          else if (wordAt(i, "END") && caseDepth > 0) { caseDepth -= 1; i += 3 }
+          else if (wordAt(i, "WHEN") && depth == 0 && caseDepth == 0) {
+            bounds += i; i += 4
+          }
+          else i += 1
+      }
+    }
+    if (bounds.isEmpty) Seq(s.trim)
+    else {
+      val head = s.substring(0, bounds.head).trim
+      val tails = bounds.indices.map { j =>
+        val from = bounds(j) + 4
+        val to = if (j + 1 < bounds.length) bounds(j + 1) else s.length
+        s.substring(from, to).trim
+      }
+      head +: tails
+    }
   }
 
   /** Split once at the first top-level occurrence of `keyword` (word,

@@ -176,6 +176,10 @@ object Stats {
   def comparable(c: ColumnDef): Boolean = c.typeJson match {
     case "\"integer\"" | "\"long\"" | "\"short\"" | "\"byte\"" |
          "\"double\"" | "\"float\"" | "\"string\"" => true
+    // dates/timestamps cast to zero-padded ISO strings, whose
+    // lexicographic order IS chronological order — the string comparator
+    // below is exact for them
+    case "\"date\"" | "\"timestamp\"" => true
     case _ => false
   }
 
@@ -467,7 +471,33 @@ final class FileManifestStore(root: String, conf: Configuration)
   * database-grade atomicity, so many concurrent writers coordinate
   * through one transactional catalog (ref README.md:244) even when the
   * data lives on an object store with no create-exclusive. Metadata
-  * access is one SQL query (ref README.md:245). */
+  * access is one SQL query (ref README.md:245).
+  *
+  * == Derby ↔ PostgreSQL/MySQL dialect audit ==
+  * (no network egress in this sandbox, so the wire-level smoke runs on
+  * embedded Derby; this is the exact delta a Postgres/MySQL DSN needs)
+  *
+  *  1. '''Schema init''': Derby lacks `IF NOT EXISTS`, so init swallows
+  *     SQLState `X0Y32` (table exists). PostgreSQL supports
+  *     `CREATE TABLE IF NOT EXISTS` (or swallow `42P07`); MySQL likewise
+  *     (or swallow errno 1050). The guard list, not the DDL, changes.
+  *  2. '''Types''': `CLOB` → PostgreSQL `TEXT`, MySQL `LONGTEXT`;
+  *     `VARCHAR(80)`/`BIGINT` are portable. Access is plain
+  *     `setString`/`getString`, which every driver maps onto its text
+  *     type — no LOB-locator API is used anywhere.
+  *  3. '''Conditional put''': the duplicate-PK loser detection keys on
+  *     SQLState `23505` — identical on Derby and PostgreSQL; MySQL
+  *     reports `23000` (errno 1062), so the catch widens to
+  *     `e.getSQLState.startsWith("23")`.
+  *  4. '''Isolation''': every operation is a single auto-committed
+  *     statement (one `INSERT`/`SELECT`/`DELETE` per connection lease);
+  *     no multi-statement transaction is ever open, so default READ
+  *     COMMITTED on Postgres/MySQL gives the same observable semantics
+  *     as Derby's default.
+  *  5. '''Driver loading''': `DriverManager.getConnection(dsn)` —
+  *     JDBC 4 service discovery, no `Class.forName`; dropping the
+  *     Postgres/MySQL driver jar on the classpath is the only install
+  *     step. */
 final class JdbcManifestStore(dsn: String) extends ManifestStore {
   import java.sql.{Connection, DriverManager}
 
@@ -567,7 +597,10 @@ final class JdbcManifestStore(dsn: String) extends ManifestStore {
   protected def writeDocExclusive(v: Long, json: String): Boolean = withConn { c =>
     val ps = c.prepareStatement("INSERT INTO graft_manifests VALUES (?, ?)")
     try { ps.setLong(1, v); ps.setString(2, json); ps.executeUpdate(); true }
-    catch { case e: java.sql.SQLException if e.getSQLState == "23505" => false }
+    // integrity-violation class: 23505 on Derby/PostgreSQL, 23000 on
+    // MySQL (errno 1062) — see the dialect audit in the class scaladoc
+    catch { case e: java.sql.SQLException
+        if Option(e.getSQLState).exists(_.startsWith("23")) => false }
     finally ps.close()
   }
 }

@@ -40,10 +40,19 @@ object Mv {
   private val PKeys = "mv.keys"
   private val PSums = "mv.sums"
   private val PVersion = "mv.version"
+  private val PFilter = "mv.filter"
+  private val PDim = "mv.join.dim"
+  private val PFk = "mv.join.fk"
+  private val PPk = "mv.join.pk"
 
   private def aggExprs(sums: Seq[String]): Seq[Column] =
     count(lit(1)).as("n_rows") +:
       sums.map(c => sum(col(c)).as(s"sum_$c"))
+
+  private def joinFrames(f: DataFrame, dm: DataFrame,
+      fk: String, pk: String): DataFrame =
+    if (fk == pk) f.join(dm, Seq(fk))
+    else f.join(dm, f(fk) === dm(pk)).drop(dm(pk))
 
   /** Create `mv` as the materialized grouped aggregate of `base`,
     * atomically with its spec + watermark properties. */
@@ -60,6 +69,44 @@ object Mv {
     tx.setProperty(mv, PVersion, tx.commitVersion.toString)
   }
 
+  /** Create `mv` as a FILTER + single equi-JOIN + grouped aggregate over
+    * two lake tables — the reference's own views join and aggregate
+    * (ref demos/05_catalog_portability/demo.py:150-164); this is that
+    * shape, maintained incrementally. `filter` (optional SQL predicate
+    * over base columns) applies before the join; `keys`/`sums` may draw
+    * from either side of the join.
+    *
+    * Refresh algebra (signed multiset semantics): with base/dim deltas
+    * ΔF/ΔD between the watermark and now,
+    * Δ(F⋈D) = ΔF⋈D₀ ∪ F₀⋈ΔD ∪ ΔF⋈ΔD, each row signed by the product
+    * of its inputs' change signs. Both "old" sides come from TIME TRAVEL
+    * at the watermark version (snapshots are catalog-level, so one
+    * watermark covers both tables). When the dim did not change — the
+    * overwhelmingly common refresh — only the ΔF⋈D₀ leg runs and the
+    * cost is O(fact delta); a changed dim pays one fact-side pass for
+    * the F₀⋈ΔD leg (the documented price every incremental-MV framework
+    * charges for dimension churn). */
+  def createJoin(cat: LakeCatalog, mv: String, base: String, dim: String,
+      fk: String, pk: String, filter: Option[String],
+      keys: Seq[String], sums: Seq[String]): Unit = cat.transaction { tx =>
+    require(keys.nonEmpty, "mv needs at least one group key")
+    val f0 = tx.read(base)
+    val f = filter.map(f0.filter).getOrElse(f0)
+    val df = joinFrames(f, tx.read(dim), fk, pk)
+      .groupBy(keys.map(col): _*)
+      .agg(aggExprs(sums).head, aggExprs(sums).tail: _*)
+    tx.createTable(mv, df.schema, primaryKey = keys)
+    tx.insert(mv, df)
+    tx.setProperty(mv, PBase, base)
+    tx.setProperty(mv, PKeys, keys.mkString(","))
+    tx.setProperty(mv, PSums, sums.mkString(","))
+    tx.setProperty(mv, PDim, dim)
+    tx.setProperty(mv, PFk, fk)
+    tx.setProperty(mv, PPk, pk)
+    filter.foreach(tx.setProperty(mv, PFilter, _))
+    tx.setProperty(mv, PVersion, tx.commitVersion.toString)
+  }
+
   /** Advance `mv` to the base table's current state. Returns "noop"
     * (already fresh), "incremental" (delta applied) or "full"
     * (watermark expired → recompute) — the path actually taken, so
@@ -73,6 +120,10 @@ object Mv {
         throw new IllegalArgumentException(s"$mv is not a materialized view"))
       val keys = props(PKeys).split(",").toSeq.filter(_.nonEmpty)
       val sums = props(PSums).split(",").toSeq.filter(_.nonEmpty)
+      val joinSpec = props.get(PDim).map(dim => (dim, props(PFk), props(PPk)))
+      val filt = props.get(PFilter)
+      def withFilter(df: DataFrame): DataFrame =
+        filt.map(df.filter).getOrElse(df)
       val lastV = props(PVersion).toLong
       val curV = tx.baseVersion
       if (lastV == curV) throw AlreadyFresh // no empty snapshot
@@ -80,17 +131,48 @@ object Mv {
         // watermark vacuumed: the feed below it is gone — full reload
         mode = "full"
         tx.delete(mv, lit(true))
-        val df = tx.read(base).groupBy(keys.map(col): _*)
-          .agg(aggExprs(sums).head, aggExprs(sums).tail: _*)
-        tx.insert(mv, df)
+        val f = withFilter(tx.read(base))
+        val src = joinSpec match {
+          case Some((dim, fk, pk)) => joinFrames(f, tx.read(dim), fk, pk)
+          case None => f
+        }
+        tx.insert(mv, src.groupBy(keys.map(col): _*)
+          .agg(aggExprs(sums).head, aggExprs(sums).tail: _*))
       } else {
         mode = "incremental"
-        val delta = cat.tableChanges(base, lastV, curV)
         val sign = when(
           col("change_type").isin("insert", "update_postimage"), 1L)
           .otherwise(-1L)
-        val dAggs = sum(sign).as("__dn") +:
-          sums.map(c => sum(sign * col(c)).as(s"__d_$c"))
+        // signed delta rows carrying keys + summed columns + `__sgn`
+        val delta: DataFrame = joinSpec match {
+          case None =>
+            withFilter(cat.tableChanges(base, lastV, curV))
+              .withColumn("__sgn", sign)
+          case Some((dim, fk, pk)) =>
+            // Δ(F⋈D) = ΔF⋈D₀ ∪ F₀⋈ΔD ∪ ΔF⋈ΔD (signs multiply);
+            // old states via time travel at the shared watermark
+            val dF = withFilter(cat.tableChanges(base, lastV, curV))
+              .withColumn("__sf", sign).drop("change_type")
+            val dD = cat.tableChanges(dim, lastV, curV)
+              .withColumn("__sd", sign).drop("change_type")
+            val sel = (keys ++ sums).distinct.map(col) :+ col("__sgn")
+            val dOld = cat.readAt(dim, lastV)
+            val leg1 = joinFrames(dF, dOld, fk, pk)
+              .withColumn("__sgn", col("__sf")).select(sel: _*)
+            // unchanged dim (the common refresh): one O(fact-delta) leg
+            if (dD.isEmpty) leg1
+            else {
+              val fOld = withFilter(cat.readAt(base, lastV))
+              val leg2 = joinFrames(fOld, dD, fk, pk)
+                .withColumn("__sgn", col("__sd")).select(sel: _*)
+              val leg3 = joinFrames(dF, dD, fk, pk)
+                .withColumn("__sgn", col("__sf") * col("__sd"))
+                .select(sel: _*)
+              leg1.unionByName(leg2).unionByName(leg3)
+            }
+        }
+        val dAggs = sum(col("__sgn")).as("__dn") +:
+          sums.map(c => sum(col("__sgn") * col(c)).as(s"__d_$c"))
         val deltaAgg = delta.groupBy(keys.map(col): _*)
           .agg(dAggs.head, dAggs.tail: _*)
         // join changed groups against their CURRENT MV row (delta-sized)

@@ -64,6 +64,10 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
   /** Read a table as staged inside this transaction. */
   def read(table: String): DataFrame = cat.readState(state(table))
 
+  /** Staged state lookup for the catalog's interactive-SQL surface
+    * (read-your-writes SELECTs between BEGIN and COMMIT). */
+  private[lake] def stagedState(table: String): TableState = state(table)
+
   // ------------------------------------------------------------------- DDL
 
   /** D1 `CREATE TABLE` (ref demos/01_transaction_rollback/demo.py:33-55).
@@ -905,22 +909,41 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     require(cols.size <= 4, "zorder supports at most 4 columns")
     require(cols.forall(c => st.columns.exists(_.name == c)),
       s"zorder columns must exist on $table")
-    // z-bucketing is min-max arithmetic: a non-numeric column casts to
-    // NULL for every row and the rewrite would silently degenerate to one
-    // unordered partition — refuse instead
-    cols.foreach { c =>
-      val cd = st.columns.find(_.name == c).get
-      require(DataType.fromJson(cd.typeJson).isInstanceOf[NumericType],
-        s"zorder column $table.$c must be numeric " +
-          s"(got ${DataType.fromJson(cd.typeJson).simpleString}); " +
-          "cast dates/timestamps to a numeric column first")
+    // z-bucketing is min-max arithmetic over a per-type NUMERIC key:
+    //  - numerics cast directly;
+    //  - dates/timestamps map to their epoch day/microsecond counts
+    //    (order-preserving integers);
+    //  - strings use truncated-byte bucketing (Delta's Z-ORDER accepts
+    //    strings the same way; real lakes z-order on (domain, hash) and
+    //    (id, date) pairs): the table's COMMON PREFIX — derivable from
+    //    the string min/max the bounds agg fetches anyway, since every
+    //    value shares exactly the prefix min and max share — is
+    //    stripped first (think "domain_00".."domain_15": the leading
+    //    bytes are identical and carry zero information), then the next
+    //    6 bytes form a big-endian integer. UTF8 byte order is Spark's
+    //    string order, and 48 bits stays exact in the double math.
+    // An unsupported type (array/map/binary) would key to NULL for every
+    // row and silently degenerate to one unordered partition — refuse.
+    val types = cols.map(c => c ->
+      DataType.fromJson(st.columns.find(_.name == c).get.typeJson)).toMap
+    def numExpr(c: String): Option[String] = types(c) match {
+      case _: NumericType => Some(s"cast(`$c` AS double)")
+      case DateType => Some(s"cast(unix_date(`$c`) AS double)")
+      case TimestampType => Some(s"cast(unix_micros(`$c`) AS double)")
+      case StringType => None
+      case other => throw new IllegalArgumentException(
+        s"zorder column $table.$c must be numeric, string, date or " +
+          s"timestamp (got ${other.simpleString})")
     }
+    cols.foreach(numExpr) // validate every key type BEFORE any plan work
     if (st.files.isEmpty) return
     val df0 = read(table)
-    // min/max bounds per key, one distributed agg
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).cast(DoubleType).as(s"mn_$c"),
-        max(col(c)).cast(DoubleType).as(s"mx_$c")))
+    // bounds per key, one distributed agg (strings fetch raw min/max;
+    // their numeric key + bounds are finalized driver-side below)
+    val aggs = cols.flatMap { c =>
+      val e = numExpr(c).getOrElse(s"`$c`")
+      Seq(min(expr(e)).as(s"mn_$c"), max(expr(e)).as(s"mx_$c"))
+    }
     val row = df0.agg(aggs.head, aggs.tail: _*).head()
     val k = cols.size
     // the interleaved key must stay inside the SIGNED 63-bit budget of
@@ -930,11 +953,33 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     // for 2-3 keys (<= 47), 4 keys drop to 15 bits/key (= 59).
     val bits = if (k == 4) 15 else 16
     val bmax = (1L << bits) - 1
+    // big-endian integer of 6 bytes starting at byte `off` (zero-padded)
+    def strKey(s: String, off: Int): Double = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var v = 0L
+      var i = 0
+      while (i < 6) {
+        v = (v << 8) | (if (off + i < b.length) b(off + i) & 0xffL else 0L)
+        i += 1
+      }
+      v.toDouble
+    }
     val bucketExprs = cols.zipWithIndex.map { case (c, i) =>
-      val mn = row.getAs[Double](s"mn_$c")
-      val mx = row.getAs[Double](s"mx_$c")
+      val (ke, mn, mx) = numExpr(c) match {
+        case Some(e) =>
+          (e, row.getAs[Double](s"mn_$c"), row.getAs[Double](s"mx_$c"))
+        case None =>
+          val mnS = Option(row.getAs[String](s"mn_$c")).getOrElse("")
+          val mxS = Option(row.getAs[String](s"mx_$c")).getOrElse("")
+          val mnB = mnS.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val mxB = mxS.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val off = mnB.zip(mxB).takeWhile { case (a, b) => a == b }.length
+          val e = s"cast(conv(hex(rpad(substring(cast(`$c` AS binary), " +
+            s"${off + 1}, 6), 6, x'00')), 16, 10) AS double)"
+          (e, strKey(mnS, off), strKey(mxS, off))
+      }
       val span = if (mx > mn) mx - mn else 1.0
-      s"greatest(0L, least(${bmax}L, cast((cast(`$c` AS double) - $mn) " +
+      s"greatest(0L, least(${bmax}L, cast((($ke) - $mn) " +
         s"* $bmax.0 / $span AS bigint))) AS __b$i"
     }
     val zbits = (for (j <- 0 until bits; i <- 0 until k)

@@ -385,6 +385,108 @@ class LakeSpec extends SparkSpec {
     assert(cat.currentVersion === 2L)
   }
 
+  test("MERGE keeps references straight under adversarial t/s aliases") {
+    // the engine canonicalizes clause conditions onto reserved "t."/"s."
+    // prefixes; a statement whose SOURCE alias is literally "t" (and
+    // target "s") used to have pass 2 re-rewrite pass 1's output, turning
+    // target references into source references with no error
+    val cat = newLake()
+    cat.createTableAs("m2", Seq((1L, 10L), (2L, 200L)).toDF("id", "v"))
+    cat.execute(
+      "MERGE INTO m2 AS s USING (SELECT * FROM VALUES (1, 100), (2, 2), " +
+        "(3, 300) AS x(id, v)) t ON s.id = t.id " +
+        "WHEN MATCHED AND s.v < t.v THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    // id=1: target 10 < source 100 → updated; id=2: 200 > 2 → untouched
+    val out = cat.read("m2").orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 100L), (2L, 200L), (3L, 300L)))
+    // identical aliases are ambiguous → refused
+    intercept[IllegalArgumentException] {
+      cat.execute("MERGE INTO m2 AS a USING (SELECT 1 AS id, 2 AS v) a " +
+        "ON a.id = a.id WHEN MATCHED THEN DELETE")
+    }
+  }
+
+  test("MERGE clause conditions may contain CASE WHEN expressions") {
+    // the clause list splits on CLAUSE-level WHEN only — a WHEN inside a
+    // CASE expression (or a string literal) belongs to the condition
+    val cat = newLake()
+    cat.createTableAs("m3",
+      Seq((1L, 10L), (2L, 60L), (3L, 99L)).toDF("id", "v"))
+    cat.execute(
+      "MERGE INTO m3 AS tgt USING (SELECT * FROM VALUES (2, 0), (3, 0), " +
+        "(4, 40) AS x(id, v)) src ON tgt.id = src.id " +
+        "WHEN MATCHED AND (CASE WHEN tgt.v > 90 THEN 'drop' " +
+        "ELSE 'keep' END) = 'drop' THEN DELETE " +
+        "WHEN NOT MATCHED AND (CASE WHEN v >= 40 THEN true " +
+        "ELSE false END) THEN INSERT *")
+    // id=3 deleted (99>90), id=2 matched-but-kept, id=4 inserted (40>=40)
+    val out = cat.read("m3").orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 10L), (2L, 60L), (4L, 40L)))
+  }
+
+  test("AT clause inside a string literal is data, not syntax") {
+    val cat = newLake()
+    cat.createTableAs("t", Seq(1, 2, 3, 4).toDF("id"))        // v1
+    cat.delete("t", col("id") % 2 === 0)                      // v2
+    val (lit0, n) = cat.sql(
+      "SELECT 't AT (VERSION => 1)' AS lit, count(*) AS n FROM t GROUP BY 1")
+      .as[(String, Long)].head()
+    assert(lit0 === "t AT (VERSION => 1)")  // untouched by the rewrite
+    assert(n === 2L)                        // and the scan is CURRENT t
+  }
+
+  test("unquoted AT TIMESTAMP operand resolves as epoch millis") {
+    val cat = newLake()
+    cat.createTableAs("t", Seq(1, 2, 3, 4).toDF("id"))        // v1
+    cat.delete("t", col("id") % 2 === 0)                      // v2
+    val t1 = cat.current.history.find(_.snapshotId == 1L).get.timestampMs
+    assert(cat.sql(s"SELECT count(*) AS n FROM t AT (TIMESTAMP => $t1)")
+      .as[Long].head() === cat.readAsOf("t", t1).count())
+  }
+
+  test("metadata-fn temp views are dropped once the statement resolves") {
+    val cat = newLake()
+    cat.createTableAs("t", Seq(1, 2).toDF("id"))
+    assert(cat.sql("SELECT count(*) AS n FROM graft_snapshots()")
+      .as[Long].head() >= 1L)
+    val leftover = spark.catalog.listTables("global_temp").collect()
+      .map(_.name).filter(_.startsWith("graft_"))
+    assert(leftover.isEmpty,
+      s"metadata views must not accumulate: ${leftover.mkString(",")}")
+  }
+
+  test("interactive BEGIN/COMMIT/ROLLBACK: staged visibility, atomicity, guards") {
+    val cat = newLake()
+    cat.execute("CREATE TABLE t (id INTEGER, v INTEGER)")
+    cat.execute("BEGIN TRANSACTION")
+    cat.execute("INSERT INTO t VALUES (1, 10), (2, 20)")
+    // read-your-writes inside the open transaction
+    assert(cat.execute("SELECT count(*) AS n FROM t").as[Long].head() === 2L)
+    // nothing committed yet
+    assert(cat.read("t").count() === 0L)
+    // a second BEGIN while one is open is refused
+    intercept[IllegalArgumentException] { cat.execute("BEGIN") }
+    cat.execute("COMMIT")
+    assert(cat.read("t").count() === 2L)
+    intercept[IllegalStateException] { cat.execute("COMMIT") }
+    // rollback leaves no rows and no snapshot
+    val v = cat.currentVersion
+    cat.execute("BEGIN")
+    cat.execute("DELETE FROM t WHERE id = 1")
+    assert(cat.execute("SELECT count(*) AS n FROM t").as[Long].head() === 1L)
+    cat.execute("ROLLBACK")
+    assert(cat.read("t").count() === 2L)
+    assert(cat.currentVersion === v)
+    // losing the OCC race aborts the interactive txn instead of retrying
+    // (its statements cannot be replayed); the concurrent write survives
+    cat.execute("BEGIN")
+    cat.execute("INSERT INTO t VALUES (3, 30)")
+    cat.insert("t", Seq((9, 90)).toDF("id", "v")) // concurrent autocommit
+    intercept[IllegalStateException] { cat.execute("COMMIT") }
+    assert(cat.read("t").select("id").as[Int].collect().toSet === Set(1, 2, 9))
+  }
+
   test("router: column-list INSERT and PARTITIONED BY create") {
     val cat = newLake()
     cat.execute("CREATE TABLE m (id INTEGER PRIMARY KEY, " +
@@ -655,6 +757,50 @@ class LakeSpec extends SparkSpec {
     cat.insert("sales", mk(650, 700))
     cat.vacuum(keepLast = 1)
     assert(graft.lake.Mv.refresh(cat, "sales_by_k") === "full")
+    assert(mvState() === recompute())
+  }
+
+  test("join+filter MV: incremental under fact AND dim churn; expiry falls back") {
+    val cat = newLake()
+    cat.createTable("fact", StructType(Seq(
+      StructField("id", LongType), StructField("k", LongType),
+      StructField("v", LongType))), primaryKey = Seq("id"))
+    val mk = (lo: Int, hi: Int) => spark.range(lo, hi)
+      .selectExpr("id", "id % 7 AS k", "id * 10 AS v")
+    cat.insert("fact", mk(0, 500))
+    cat.createTableAs("dm",
+      spark.range(7).selectExpr("id AS k", "id % 3 AS grp"))
+    graft.lake.Mv.createJoin(cat, "fact_by_grp", "fact", "dm",
+      "k", "k", Some("id % 2 = 0"), Seq("grp"), Seq("v"))
+    def recompute() = cat.read("fact").filter("id % 2 = 0")
+      .join(cat.read("dm"), Seq("k"))
+      .groupBy("grp").agg(count(lit(1)).as("n_rows"), sum("v").as("sum_v"))
+      .orderBy("grp").collect().map(_.toString).toSeq
+    def mvState() = cat.read("fact_by_grp")
+      .select(col("grp"), col("n_rows"), col("sum_v"))
+      .orderBy("grp").collect().map(_.toString).toSeq
+    assert(mvState() === recompute())
+    assert(graft.lake.Mv.refresh(cat, "fact_by_grp") === "noop")
+    // fact-side churn (insert/update/delete) → incremental, one leg
+    cat.insert("fact", mk(500, 650))
+    cat.update("fact", col("id") < 50, Map("v" -> (col("v") + 5L)))
+    cat.delete("fact", col("id") >= 600)
+    assert(graft.lake.Mv.refresh(cat, "fact_by_grp") === "incremental")
+    assert(mvState() === recompute())
+    // dim-side churn (a k moves groups) → incremental, all three legs
+    cat.update("dm", col("k") === 5L, Map("grp" -> lit(0L)))
+    assert(graft.lake.Mv.refresh(cat, "fact_by_grp") === "incremental")
+    assert(mvState() === recompute())
+    // simultaneous fact+dim churn in the same refresh window
+    cat.insert("fact", mk(650, 680))
+    cat.update("dm", col("k") === 1L, Map("grp" -> lit(2L)))
+    cat.delete("fact", col("k") === 2L)
+    assert(graft.lake.Mv.refresh(cat, "fact_by_grp") === "incremental")
+    assert(mvState() === recompute())
+    // expired watermark → full reload, same answer
+    cat.insert("fact", mk(680, 700))
+    cat.vacuum(keepLast = 1)
+    assert(graft.lake.Mv.refresh(cat, "fact_by_grp") === "full")
     assert(mvState() === recompute())
   }
 
@@ -939,12 +1085,47 @@ class LakeSpec extends SparkSpec {
     assert(cat.read("t").count() === 2701L)
   }
 
-  test("zorder refuses non-numeric columns instead of silently degenerating") {
+  test("zorder on a (string, numeric) pair prunes on both dimensions") {
+    // real lakes z-order on (domain, hash) / (id, date) pairs: the string
+    // key buckets by its first bytes (UTF8 byte order = Spark string
+    // order), so manifest stats box BOTH dimensions
+    val cat = newLake()
+    // 16 domains × 512 rows, domain and v independent; small target files
+    // so the curve splits fine enough to box a 2-domain probe
+    val df = spark.range(8192).selectExpr(
+      "concat('domain_', lpad(cast(id % 16 AS string), 2, '0')) AS dom",
+      "cast((id * 2654435761L) % 8192 AS bigint) AS v")
+    cat.createTableAs("t", df.repartition(4))
+    cat.zorder("t", Seq("dom", "v"), targetFileBytes = 2L << 10)
+    val nf = cat.tableStats().filter(col("column_name") === "v").count()
+    assert(nf > 8, "need several files for the pruning claim")
+    // string-range probe prunes files...
+    val domOverlap = cat.tableStats()
+      .filter(col("table_name") === "t" && col("column_name") === "dom" &&
+        col("min_value") <= "domain_03" && col("max_value") >= "domain_02")
+      .count()
+    assert(domOverlap < nf, "z-order must prune on the string dimension")
+    // ...and the numeric dimension still prunes too
+    val vOverlap = cat.tableStats()
+      .filter(col("table_name") === "t" && col("column_name") === "v" &&
+        col("min_value").cast("double") <= 500.0 &&
+        col("max_value").cast("double") >= 100.0).count()
+    assert(vOverlap < nf, "z-order must prune on the numeric dimension")
+    // pruned reads return exactly what a full scan would
+    val viaRange = cat.readRange("t", "dom", "domain_02", "domain_03")
+      .agg(count(lit(1))).head().getLong(0)
+    val viaScan = cat.read("t")
+      .filter(col("dom") >= "domain_02" && col("dom") <= "domain_03")
+      .agg(count(lit(1))).head().getLong(0)
+    assert(viaRange === viaScan && viaRange === 1024L) // 2 domains x 512
+  }
+
+  test("zorder refuses unsupported key types instead of degenerating") {
     val cat = newLake()
     cat.createTableAs("t", spark.range(100)
-      .selectExpr("id AS a", "concat('k', id) AS s"))
+      .selectExpr("id AS a", "array(id, id + 1) AS arr"))
     intercept[IllegalArgumentException] {
-      cat.zorder("t", Seq("a", "s"))
+      cat.zorder("t", Seq("a", "arr"))
     }
   }
 
