@@ -10,12 +10,19 @@ object QTime {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // QTIME_SHUF=n: A/B the per-task scheduling cost of shuffle width
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("QTIME_SHUF", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // QTIME_NOAQE=1: A/B the adaptive-execution overhead on tiny queries
       .config("spark.sql.adaptive.enabled",
         (!sys.env.contains("QTIME_NOAQE")).toString)
+      // QTIME_PARFIRST=0: let AQE coalesce small shuffles by SIZE (down
+      // to 1 partition) instead of protecting parallelism
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("QTIME_PARFIRST", "1") match {
+          case "0" => "false"; case _ => "true" })
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
