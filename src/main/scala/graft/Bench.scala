@@ -41,6 +41,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Adaptive execution stays at its default (ON): the A/B in
+      // bench/FLOOR_ANALYSIS.md measured AQE-off as a net LOSS here
+      // (heavy leg +2 s from losing runtime coalescing; floor leg flat
+      // because the constant is scheduler+action machinery, not AQE).
+      // SPARK_GRAFT_AQE=0 re-runs that experiment.
+      .config("spark.sql.adaptive.enabled",
+        (!sys.env.get("SPARK_GRAFT_AQE").contains("0")).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (executor threads, codegen compiler, shuffle infra,

@@ -29,13 +29,29 @@ object QTime {
     // QTIME_WARM=1 reproduces Bench's conditions (tables persisted once)
     if (sys.env.contains("QTIME_WARM")) Tables.warm(spark, sfDir)
     val explain = sys.env.contains("QTIME_EXPLAIN")
+    // QTIME_PHASE=1: decompose the per-query constant — plan build,
+    // Catalyst analyze+optimize+physical planning, then execution — to
+    // attribute the local-mode floor (~50-70 ms/query) to its source
+    val phase = sys.env.contains("QTIME_PHASE")
     args.drop(1).foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      if (explain) df.explain("formatted")
-      else {
+      if (phase) {
         val t0 = System.nanoTime()
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan // forces analyze+optimize+plan
+        val t2 = System.nanoTime()
         val n = df.count()
-        println(f"QTIME $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+        val t3 = System.nanoTime()
+        println(f"QPHASE $name rows=$n build=${(t1 - t0) / 1e6}%.0fms " +
+          f"plan=${(t2 - t1) / 1e6}%.0fms exec=${(t3 - t2) / 1e6}%.0fms")
+      } else {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        if (explain) df.explain("formatted")
+        else {
+          val t0 = System.nanoTime()
+          val n = df.count()
+          println(f"QTIME $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+        }
       }
     }
     spark.stop()
