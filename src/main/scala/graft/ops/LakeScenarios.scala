@@ -2198,6 +2198,30 @@ object LakeScenarios {
         WHERE w.win_start + INTERVAL 1 HOUR <= m.mx - INTERVAL 2 HOUR
         ORDER BY win_start, event_type""")),
 
+    // ST8 — SLIDING windows (2-hour windows every 30 minutes): each
+    // event belongs to exactly 4 overlapping windows — overlap
+    // multiplies window-state keys, never the input scan. Oracle:
+    // DuckDB fans each event to its 4 aligned window starts
+    // (time_bucket minus k x slide) and applies the same append-mode
+    // watermark emission rule, so the overlap semantics AND lateness
+    // handling are hash-verified.
+    QDef("st8_stream_sliding",
+      (s, d) => graft.streaming.EventStream.slidingProfile(s, d), Some("""
+        WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+                   FROM events),
+             m AS (SELECT max(ts) AS mx FROM e),
+             x AS (SELECT time_bucket(INTERVAL 30 MINUTE, ts)
+                            - k.k * INTERVAL 30 MINUTE AS win_start,
+                          event_type, value
+                   FROM e, (SELECT unnest(range(0, 4)) AS k) k),
+             w AS (SELECT win_start, event_type, count(*) AS n,
+                          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                            AS sum_value
+                   FROM x GROUP BY 1, 2)
+        SELECT w.win_start, w.event_type, w.n, w.sum_value FROM w, m
+        WHERE w.win_start + INTERVAL 2 HOUR <= m.mx - INTERVAL 2 HOUR
+        ORDER BY win_start, event_type""")),
+
     // ST6 — stream-static enrichment join: the events stream decorated
     // from a broadcast dimension (per-user tier), then the st1 window
     // shape per tier. The oracle replays the enrichment as a plain

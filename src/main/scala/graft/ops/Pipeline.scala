@@ -1225,6 +1225,86 @@ object Pipeline {
         "SELECT qid, rank, nid, adot, cos FROM rk WHERE rank <= 3 " +
         "ORDER BY qid, rank")),
 
+    // SS7 FILTERED ANN — the production RAG query: top-k neighbors
+    // AMONG rows satisfying a metadata predicate (here: the query's own
+    // label — the "same tenant/collection" shape). Strategy is a
+    // filter-aware PARTITIONED index: the label rides the LSH bucket
+    // key, so candidate generation is (band, bits, label)-local and the
+    // filter never post-prunes the shortlist (post-filtering is the
+    // classic filtered-ANN recall killer — a top-20 shortlist computed
+    // ignoring the filter can have < k survivors). At 100 TB this is
+    // exactly how Qdrant/Milvus shard payload-filtered collections:
+    // per-partition indexes, query routed to its partition. Integer
+    // quantized-dot shortlist + exact re-rank, deterministic end to
+    // end, fully HASH-verified.
+    QDef("ss7_filtered_ann",
+      (s, d) => {
+        graft.functions.DotProduct.register(s)
+        val e = T.embeddings(s, d)
+          .selectExpr("vec_id", "cast(label AS bigint) AS label",
+            "cast(embedding AS array<double>) AS v")
+          .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+          .withColumn("qv", expr(
+            "transform(v, x -> cast(greatest(-8L, least(7L, floor(x * 16))) AS double))"))
+        val bands = e.selectExpr("vec_id", "label",
+          "explode(transform(sequence(0, 3), b -> struct(b AS band, " +
+            "aggregate(sequence(0, 7), 0L, (acc, j) -> acc + " +
+            "IF(element_at(v, b * 16 + j + 1) >= cast(0 AS double), " +
+            "shiftleft(1L, j), 0L)) AS bv))) AS x")
+          .selectExpr("vec_id", "label", "x.band AS band", "x.bv AS bv")
+        val cand = bands.as("qb").join(bands.as("nb"),
+            col("qb.band") === col("nb.band") && col("qb.bv") === col("nb.bv") &&
+              col("qb.label") === col("nb.label") &&
+              col("qb.vec_id") =!= col("nb.vec_id"))
+          .filter(col("qb.vec_id") % 100 === 0)
+          .select(col("qb.vec_id").as("qid"), col("qb.label").as("qlabel"),
+            col("nb.vec_id").as("nid"))
+          .distinct()
+        val short = cand
+          .join(e.as("a"), col("qid") === col("a.vec_id"))
+          .join(e.as("b"), col("nid") === col("b.vec_id"))
+          .selectExpr("qid", "qlabel", "nid",
+            "cast(graft_dot(a.qv, b.qv) AS bigint) AS adot")
+          .withColumn("arank", row_number().over(
+            Window.partitionBy("qid").orderBy(col("adot").desc, col("nid"))))
+          .filter(col("arank") <= 20)
+        short
+          .join(e.as("a"), col("qid") === col("a.vec_id"))
+          .join(e.as("b"), col("nid") === col("b.vec_id"))
+          .selectExpr("qid", "qlabel", "nid", s"round($cosSparkAB, 6) AS cos")
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
+          .filter(col("rank") <= 3)
+          .select("qid", "qlabel", "rank", "nid", "cos")
+          .orderBy("qid", "rank")
+      },
+      Some("WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, " +
+        "embedding::DOUBLE[] AS v, " +
+        "sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm, " +
+        "list_transform(embedding::DOUBLE[], " +
+        "x -> greatest(-8, least(7, floor(x * 16)))::BIGINT) AS qv " +
+        "FROM embeddings), " +
+        "bands AS (SELECT vec_id, label, t.band, " +
+        "list_sum(list_transform(range(0, 8), j -> CASE WHEN " +
+        "v[t.band * 16 + j + 1] >= 0 THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS bv " +
+        "FROM e, (SELECT unnest(range(0, 4)) AS band) t), " +
+        "cand AS (SELECT DISTINCT qb.vec_id qid, qb.label qlabel, nb.vec_id nid " +
+        "FROM bands qb JOIN bands nb ON qb.band = nb.band AND qb.bv = nb.bv " +
+        "AND qb.label = nb.label AND qb.vec_id <> nb.vec_id " +
+        "WHERE qb.vec_id % 100 = 0), " +
+        "approx AS (SELECT qid, qlabel, nid, " +
+        "list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i]))::BIGINT AS adot " +
+        "FROM cand JOIN e a ON qid = a.vec_id JOIN e b ON nid = b.vec_id), " +
+        "short AS (SELECT qid, qlabel, nid, adot, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY adot DESC, nid) AS arank FROM approx), " +
+        s"rer AS (SELECT s.qid, s.qlabel, s.nid, round($cosDuckAB, 6) AS cos " +
+        "FROM short s JOIN e a ON s.qid = a.vec_id JOIN e b ON s.nid = b.vec_id " +
+        "WHERE s.arank <= 20), " +
+        "rk AS (SELECT qid, qlabel, nid, cos, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM rer) " +
+        "SELECT qid, qlabel, rank, nid, cos FROM rk WHERE rank <= 3 " +
+        "ORDER BY qid, rank")),
+
     // SS6 hybrid search — the RAG-retrieval shape: a KEYWORD leg (shared
     // rare terms through the df-capped inverted index, scored by integer
     // term rarity Σ(N − df) so ranking never touches floats) and a

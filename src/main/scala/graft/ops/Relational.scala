@@ -882,10 +882,12 @@ object Relational {
     QDef("a16_cms_heavy_hitters",
       (s, d) => {
         val ev = T.events(s, d)
-        val total = ev.count()
         val eps = 0.001
         val cms = ev.stat.countMinSketch(col("event_type"),
           eps, 0.99, 42)
+        // N rides the sketch itself (CountMinSketch.totalCount) — no
+        // separate count() pass over the table
+        val total = cms.totalCount()
         val top = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("event_type")).limit(5)
         import s.implicits._

@@ -159,7 +159,8 @@ class PlanSpec extends SparkSpec {
   test("no dedup/similarity query degenerates to a cartesian product") {
     Seq("dd2_ngram_jaccard", "dd3_minhash_lsh", "dd4_simhash",
       "dd5_embed_neardup", "dd6_dedup_clusters", "dd7_survivor_select",
-      "ss2_ann_lsh", "ss4_sq_rerank", "x13_decontaminate").foreach { q =>
+      "ss2_ann_lsh", "ss4_sq_rerank", "ss7_filtered_ann",
+      "x13_decontaminate").foreach { q =>
       val s = planString(q)
       assert(!s.contains("CartesianProduct"),
         s"$q must stay band/bucket-local\n" + s.take(2000))

@@ -31,6 +31,27 @@ class StreamingSpec extends SparkSpec {
     assert(sm.size >= bm.size - 3)
   }
 
+  test("sliding windows: every event in 4 overlaps; closed windows match batch") {
+    val streamed = EventStream.slidingProfile(spark, d)
+    val batch = Tables.events(spark, d)
+      .groupBy(window(col("ts"), "2 hours", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+    import spark.implicits._
+    val sm = streamed.select("win_start", "event_type", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map(r => (r._1.getTime, r._2) -> r._3).toMap
+    val bm = batch
+      .as[(java.sql.Timestamp, String, Long)].collect()
+      .map(r => (r._1.getTime, r._2) -> r._3).toMap
+    assert(sm.nonEmpty, "stream emitted no closed windows")
+    sm.foreach { case (k, n) => assert(bm(k) === n, s"window $k") }
+    // overlap factor: total window-rows across the sliding agg = 4x the
+    // event count (each event lands in exactly window/slide = 4 windows)
+    val n_events = Tables.events(spark, d).count()
+    assert(bm.values.sum === 4L * n_events)
+  }
+
   test("streaming results are state-partition-count invariant") {
     // the stateful-operator partition count is a TUNING knob (store-commit
     // fixed cost vs scheduling), never a semantics knob: the drained
