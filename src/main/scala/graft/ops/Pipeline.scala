@@ -1225,6 +1225,64 @@ object Pipeline {
         "SELECT qid, rank, nid, adot, cos FROM rk WHERE rank <= 3 " +
         "ORDER BY qid, rank")),
 
+    // X25 n-gram NOVELTY — the dataset-curation contribution stat: for
+    // each document (in ingestion order = doc_id), how many of its
+    // 3-gram shingles were never seen in any EARLIER document. Curation
+    // pipelines use the novelty curve to decide when a source is
+    // exhausted (novelty → 0 means additional docs only repeat the
+    // corpus). One shuffle on the shingle (window min over doc_id), one
+    // hash-agg per doc — same scale shape as tf-idf, never all-pairs.
+    QDef("x25_ngram_novelty",
+      (s, d) => {
+        val sh = docShinglesX(s, d)
+        sh.withColumn("min_doc",
+            min("doc_id").over(Window.partitionBy("s")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("min_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH sh AS ($docShinglesXD), " +
+        "m AS (SELECT s, min(doc_id) AS min_doc FROM sh GROUP BY s) " +
+        "SELECT doc_id, count(*) AS n_shingles, " +
+        "CAST(sum(CASE WHEN min_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_novel " +
+        "FROM sh JOIN m USING (s) GROUP BY doc_id ORDER BY doc_id")),
+
+    // X26 VOCABULARY COVERAGE / OOV rate — tokenizer-vocab fit check:
+    // the corpus' top-20 tokens (by count, total tie-break) stand in
+    // for a tokenizer vocabulary, and each document reports how many of
+    // its token occurrences the vocab covers. The vocab is a broadcast
+    // 20-row frame — the per-doc pass is map-side join + hash-agg, no
+    // second corpus shuffle; integer counts only, the ratio left to the
+    // consumer.
+    QDef("x26_vocab_coverage",
+      (s, d) => {
+        val toks = docsWithToks(s, d)
+          .select(col("doc_id"), explode(col("toks")).as("tok"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("cnt").desc, col("tok"))))
+          .filter(col("rk") <= 20)
+          .select("tok")
+        toks.join(broadcast(vocab).withColumn("in_vocab", lit(1L)),
+            Seq("tok"), "left_outer")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"),
+            sum(coalesce(col("in_vocab"), lit(0L))).as("n_vocab_toks"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH t AS (SELECT doc_id, unnest(toks) AS tok FROM " +
+        s"(SELECT doc_id, $toksD AS toks FROM documents)), " +
+        "v AS (SELECT tok FROM (SELECT tok, count(*) AS cnt, " +
+        "row_number() OVER (ORDER BY count(*) DESC, tok) AS rk " +
+        "FROM t GROUP BY tok) WHERE rk <= 20) " +
+        "SELECT doc_id, count(*) AS n_toks, " +
+        "CAST(sum(CASE WHEN tok IN (SELECT tok FROM v) THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_vocab_toks " +
+        "FROM t GROUP BY doc_id ORDER BY doc_id")),
+
     // SS7 FILTERED ANN — the production RAG query: top-k neighbors
     // AMONG rows satisfying a metadata predicate (here: the query's own
     // label — the "same tenant/collection" shape). Strategy is a
