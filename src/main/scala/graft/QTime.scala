@@ -38,9 +38,13 @@ object QTime {
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, sfDir)
         val t1 = System.nanoTime()
-        df.queryExecution.executedPlan // forces analyze+optimize+plan
+        // time the plan count() will actually RUN (df.count() builds a
+        // fresh Aggregate-over-df QueryExecution — planning `df` itself
+        // would push that second Catalyst pass into the exec bucket)
+        val counted = df.groupBy().count()
+        counted.queryExecution.executedPlan // forces analyze+optimize+plan
         val t2 = System.nanoTime()
-        val n = df.count()
+        val n = counted.head().getLong(0)
         val t3 = System.nanoTime()
         println(f"QPHASE $name rows=$n build=${(t1 - t0) / 1e6}%.0fms " +
           f"plan=${(t2 - t1) / 1e6}%.0fms exec=${(t3 - t2) / 1e6}%.0fms")

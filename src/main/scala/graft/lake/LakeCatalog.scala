@@ -390,11 +390,16 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     val RenameRe = """(?is)^ALTER\s+TABLE\s+(\w+)\s+RENAME\s+TO\s+(\w+)$""".r
     def empty: DataFrame =
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Nil))
-    s0.toUpperCase match {
-      case "BEGIN" | "BEGIN TRANSACTION" => beginTransaction(); return empty
-      case "COMMIT" => commitTransaction(); return empty
-      case "ROLLBACK" => rollbackTransaction(); return empty
-      case _ => ()
+    // txn-control statements tolerate the standard variants and flexible
+    // whitespace, like every other statement head in this router
+    if (s0.matches("(?is)^BEGIN(\\s+(TRANSACTION|WORK))?$")) {
+      beginTransaction(); return empty
+    }
+    if (s0.matches("(?is)^COMMIT(\\s+(TRANSACTION|WORK))?$")) {
+      commitTransaction(); return empty
+    }
+    if (s0.matches("(?is)^ROLLBACK(\\s+(TRANSACTION|WORK))?$")) {
+      rollbackTransaction(); return empty
     }
     if (s0.toUpperCase.startsWith("MERGE INTO")) return executeMerge(s0)
     val CreateTblPartRe =
@@ -524,11 +529,13 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     * global-temp namespace from accumulating over a session. Matches
     * inside string literals are left untouched. */
   private def rewriteMetaFns(query: String): (String, Seq[String]) = {
-    // view names carry the catalog identity COLLISION-FREE (the full
-    // root path, sanitized): a 32-bit hash can collide between two
-    // catalogs in one JVM and silently serve the wrong catalog's
-    // metadata to the other's query
-    val ns = "c" + root.replaceAll("[^A-Za-z0-9]", "_")
+    // view names carry the catalog identity COLLISION-FREE: an md5 of
+    // the exact root string (sanitizing the path maps /a/b and /a_b to
+    // the same name, and a 32-bit hash can collide) — two catalogs in
+    // one JVM must never serve each other's metadata
+    val ns = "c" + java.security.MessageDigest.getInstance("MD5")
+      .digest(root.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
     val made = scala.collection.mutable.ArrayBuffer.empty[String]
     def guard(q: String, re: scala.util.matching.Regex)(
         mk: scala.util.matching.Regex.Match => String): String = {
@@ -1292,15 +1299,23 @@ object LakeCatalog {
 
   /** Positions inside single-quoted SQL string literals (quote chars
     * included) — the statement-level regex rewrites must never fire
-    * there. Doubled `''` escapes toggle twice and net out inside. */
+    * there. Doubled `''` escapes toggle twice and net out inside;
+    * backslash escapes (`\'` — Spark's default string-literal escaping)
+    * consume the following character so an escaped quote never reads as
+    * the literal's terminator. */
   private[lake] def literalSpans(s: String): Array[Boolean] = {
     val in = new Array[Boolean](s.length)
     var open = false
     var i = 0
     while (i < s.length) {
-      if (s.charAt(i) == '\'') { in(i) = true; open = !open }
-      else in(i) = open
-      i += 1
+      val c = s.charAt(i)
+      if (open && c == '\\' && i + 1 < s.length) {
+        in(i) = true; in(i + 1) = true; i += 2
+      } else {
+        if (c == '\'') { in(i) = true; open = !open }
+        else in(i) = open
+        i += 1
+      }
     }
     in
   }

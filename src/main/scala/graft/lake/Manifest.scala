@@ -176,10 +176,14 @@ object Stats {
   def comparable(c: ColumnDef): Boolean = c.typeJson match {
     case "\"integer\"" | "\"long\"" | "\"short\"" | "\"byte\"" |
          "\"double\"" | "\"float\"" | "\"string\"" => true
-    // dates/timestamps cast to zero-padded ISO strings, whose
-    // lexicographic order IS chronological order — the string comparator
-    // below is exact for them
-    case "\"date\"" | "\"timestamp\"" => true
+    // dates cast to zero-padded ISO strings ("2024-06-01"), which are
+    // timezone-independent and whose lexicographic order IS calendar
+    // order — the string comparator below is exact for them. TIMESTAMPS
+    // are deliberately NOT comparable: the string harvest renders them
+    // in the writing session's timezone, so cross-session pruning could
+    // silently drop matching files — pruning must never be wrong, only
+    // conservative.
+    case "\"date\"" => true
     case _ => false
   }
 

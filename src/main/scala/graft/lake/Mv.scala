@@ -45,9 +45,12 @@ object Mv {
   private val PFk = "mv.join.fk"
   private val PPk = "mv.join.pk"
 
+  // sums are NULL-safe (COALESCE(SUM(x),0)) so the create/full-recompute
+  // paths agree with the incremental delta apply, which must treat an
+  // all-NULL delta as +0 rather than clobbering the group sum to NULL
   private def aggExprs(sums: Seq[String]): Seq[Column] =
     count(lit(1)).as("n_rows") +:
-      sums.map(c => sum(col(c)).as(s"sum_$c"))
+      sums.map(c => coalesce(sum(col(c)), lit(0L)).as(s"sum_$c"))
 
   private def joinFrames(f: DataFrame, dm: DataFrame,
       fk: String, pk: String): DataFrame =
@@ -178,12 +181,19 @@ object Mv {
         // join changed groups against their CURRENT MV row (delta-sized)
         val cur = tx.read(mv)
         val joined = deltaAgg.join(cur, keys, "left_outer")
+        // NULL-safe delta apply: a delta batch whose summed values are
+        // all NULL aggregates to a NULL __d_ — adding that raw would
+        // clobber the existing group sum to NULL. Sums here follow the
+        // COALESCE(SUM(x),0) convention (a group with only NULL values
+        // reports 0), stated in the object scaladoc.
         val updated = joined.select(
           (keys.map(col) ++
             Seq((coalesce(col("n_rows"), lit(0L)) + col("__dn")).as("n_rows")) ++
-            sums.map(c =>
-              (coalesce(col(s"sum_$c"), lit(0L).cast(cur.schema(s"sum_$c").dataType)) +
-                col(s"__d_$c")).as(s"sum_$c"))): _*)
+            sums.map { c =>
+              val t = cur.schema(s"sum_$c").dataType
+              (coalesce(col(s"sum_$c"), lit(0L).cast(t)) +
+                coalesce(col(s"__d_$c"), lit(0L).cast(t))).as(s"sum_$c")
+            }): _*)
         tx.merge(mv, updated, keys)
         tx.delete(mv, col("n_rows") <= 0L)
       }

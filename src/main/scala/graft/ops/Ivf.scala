@@ -79,7 +79,11 @@ object Ivf {
     val assigned = model.transform(e)
       .withColumnRenamed("prediction", "cell")
       .select("vec_id", "v", "nrm", "cell")
-      .transform(Cached.track)
+      // session-lifetime index cache (memoized above) — deliberately a
+      // bare persist, NOT Cached.track: the harness releases tracked
+      // frames after each query, which would silently un-cache the memo
+      // and re-run the KMeans transform on every later action
+      .persist()
     (assigned, model.clusterCenters)
   }
 

@@ -1259,8 +1259,11 @@ object Pipeline {
     // consumer.
     QDef("x26_vocab_coverage",
       (s, d) => {
+        // persisted: both the vocab aggregate and the per-doc coverage
+        // join read the exploded frame (same rationale as x7's tf table)
         val toks = docsWithToks(s, d)
           .select(col("doc_id"), explode(col("toks")).as("tok"))
+          .transform(Cached.track)
         val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
           .withColumn("rk", row_number().over(
             Window.orderBy(col("cnt").desc, col("tok"))))

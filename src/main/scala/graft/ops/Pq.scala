@@ -68,7 +68,10 @@ object Pq {
     }
     val encoded = e.select(
       (Seq("vec_id", "v", "nrm", "vn") ++
-        (0 until M).map(m => s"code$m")).map(col): _*).transform(Cached.track)
+        (0 until M).map(m => s"code$m")).map(col): _*)
+      // session-lifetime index cache (memoized) — bare persist on
+      // purpose, see Ivf: Cached.release would un-cache the memo
+      .persist()
     (encoded, books.result())
   }
 

@@ -1120,6 +1120,24 @@ class LakeSpec extends SparkSpec {
     assert(viaRange === viaScan && viaRange === 1024L) // 2 domains x 512
   }
 
+  test("zorder accepts date keys; date stats prune ISO-string ranges") {
+    val cat = newLake()
+    val df = spark.range(4096).selectExpr(
+      "date_add(date'2024-01-01', cast(id % 64 AS int)) AS d",
+      "cast((id * 2654435761L) % 4096 AS bigint) AS v")
+    cat.createTableAs("t", df.repartition(4))
+    cat.zorder("t", Seq("d", "v"), targetFileBytes = 2L << 10)
+    val nf = cat.tableStats().filter(col("column_name") === "v").count()
+    assert(nf > 8, "need several files for the pruning claim")
+    val dOverlap = cat.tableStats()
+      .filter(col("table_name") === "t" && col("column_name") === "d" &&
+        col("min_value") <= "2024-01-08" && col("max_value") >= "2024-01-05")
+      .count()
+    assert(dOverlap < nf, "z-order must prune on the date dimension")
+    val viaRange = cat.readRange("t", "d", "2024-01-05", "2024-01-08").count()
+    assert(viaRange === 4 * 64L) // 4 dates x 64 rows
+  }
+
   test("zorder refuses unsupported key types instead of degenerating") {
     val cat = newLake()
     cat.createTableAs("t", spark.range(100)
