@@ -1225,6 +1225,71 @@ object Pipeline {
         "SELECT qid, rank, nid, adot, cos FROM rk WHERE rank <= 3 " +
         "ORDER BY qid, rank")),
 
+    // SS8 k-NN label classification over the ANN candidate graph — the
+    // classic embedding-quality probe (does neighborhood structure
+    // recover labels?). Queries are a held-out split (vec_id % 50 = 0);
+    // neighbors come ONLY from the retained split, found via the same
+    // sign-band LSH bucket join as ss2/ss4 (never all-pairs), exact
+    // cosine ranks the top-5, and the majority vote breaks ties
+    // deterministically (count desc, label asc). Output is the
+    // label×prediction confusion matrix — |labels|² rows regardless of
+    // corpus size, hash-verifiable end to end.
+    QDef("ss8_knn_classify",
+      (s, d) => {
+        val e = embNorm(s, d)
+        val lbl = T.embeddings(s, d).select(col("vec_id").as("lid"), col("label"))
+        val bands = e.selectExpr("vec_id",
+          "explode(transform(sequence(0, 3), b -> struct(b AS band, " +
+            "aggregate(sequence(0, 7), 0L, (acc, j) -> acc + " +
+            "IF(element_at(v, b * 16 + j + 1) >= cast(0 AS double), " +
+            "shiftleft(1L, j), 0L)) AS bv))) AS x")
+          .selectExpr("vec_id", "x.band AS band", "x.bv AS bv")
+        val cand = bands.as("qb").join(bands.as("nb"),
+            col("qb.band") === col("nb.band") && col("qb.bv") === col("nb.bv"))
+          .filter(col("qb.vec_id") % 50 === 0 && col("nb.vec_id") % 50 =!= 0)
+          .select(col("qb.vec_id").as("qid"), col("nb.vec_id").as("nid"))
+          .distinct()
+        val top = cand
+          .join(e.as("a"), col("qid") === col("a.vec_id"))
+          .join(e.as("b"), col("nid") === col("b.vec_id"))
+          .selectExpr("qid", "nid", s"round($cosSparkAB, 6) AS cos")
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
+          .filter(col("rank") <= 5)
+        val pred = top.join(lbl, col("nid") === col("lid"))
+          .groupBy(col("qid"), col("label").as("nlbl"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("vr", row_number().over(
+            Window.partitionBy("qid").orderBy(col("n").desc, col("nlbl"))))
+          .filter(col("vr") === 1)
+          .select(col("qid"), col("nlbl").as("pred"))
+        pred.join(lbl, col("qid") === col("lid"))
+          .groupBy(col("label").as("true_label"), col("pred"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("true_label", "pred")
+      },
+      Some(s"WITH e AS ($embNormD), " +
+        "lab AS (SELECT vec_id AS lid, label FROM embeddings), " +
+        "bands AS (SELECT vec_id, t.band, " +
+        "list_sum(list_transform(range(0, 8), j -> CASE WHEN " +
+        "v[t.band * 16 + j + 1] >= 0 THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS bv " +
+        "FROM e, (SELECT unnest(range(0, 4)) AS band) t), " +
+        "cand AS (SELECT DISTINCT qb.vec_id AS qid, nb.vec_id AS nid " +
+        "FROM bands qb JOIN bands nb ON qb.band = nb.band AND qb.bv = nb.bv " +
+        "WHERE qb.vec_id % 50 = 0 AND nb.vec_id % 50 <> 0), " +
+        s"sc AS (SELECT qid, nid, round($cosDuckAB, 6) AS cos " +
+        "FROM cand JOIN e a ON qid = a.vec_id JOIN e b ON nid = b.vec_id), " +
+        "top AS (SELECT qid, nid, row_number() OVER " +
+        "(PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM sc), " +
+        "votes AS (SELECT qid, label AS nlbl, count(*) AS n FROM top " +
+        "JOIN lab ON nid = lid WHERE rank <= 5 GROUP BY qid, label), " +
+        "pred AS (SELECT qid, nlbl AS pred FROM (SELECT qid, nlbl, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY n DESC, nlbl) AS vr " +
+        "FROM votes) v WHERE vr = 1) " +
+        "SELECT lab.label AS true_label, pred.pred, count(*) AS n_docs " +
+        "FROM pred JOIN lab ON qid = lid " +
+        "GROUP BY 1, 2 ORDER BY 1, 2")),
+
     // X25 n-gram NOVELTY — the dataset-curation contribution stat: for
     // each document (in ingestion order = doc_id), how many of its
     // 3-gram shingles were never seen in any EARLIER document. Curation

@@ -159,7 +159,7 @@ class PlanSpec extends SparkSpec {
   test("no dedup/similarity query degenerates to a cartesian product") {
     Seq("dd2_ngram_jaccard", "dd3_minhash_lsh", "dd4_simhash",
       "dd5_embed_neardup", "dd6_dedup_clusters", "dd7_survivor_select",
-      "ss2_ann_lsh", "ss4_sq_rerank", "ss7_filtered_ann",
+      "ss2_ann_lsh", "ss4_sq_rerank", "ss7_filtered_ann", "ss8_knn_classify",
       "x13_decontaminate").foreach { q =>
       val s = planString(q)
       assert(!s.contains("CartesianProduct"),
@@ -226,6 +226,46 @@ class PlanSpec extends SparkSpec {
         assert(joined.count() > 0)
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     } finally spark.sql(s"DROP DATABASE $db CASCADE")
+  }
+
+  test("TPC-H remainder: no fact join degenerates to a nested loop") {
+    // q11/q15/q22 are exempt from the BNLJ check ONLY for their broadcast
+    // 1-row scalar (total / max / avg threshold) — the fact joins
+    // themselves must still hash
+    Seq("q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
+      "q8_market_share", "q9_product_profit", "q13_order_distribution",
+      "q17_small_qty_revenue", "q20_part_promotion",
+      "q21_waiting_suppliers").foreach { q =>
+      val s = planString(q)
+      assert(!s.contains("CartesianProduct"), s"$q\n" + s.take(2000))
+      assert(!s.contains("BroadcastNestedLoopJoin"),
+        s"$q joins must stay hash/sort-merge\n" + s.take(2000))
+    }
+    Seq("q11_important_parts", "q15_top_supplier", "q22_global_sales")
+      .foreach { q =>
+        val s = planString(q)
+        assert(!s.contains("CartesianProduct"), s"$q\n" + s.take(2000))
+      }
+  }
+
+  test("q4/q20/q22: subqueries decorrelate to semi/anti joins") {
+    assert(planString("q4_order_priority").contains("LeftSemi"))
+    val s20 = planString("q20_part_promotion")
+    // the HAVING agg must run BEFORE the semi join probes supplier
+    assert(s20.contains("LeftSemi") && s20.contains("HashAggregate"), s20.take(2000))
+    assert(planString("q22_global_sales").contains("LeftAnti"))
+  }
+
+  test("q6/q8: filters reach the parquet scans") {
+    // the rendered PushedFilters list truncates, so pin the scan-adjacent
+    // Filter node (proves the predicates sit on the scan, not post-join)
+    // plus the head of the pushed list
+    val s6 = planString("q6_forecast_revenue")
+    assert(s6.contains("PushedFilters: [IsNotNull(l_shipdate)"), s6.take(2000))
+    assert(s6.contains("< 24.0)"), s6.take(2000))
+    assert(s6.contains(">= 1996-01-01"), s6.take(2000))
+    val s8 = planString("q8_market_share")
+    assert(s8.contains("EqualTo(p_type,PROMO)"), s8.take(3000))
   }
 
   test("whole-stage codegen covers the relational hot paths") {
