@@ -2773,20 +2773,25 @@ object Relational {
     // as an independent formulation of the same semantics.
     QDef("q21_waiting_suppliers",
       (s, d) => {
-        val l = T.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+        // collapse to (order, supplier) pairs FIRST — one shuffle of the
+        // fact join output, after which everything is pair-sized. Two
+        // countDistincts over the raw lines would Expand (double) the
+        // shuffle; and the per-order supplier/late counts are WINDOWS
+        // over the pairs (one orderkey shuffle of pair-sized data), not
+        // a pairs⋈stats self-join — so the fact side is scanned exactly
+        // once and nothing is cached or recomputed.
+        val w = Window.partitionBy("l_orderkey")
+        T.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
           .join(T.orders(s, d).filter(col("o_orderstatus") === "F")
             .select("o_orderkey", "o_orderdate"),
             col("l_orderkey") === col("o_orderkey"))
-          .withColumn("late", (col("l_shipdate") >
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(max((col("l_shipdate") >
             col("o_orderdate") + expr("INTERVAL 60 DAYS")).cast("int"))
-        val stats = l.groupBy(col("l_orderkey").as("ok"))
-          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-            countDistinct(when(col("late") === 1, col("l_suppkey")))
-              .as("n_late"))
-        l.filter(col("late") === 1)
-          .select("l_orderkey", "l_suppkey").distinct()
-          .join(stats, col("l_orderkey") === col("ok") &&
-            col("n_supp") >= 2 && col("n_late") === 1)
+            .as("sl"))
+          .withColumn("n_supp", count(lit(1)).over(w))
+          .withColumn("n_late", sum(col("sl")).over(w))
+          .filter(col("sl") === 1 && col("n_supp") >= 2 && col("n_late") === 1)
           .join(broadcast(T.supplier(s, d).select("s_suppkey", "s_name")),
             col("l_suppkey") === col("s_suppkey"))
           .groupBy("s_name")

@@ -436,6 +436,20 @@ class LakeSpec extends SparkSpec {
     assert(n === 2L)                        // and the scan is CURRENT t
   }
 
+  test("backslash-escaped quote does not terminate a literal for the rewriter") {
+    val cat = newLake()
+    cat.createTableAs("t", Seq(1, 2, 3, 4).toDF("id"))        // v1
+    cat.delete("t", col("id") % 2 === 0)                      // v2
+    // the escaped quote must NOT read as the literal's end — otherwise
+    // the AT clause inside the string becomes "syntax" and gets rewritten
+    val (lit0, n) = cat.sql(
+      "SELECT 'it\\'s t AT (VERSION => 1) here' AS lit, count(*) AS n " +
+        "FROM t GROUP BY 1")
+      .as[(String, Long)].head()
+    assert(lit0 === "it's t AT (VERSION => 1) here")
+    assert(n === 2L)                        // the scan is CURRENT t
+  }
+
   test("unquoted AT TIMESTAMP operand resolves as epoch millis") {
     val cat = newLake()
     cat.createTableAs("t", Seq(1, 2, 3, 4).toDF("id"))        // v1
