@@ -1232,8 +1232,10 @@ object Pipeline {
     // sign-band LSH bucket join as ss2/ss4 (never all-pairs), exact
     // cosine ranks the top-5, and the majority vote breaks ties
     // deterministically (count desc, label asc). Output is the
-    // label×prediction confusion matrix — |labels|² rows regardless of
-    // corpus size, hash-verifiable end to end.
+    // label×prediction confusion matrix — at most |labels|² rows at any
+    // corpus size (only observed pairs appear, and a query sharing no
+    // sign-band bucket with the retained split drops out — identically
+    // on both engines), hash-verifiable end to end.
     QDef("ss8_knn_classify",
       (s, d) => {
         val e = embNorm(s, d)

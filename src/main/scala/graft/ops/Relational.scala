@@ -2751,7 +2751,7 @@ object Relational {
             col("s_nationkey") === col("n_nationkey"))
           .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
           .select("s_name", "s_acctbal")
-          .orderBy("s_name")
+          .orderBy("s_name", "s_acctbal")
       },
       Some("SELECT s_name, s_acctbal FROM supplier " +
         "JOIN nation ON s_nationkey = n_nationkey " +
@@ -2762,7 +2762,7 @@ object Relational {
         "AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' " +
         "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
         "GROUP BY l_suppkey, l_partkey HAVING SUM(l_quantity) > 50) " +
-        "ORDER BY s_name")),
+        "ORDER BY s_name, s_acctbal")),
 
     // Q21-shaped waiting suppliers: late lineitems on finished
     // multi-supplier orders where ONLY this supplier was late. The

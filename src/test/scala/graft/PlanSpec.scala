@@ -251,8 +251,13 @@ class PlanSpec extends SparkSpec {
   test("q4/q20/q22: subqueries decorrelate to semi/anti joins") {
     assert(planString("q4_order_priority").contains("LeftSemi"))
     val s20 = planString("q20_part_promotion")
-    // the HAVING agg must run BEFORE the semi join probes supplier
-    assert(s20.contains("LeftSemi") && s20.contains("HashAggregate"), s20.take(2000))
+    // the HAVING agg must run BEFORE the semi join probes supplier: in
+    // the printed tree the join's build subtree renders below the join
+    // line, so an aggregate feeding the semi join appears AFTER it
+    val semiIdx = s20.indexOf("LeftSemi")
+    assert(semiIdx >= 0, s20.take(2000))
+    assert(s20.indexOf("HashAggregate", semiIdx) > semiIdx,
+      "the HAVING agg must sit below the semi join\n" + s20.take(2000))
     assert(planString("q22_global_sales").contains("LeftAnti"))
   }
 

@@ -70,6 +70,23 @@ class StreamingSpec extends SparkSpec {
     assert(at2 === at8, "state partition count changed the RESULT")
   }
 
+  test("RocksDB state store: same results as the default provider") {
+    // the state-bigger-than-memory scale path: at 100 TB the stateful
+    // operators' keyed state outgrows executor heap, and the RocksDB
+    // provider (ships with Spark) keeps it on local disk with
+    // incremental checkpointing. Semantics must be provider-invariant —
+    // this pins that swapping the provider is a pure deployment knob.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val default = EventStream.windowedProfile(spark, d).collect().toSeq
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider")
+    try {
+      val rocks = EventStream.windowedProfile(spark, d).collect().toSeq
+      assert(rocks.nonEmpty, "RocksDB run emitted nothing")
+      assert(rocks === default, "state store provider changed the RESULT")
+    } finally spark.conf.unset(key)
+  }
+
   test("stream lands in the lake exactly-once: one commit per batch, replay is a no-op") {
     import org.apache.spark.sql.types._
     import spark.implicits._
