@@ -2432,19 +2432,24 @@ object Relational {
         "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
         "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24")),
 
-    // Q4-shaped order-priority check: EXISTS decorrelates to a left-semi
-    // join whose condition mixes the orderkey equi-key with a
-    // date-arithmetic residual. Scale shape: the date filter shrinks
-    // orders first; the semi join shuffles on orderkey and emits each
-    // order at most once (no fanout), then a 5-group agg.
+    // Q4-shaped order-priority check: EXISTS over lineitem, expressed as
+    // inner-join→distinct rather than a left-semi. Deliberate: a LEFT
+    // SEMI can only broadcast its RIGHT side — the fact table — so it
+    // degrades to a full two-sided shuffle; the inner join lets the
+    // planner broadcast the date-shrunk orders side (either side builds)
+    // and the distinct then dedups only the surviving (order, priority)
+    // pairs. Same EXISTS semantics (each order counted once), and at a
+    // scale where the quarter of orders outgrows broadcast, AQE falls
+    // back to the same orderkey shuffle the semi join would have paid.
     QDef("q4_order_priority",
       (s, d) => T.orders(s, d)
         .filter(col("o_orderdate") >= to_timestamp(lit("1996-07-01 00:00:00")) &&
           col("o_orderdate") < to_timestamp(lit("1996-10-01 00:00:00")))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
         .join(T.lineitem(s, d).select("l_orderkey", "l_shipdate"),
           col("o_orderkey") === col("l_orderkey") &&
-            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
-          "left_semi")
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select("o_orderkey", "o_orderpriority").distinct()
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("order_count"))
         .orderBy("o_orderpriority"),
@@ -2458,9 +2463,9 @@ object Relational {
     // Q2-shaped min-cost supplier (partsupp stands in as lineitem): for
     // each qualifying part, the EUROPE suppliers whose offer price equals
     // the part's minimum. Scale shape: both dims broadcast; the min is a
-    // per-part agg joined back (never a sort); the price equality
-    // compares exact DECIMALs, so the correlated-min oracle matches
-    // bit-for-bit.
+    // window over one partkey shuffle (never a global sort, no join-back);
+    // the price equality compares exact DECIMALs, so the correlated-min
+    // oracle matches bit-for-bit.
     QDef("q2_min_cost_supplier",
       (s, d) => {
         val eur = T.region(s, d).filter(col("r_name") === "EUROPE")
@@ -2479,10 +2484,13 @@ object Relational {
           .select(col("p_partkey"), col("s_name"), col("s_acctbal"),
             col("n_name"),
             col("l_extendedprice").cast(DecimalType(18, 2)).as("price_dec"))
-        val best = offers.groupBy(col("p_partkey").as("bp"))
-          .agg(min(col("price_dec")).as("min_price"))
-        offers.join(broadcast(best), col("p_partkey") === col("bp") &&
-            col("price_dec") === col("min_price"))
+        // per-part min as a WINDOW over the offers (one partkey shuffle
+        // serving both the min and the filter) — a groupBy+join-back
+        // would shuffle the same rows AND re-broadcast the result
+        offers
+          .withColumn("min_price",
+            min(col("price_dec")).over(Window.partitionBy("p_partkey")))
+          .filter(col("price_dec") === col("min_price"))
           .select(col("s_acctbal"), col("s_name"), col("n_name"),
             col("p_partkey"), col("price_dec").cast(DoubleType).as("best_price"))
           .distinct()

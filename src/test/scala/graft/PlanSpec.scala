@@ -249,7 +249,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q4/q20/q22: subqueries decorrelate to semi/anti joins") {
-    assert(planString("q4_order_priority").contains("LeftSemi"))
+    // q4's EXISTS is deliberately inner-join→distinct (a left-semi could
+    // only broadcast the FACT side); the date-shrunk orders side must
+    // broadcast, never a two-sided shuffle
+    val s4 = planString("q4_order_priority")
+    assert(s4.contains("BroadcastHashJoin") && !s4.contains("SortMergeJoin"),
+      s4.take(2000))
     val s20 = planString("q20_part_promotion")
     // the HAVING agg must run BEFORE the semi join probes supplier: in
     // the printed tree the join's build subtree renders below the join
