@@ -362,12 +362,17 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     *    ALTER COLUMN c [SET DATA] TYPE T`
     *  - `DROP TABLE|VIEW x`, `TRUNCATE TABLE t`,
     *    `ALTER TABLE t RENAME TO u`
+    *  - `CREATE MATERIALIZED VIEW mv AS SELECT keys…, COUNT(*) AS
+    *    n_rows[, SUM(c) AS sum_c…] FROM base [JOIN dim ON fk = pk]
+    *    [WHERE pred] GROUP BY keys…` and `REFRESH MATERIALIZED VIEW mv`
+    *    (returns the refresh path taken) — the incrementally-maintained
+    *    subset only; other shapes are rejected loudly
     *  - queries support `t AT (VERSION|TIMESTAMP => ...)` time travel
     *    (quoted wall-clocks resolve in the session timezone; unquoted
     *    digits are epoch millis) and the `graft_snapshots()/
-    *    graft_table_info()/graft_table_changes(t, v1, v2)` metadata
-    *    functions; occurrences inside string LITERALS are data, not
-    *    syntax, and are never rewritten
+    *    graft_table_info()/graft_files()/graft_table_changes(t, v1, v2)`
+    *    metadata functions; occurrences inside string LITERALS are data,
+    *    not syntax, and are never rewritten
     *  - anything else runs as a query via [[sql]]
     *
     * Expressions (SET right-hand sides, WHERE conditions) are handed to
@@ -384,6 +389,9 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     val UpdateRe = """(?is)^UPDATE\s+(\w+)\s+SET\s+(.+)$""".r
     val CtasRe = """(?is)^CREATE\s+TABLE\s+(\w+)\s+AS\s+(.+)$""".r
     val ViewRe = """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.+)$""".r
+    val MvCreateRe =
+      """(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+AS\s+(.+)$""".r
+    val MvRefreshRe = """(?is)^REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)$""".r
     val DropTRe = """(?is)^DROP\s+TABLE\s+(\w+)$""".r
     val DropVRe = """(?is)^DROP\s+VIEW\s+(\w+)$""".r
     val TruncRe = """(?is)^TRUNCATE\s+TABLE\s+(\w+)$""".r
@@ -494,6 +502,11 @@ class LakeCatalog(val spark: SparkSession, val root: String,
           lhs -> expr(rhs)
         }.toMap
         inTx(_.update(t, whereOpt.map(expr).getOrElse(lit(true)), sets)); empty
+      case MvCreateRe(mv, select) =>
+        createMaterializedView(mv, select.trim); empty
+      case MvRefreshRe(mv) =>
+        import spark.implicits._
+        Seq((mv, Mv.refresh(this, mv))).toDF("mv", "refresh_path")
       case CtasRe(t, select) => inTx(_.createTableAs(t, sql(select.trim))); empty
       case ViewRe(v, body) => inTx(_.createView(v, body.trim)); empty
       case DropTRe(t) => inTx(_.dropTable(t)); empty
@@ -501,6 +514,65 @@ class LakeCatalog(val spark: SparkSession, val root: String,
       case TruncRe(t) => inTx(_.truncateTable(t)); empty
       case RenameRe(from, to) => inTx(_.renameTable(from, to)); empty
       case q => sql(q)
+    }
+  }
+
+  /** `CREATE MATERIALIZED VIEW` — a declared-subset grammar mapped onto
+    * [[Mv.create]]/[[Mv.createJoin]], the only aggregate shapes the
+    * incremental maintainer supports:
+    * {{{
+    *   SELECT key[, key…], COUNT(*) AS n_rows[, SUM(col) AS sum_col…]
+    *   FROM base [JOIN dim ON fk = pk] [WHERE pred] GROUP BY key[, key…]
+    * }}}
+    * Anything else is REJECTED loudly — silently materializing a shape
+    * the refresher cannot maintain would corrupt on first refresh. The
+    * WHERE predicate (base-side filter) is only part of the maintained
+    * algebra in the join form, mirroring the Scala API. */
+  private def createMaterializedView(mv: String, select: String): Unit = {
+    import LakeCatalog.splitTopLevel
+    val BodyRe = ("""(?is)^SELECT\s+(.+?)\s+FROM\s+(\w+)""" +
+      """(?:\s+JOIN\s+(\w+)\s+ON\s+(\w+)\s*=\s*(\w+))?""" +
+      """(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+([\w\s,]+)$""").r
+    select.stripSuffix(";").trim match {
+      case BodyRe(selList, base, dim, fk, pk, where, grpBy) =>
+        val CountRe = """(?i)^COUNT\s*\(\s*\*\s*\)\s+AS\s+n_rows$""".r
+        val SumRe = """(?i)^SUM\s*\(\s*(\w+)\s*\)\s+AS\s+sum_(\w+)$""".r
+        val KeyRe = """^(\w+)$""".r
+        val keys = scala.collection.mutable.ArrayBuffer.empty[String]
+        val sums = scala.collection.mutable.ArrayBuffer.empty[String]
+        var sawCount = false
+        splitTopLevel(selList, ',').map(_.trim).foreach {
+          case KeyRe(k) => keys += k
+          case CountRe() => sawCount = true
+          case SumRe(c, a) =>
+            require(c.equalsIgnoreCase(a),
+              s"SUM($c) must be aliased sum_$c (the maintainer's column " +
+                s"naming), got sum_$a")
+            sums += c
+          case other => throw new IllegalArgumentException(
+            s"unsupported MV select item '$other' — supported: bare group " +
+              "keys, COUNT(*) AS n_rows, SUM(col) AS sum_col")
+        }
+        require(sawCount,
+          "MV select list must include COUNT(*) AS n_rows (the maintainer " +
+            "needs the group cardinality to retire emptied groups)")
+        val grpKeys = grpBy.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        require(grpKeys == keys.toSeq,
+          s"GROUP BY (${grpKeys.mkString(",")}) must list exactly the " +
+            s"selected keys (${keys.mkString(",")}) in order")
+        if (dim == null) {
+          require(where == null,
+            "WHERE without JOIN is outside the maintained subset " +
+              "(the Scala API mirrors this: Mv.create has no filter)")
+          Mv.create(this, mv, base, keys.toSeq, sums.toSeq)
+        } else {
+          Mv.createJoin(this, mv, base, dim, fk, pk,
+            Option(where).map(_.trim), keys.toSeq, sums.toSeq)
+        }
+      case other => throw new IllegalArgumentException(
+        "unsupported MATERIALIZED VIEW body (grammar: SELECT keys…, " +
+          "COUNT(*) AS n_rows[, SUM(col) AS sum_col…] FROM base " +
+          s"[JOIN dim ON fk = pk] [WHERE pred] GROUP BY keys…): $other")
     }
   }
 
@@ -519,6 +591,7 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     * metadata is queryable with plain SQL, no Scala API needed. */
   private val SnapFnRe = """(?i)graft_snapshots\s*\(\s*\)""".r
   private val InfoFnRe = """(?i)graft_table_info\s*\(\s*\)""".r
+  private val FilesFnRe = """(?i)graft_files\s*\(\s*\)""".r
   private val ChangesFnRe =
     """(?i)graft_table_changes\s*\(\s*'(\w+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
 
@@ -552,6 +625,11 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     q = guard(q, InfoFnRe) { _ =>
       val v = s"graft_table_info_$ns"
       tableInfo().createOrReplaceGlobalTempView(v); made += v
+      s"global_temp.$v"
+    }
+    q = guard(q, FilesFnRe) { _ =>
+      val v = s"graft_files_$ns"
+      files().createOrReplaceGlobalTempView(v); made += v
       s"global_temp.$v"
     }
     q = guard(q, ChangesFnRe) { m =>
@@ -792,6 +870,27 @@ class LakeCatalog(val spark: SparkSession, val root: String,
         st.inlinedRowCount, st.partitionBy.mkString(","))
     }.toDF("table_name", "file_count", "total_size_bytes", "row_count",
       "schema_version", "inlined_rows", "partition_by")
+  }
+
+  /** Iceberg `files`-metadata-table analog: one row per live data file
+    * with its manifest bookkeeping — the ops/debugging view of the
+    * physical layout (file sizing, DV coverage, partition values, index
+    * sidecars). One metadata read, zero data-file I/O; exposed to SQL as
+    * `graft_files()`. */
+  def files(): DataFrame = {
+    import spark.implicits._
+    current.tables.toSeq.sortBy(_._1).flatMap { case (name, st) =>
+      st.files.map { e =>
+        (name, e.path, e.sizeBytes, e.rowCount, e.dvRows, e.liveRows,
+          e.schemaVersion,
+          e.pvals.toSeq.sortBy(_._1)
+            .map { case (k, vs) => s"$k=${vs.mkString("|")}" }.mkString(","),
+          e.dv.isDefined, e.blooms.keys.toSeq.sorted.mkString(","),
+          e.ndv.keys.toSeq.sorted.mkString(","))
+      }
+    }.toDF("table_name", "file_path", "size_bytes", "row_count", "dv_rows",
+      "live_rows", "schema_version", "partition_values", "has_dv",
+      "bloom_columns", "ndv_columns")
   }
 
   /** `ducklake_table_stats` analog (ref README.md:202-209,
@@ -1050,8 +1149,38 @@ class LakeCatalog(val spark: SparkSession, val root: String,
       partitionBy: Seq[String] = Nil): Unit =
     transaction(_.createTableAs(name, df, partitionBy))
 
-  def insert(table: String, df: DataFrame): Unit =
+  def insert(table: String, df: DataFrame): Unit = {
     transaction(_.insert(table, df))
+    maybeAutoCompact(table)
+  }
+
+  /** Opt a table into AUTO-COMPACTION (the Delta `autoOptimize.autoCompact`
+    * analog): after any file-appending [[insert]], if the table's live
+    * file count exceeds `maxFiles`, a follow-on [[compact]] commit folds
+    * it back to size-targeted files. The policy rides the snapshot as
+    * table properties (survives restarts and [[migrateTo]]); the
+    * compaction is its own commit, so readers see either the pre- or
+    * post-layout table, never a half-folded one, and history/time travel
+    * record the maintenance like any other write. */
+  def autoCompact(table: String, maxFiles: Int,
+      targetFileBytes: Long = 128L << 20): Unit =
+    transaction { tx =>
+      tx.setProperty(table, LakeCatalog.PropAutoCompactMaxFiles,
+        maxFiles.toString)
+      tx.setProperty(table, LakeCatalog.PropAutoCompactTargetBytes,
+        targetFileBytes.toString)
+    }
+
+  private def maybeAutoCompact(table: String): Unit =
+    current.tables.get(table).foreach { st =>
+      st.props.get(LakeCatalog.PropAutoCompactMaxFiles)
+        .map(_.toInt).foreach { maxFiles =>
+          if (st.files.size > maxFiles)
+            compact(table,
+              st.props.get(LakeCatalog.PropAutoCompactTargetBytes)
+                .map(_.toLong).getOrElse(128L << 20))
+        }
+    }
 
   /** M8 inlined small-batch insert (rows live in the manifest). */
   def insertInlined(table: String, df: DataFrame): Unit =
@@ -1278,6 +1407,10 @@ class LakeCatalog(val spark: SparkSession, val root: String,
 }
 
 object LakeCatalog {
+
+  /** Auto-compaction policy table properties — see [[LakeCatalog.autoCompact]]. */
+  val PropAutoCompactMaxFiles = "compact.auto.maxFiles"
+  val PropAutoCompactTargetBytes = "compact.auto.targetBytes"
   /** Split `s` on `sep` at paren-depth 0 outside single-quoted strings —
     * the minimal scanner [[LakeCatalog.execute]]'s UPDATE head needs
     * (commas inside function calls and string literals must not split). */

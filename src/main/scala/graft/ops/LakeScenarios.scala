@@ -1703,6 +1703,82 @@ object LakeScenarios {
           t(metric, value)
         ORDER BY metric""")),
 
+    // L44 — MATERIALIZED VIEWS through the SQL entry point: the whole
+    // MV lifecycle (create, base-table churn incl. a delete, refresh)
+    // as conn.execute statements — the reference's interface shape over
+    // the beyond-ref incremental maintainer. REFRESH returns the path
+    // taken; the judged contract pins it INCREMENTAL (O(delta), not a
+    // recompute) and the MV contents replay as DuckDB CTEs.
+    QDef("l44_sql_mv",
+      (s, d) => {
+        val cat = freshLake(s)
+        cat.execute("CREATE TABLE sales (k INTEGER, v INTEGER)")
+        cat.execute("INSERT INTO sales SELECT * FROM VALUES " +
+          "(1, 10), (1, 20), (2, 30) AS x(k, v)")
+        cat.execute("CREATE MATERIALIZED VIEW mv AS " +
+          "SELECT k, COUNT(*) AS n_rows, SUM(v) AS sum_v " +
+          "FROM sales GROUP BY k")
+        cat.execute("INSERT INTO sales SELECT * FROM VALUES " +
+          "(2, 40), (3, 50) AS x(k, v)")
+        cat.execute("DELETE FROM sales WHERE v = 10")
+        val path = cat.execute("REFRESH MATERIALIZED VIEW mv")
+        cat.sql("SELECT CAST(k AS STRING) AS metric, " +
+            "CAST(n_rows AS BIGINT) AS n, CAST(sum_v AS BIGINT) AS v FROM mv")
+          .unionByName(path.selectExpr("'refresh_path' AS metric",
+            "CAST(1 AS BIGINT) AS n",
+            "CAST(IF(refresh_path = 'incremental', 1, 0) AS BIGINT) AS v"))
+          .orderBy("metric")
+      }, Some("""
+        WITH s0 AS (SELECT * FROM (VALUES (1, 10), (1, 20), (2, 30),
+                                          (2, 40), (3, 50)) x(k, v)
+                    WHERE v <> 10)
+        SELECT CAST(k AS VARCHAR) AS metric,
+               CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS v
+        FROM s0 GROUP BY k
+        UNION ALL
+        SELECT 'refresh_path', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        ORDER BY metric""")),
+
+    // L43 — AUTO-COMPACTION (the Delta autoOptimize.autoCompact analog):
+    // the table opts into a file-count cap as table properties; every
+    // file-appending insert that pushes the live file count over the cap
+    // triggers a follow-on compaction commit. The file-count trajectory
+    // across four 2-file inserts (cap 4: grow to 4, fold to 1, grow to 3,
+    // fold to 1) is the judged ledger; row counts and id sums replay as
+    // arithmetic; the final row reads the graft_files() SQL metadata
+    // function, pinning the per-file view against the same ledger.
+    QDef("l43_auto_compact",
+      (s, d) => {
+        import s.implicits._
+        val cat = freshLake(s)
+        cat.createTableAs("t",
+          s.range(100).selectExpr("id").repartition(2))
+        cat.autoCompact("t", maxFiles = 4, targetFileBytes = 64L << 20)
+        val rows = scala.collection.mutable.ArrayBuffer[(String, Long, Long, Long)]()
+        (1 to 4).foreach { i =>
+          cat.insert("t", s.range(100L * i, 100L * (i + 1))
+            .selectExpr("id").repartition(2))
+          val info = cat.tableInfo().filter(col("table_name") === "t").head()
+          val sid = cat.read("t").agg(sum("id")).head().getLong(0)
+          rows += ((s"${i}_after_insert", info.getAs[Long]("file_count"),
+            info.getAs[Long]("row_count"), sid))
+        }
+        val fv = cat.sql("SELECT CAST(count(*) AS BIGINT) AS c, " +
+          "CAST(SUM(live_rows) AS BIGINT) AS lr FROM graft_files()").head()
+        rows += (("5_files_view", fv.getLong(0), fv.getLong(1),
+          cat.read("t").agg(sum("id")).head().getLong(0)))
+        rows.toSeq.toDF("phase", "file_count", "row_count", "sum_id")
+          .orderBy("phase")
+      }, Some("""
+        SELECT * FROM (VALUES
+          ('1_after_insert', CAST(4 AS BIGINT), CAST(200 AS BIGINT), CAST(19900  AS BIGINT)),
+          ('2_after_insert', CAST(1 AS BIGINT), CAST(300 AS BIGINT), CAST(44850  AS BIGINT)),
+          ('3_after_insert', CAST(3 AS BIGINT), CAST(400 AS BIGINT), CAST(79800  AS BIGINT)),
+          ('4_after_insert', CAST(1 AS BIGINT), CAST(500 AS BIGINT), CAST(124750 AS BIGINT)),
+          ('5_files_view',   CAST(1 AS BIGINT), CAST(500 AS BIGINT), CAST(124750 AS BIGINT)))
+          t(phase, file_count, row_count, sum_id)
+        ORDER BY phase""")),
+
     // L41 — JOIN + FILTER materialized view, incrementally maintained:
     // the MV is `SELECT grp, count(*), sum(v) FROM sales JOIN kdim USING
     // (k) WHERE id % 2 = 0 GROUP BY grp` (the reference's own views join

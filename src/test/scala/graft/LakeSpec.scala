@@ -1134,6 +1134,93 @@ class LakeSpec extends SparkSpec {
     assert(viaRange === viaScan && viaRange === 1024L) // 2 domains x 512
   }
 
+  test("SQL materialized views: join+filter form maintains; bad shapes reject") {
+    val cat = newLake()
+    cat.execute("CREATE TABLE f (k INTEGER, v INTEGER)")
+    cat.execute("CREATE TABLE dim (k INTEGER, grp VARCHAR)")
+    cat.execute("INSERT INTO dim SELECT * FROM VALUES (1, 'a'), (2, 'b') AS x(k, grp)")
+    cat.execute("INSERT INTO f SELECT * FROM VALUES " +
+      "(1, 10), (1, 11), (2, 20), (2, 21) AS x(k, v)")
+    cat.execute("CREATE MATERIALIZED VIEW m AS " +
+      "SELECT grp, COUNT(*) AS n_rows, SUM(v) AS sum_v " +
+      "FROM f JOIN dim ON k = k WHERE v % 2 = 0 GROUP BY grp")
+    assert(cat.sql("SELECT grp, n_rows, sum_v FROM m ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq === Seq(("a", 1L, 10L), ("b", 1L, 20L)))
+    // churn the fact side; REFRESH must take the incremental path
+    cat.execute("INSERT INTO f SELECT * FROM VALUES (2, 22) AS x(k, v)")
+    val path = cat.execute("REFRESH MATERIALIZED VIEW m")
+      .head().getString(1)
+    assert(path === "incremental")
+    assert(cat.sql("SELECT sum_v FROM m WHERE grp = 'b'")
+      .head().getLong(0) === 42L)
+    // the maintainer's subset is enforced loudly, not silently mangled
+    intercept[IllegalArgumentException] {
+      cat.execute("CREATE MATERIALIZED VIEW bad1 AS " +
+        "SELECT k, MAX(v) AS max_v FROM f GROUP BY k")
+    }
+    intercept[IllegalArgumentException] {
+      cat.execute("CREATE MATERIALIZED VIEW bad2 AS " +
+        "SELECT k, COUNT(*) AS n_rows FROM f WHERE v > 0 GROUP BY k")
+    }
+    intercept[IllegalArgumentException] {
+      cat.execute("CREATE MATERIALIZED VIEW bad3 AS " +
+        "SELECT k, COUNT(*) AS n_rows FROM f GROUP BY v")
+    }
+  }
+
+  test("files() lists per-file manifest bookkeeping; graft_files() serves SQL") {
+    val cat = newLake()
+    cat.createTableAs("t", spark.range(2000).selectExpr("id", "id % 7 AS v")
+      .repartition(3))
+    cat.insert("t", spark.range(2000, 2500).selectExpr("id", "id % 7 AS v"))
+    val f = cat.files()
+    // one row per live file, consistent with tableInfo's ledger
+    val info = cat.tableInfo().filter(col("table_name") === "t").head()
+    assert(f.count() === info.getAs[Long]("file_count"))
+    assert(f.agg(sum("live_rows")).head().getLong(0) === 2500L)
+    assert(f.filter(col("has_dv")).count() === 0L)
+    // MoR delete: tombstones appear as dv bookkeeping, live counts drop
+    cat.deleteMor("t", col("id") < 100)
+    val f2 = cat.files()
+    assert(f2.filter(col("has_dv")).count() > 0L)
+    assert(f2.agg(sum("live_rows")).head().getLong(0) === 2400L)
+    assert(f2.agg(sum("dv_rows")).head().getLong(0) === 100L)
+    // and the SQL surface resolves the same ledger
+    val viaSql = cat.sql(
+      "SELECT CAST(SUM(live_rows) AS BIGINT) AS lr FROM graft_files()")
+      .head().getLong(0)
+    assert(viaSql === 2400L)
+  }
+
+  test("auto-compaction folds the layout once inserts exceed the file cap") {
+    val cat = newLake()
+    cat.createTableAs("t", spark.range(100).selectExpr("id").repartition(2))
+    cat.autoCompact("t", maxFiles = 4, targetFileBytes = 4L << 20)
+    def fileCount: Long = cat.tableInfo()
+      .filter(col("table_name") === "t").head().getAs[Long]("file_count")
+    // each insert appends files; crossing the cap triggers a follow-on
+    // compaction commit, so the count never stays above the cap
+    (0 until 6).foreach { i =>
+      cat.insert("t", spark.range(100 * (i + 1), 100 * (i + 2))
+        .selectExpr("id").repartition(2))
+      assert(fileCount <= 4,
+        s"auto-compact must hold the cap after insert $i, got $fileCount")
+    }
+    // data intact, and the history records the maintenance commits
+    assert(cat.read("t").count() === 700L)
+    assert(cat.read("t").agg(sum("id")).head().getLong(0) ===
+      (0L until 700L).sum)
+    val compactions = cat.snapshots()
+      .filter(expr("changes['tables_compacted'] IS NOT NULL")).count()
+    assert(compactions > 0L, "compaction commits must appear in history")
+    // the policy rides the snapshot: still enforced after reopening
+    val cat2 = new LakeCatalog(spark, cat.root)
+    cat2.insert("t", spark.range(700, 800).selectExpr("id").repartition(6))
+    assert(cat2.tableInfo().filter(col("table_name") === "t")
+      .head().getAs[Long]("file_count") <= 4)
+  }
+
   test("zorder accepts date keys; date stats prune ISO-string ranges") {
     val cat = newLake()
     val df = spark.range(4096).selectExpr(
