@@ -478,7 +478,9 @@ class LakeCatalog(val spark: SparkSession, val root: String,
         val src = sql(body.trim)
         require(src.columns.length == cols.length,
           s"INSERT arity ${src.columns.length} != column list ${cols.length}")
-        inTx(_.insert(t, src.toDF(cols: _*))); empty
+        inTx(_.insert(t, src.toDF(cols: _*)))
+        if (activeTx.isEmpty) maybeAutoCompact(t)
+        empty
       case InsertRe(t, body) =>
         // SQL INSERT maps the source POSITIONALLY (both VALUES and
         // SELECT bodies), unlike the by-name DataFrame API insert
@@ -486,7 +488,9 @@ class LakeCatalog(val spark: SparkSession, val root: String,
         val st = liveState(t)
         require(src.columns.length == st.columns.length,
           s"INSERT arity ${src.columns.length} != table ${st.columns.length}")
-        inTx(_.insert(t, src.toDF(st.columns.map(_.name): _*))); empty
+        inTx(_.insert(t, src.toDF(st.columns.map(_.name): _*)))
+        if (activeTx.isEmpty) maybeAutoCompact(t)
+        empty
       case DeleteRe(t, where) =>
         val cond = Option(where)
           .map(w => expr(w.trim.replaceFirst("(?is)^WHERE\\s+", "")))
@@ -503,8 +507,18 @@ class LakeCatalog(val spark: SparkSession, val root: String,
         }.toMap
         inTx(_.update(t, whereOpt.map(expr).getOrElse(lit(true)), sets)); empty
       case MvCreateRe(mv, select) =>
+        // MV create/refresh are multi-commit workflows keyed to a
+        // PUBLISHED base-version watermark — staging them into an open
+        // interactive transaction would record a watermark the rollback
+        // could orphan (and their own commit would make the interactive
+        // COMMIT lose its OCC race). Reject loudly instead of silently
+        // breaking the BEGIN/COMMIT contract.
+        require(activeTx.isEmpty, "CREATE MATERIALIZED VIEW is not " +
+          "supported inside an open transaction — COMMIT first")
         createMaterializedView(mv, select.trim); empty
       case MvRefreshRe(mv) =>
+        require(activeTx.isEmpty, "REFRESH MATERIALIZED VIEW is not " +
+          "supported inside an open transaction — COMMIT first")
         import spark.implicits._
         Seq((mv, Mv.refresh(this, mv))).toDF("mv", "refresh_path")
       case CtasRe(t, select) => inTx(_.createTableAs(t, sql(select.trim))); empty
@@ -566,7 +580,33 @@ class LakeCatalog(val spark: SparkSession, val root: String,
               "(the Scala API mirrors this: Mv.create has no filter)")
           Mv.create(this, mv, base, keys.toSeq, sums.toSeq)
         } else {
-          Mv.createJoin(this, mv, base, dim, fk, pk,
+          // SQL ON is order-insensitive but Mv.createJoin binds (fk, pk)
+          // to (base, dim) — resolve each column to its actual side from
+          // the table schemas, and reject when both orientations resolve
+          // (same names on both tables: positional guessing would build
+          // a silently wrong join)
+          val baseCols = liveState(base).columns.map(_.name).toSet
+          val dimCols = liveState(dim).columns.map(_.name).toSet
+          val (fk2, pk2) =
+            if (fk == pk) {
+              require(baseCols(fk) && dimCols(fk),
+                s"ON $fk = $pk: both tables need column $fk")
+              (fk, pk)
+            } else {
+              val fwd = baseCols(fk) && dimCols(pk)
+              val rev = baseCols(pk) && dimCols(fk)
+              if (fwd && rev) throw new IllegalArgumentException(
+                s"ON $fk = $pk is ambiguous: both columns exist on both " +
+                  "tables — rename one side (qualified names are not in " +
+                  "the MV grammar)")
+              else if (fwd) (fk, pk)
+              else if (rev) (pk, fk)
+              else throw new IllegalArgumentException(
+                s"ON $fk = $pk: cannot resolve sides (base $base has " +
+                  s"${baseCols.toSeq.sorted.mkString(",")}; dim $dim has " +
+                  s"${dimCols.toSeq.sorted.mkString(",")})")
+            }
+          Mv.createJoin(this, mv, base, dim, fk2, pk2,
             Option(where).map(_.trim), keys.toSeq, sums.toSeq)
         }
       case other => throw new IllegalArgumentException(
@@ -1155,13 +1195,18 @@ class LakeCatalog(val spark: SparkSession, val root: String,
   }
 
   /** Opt a table into AUTO-COMPACTION (the Delta `autoOptimize.autoCompact`
-    * analog): after any file-appending [[insert]], if the table's live
-    * file count exceeds `maxFiles`, a follow-on [[compact]] commit folds
-    * it back to size-targeted files. The policy rides the snapshot as
-    * table properties (survives restarts and [[migrateTo]]); the
-    * compaction is its own commit, so readers see either the pre- or
-    * post-layout table, never a half-folded one, and history/time travel
-    * record the maintenance like any other write. */
+    * analog): after any direct file-appending insert — the DataFrame
+    * [[insert]] or a routed SQL `INSERT` — if the table's live file count
+    * exceeds `maxFiles`, a follow-on [[compact]] commit folds it back to
+    * size-targeted files. Inserts staged inside an open interactive
+    * transaction defer the check to the next direct insert (the staged
+    * files aren't published yet); streaming/inlined ingestion is not
+    * auto-compacted (inlined rows add no files; streams own their commit
+    * cadence — run [[compact]] as maintenance there). The policy rides
+    * the snapshot as table properties (survives restarts and
+    * [[migrateTo]]); the compaction is its own commit, so readers see
+    * either the pre- or post-layout table, never a half-folded one, and
+    * history/time travel record the maintenance like any other write. */
   def autoCompact(table: String, maxFiles: Int,
       targetFileBytes: Long = 128L << 20): Unit =
     transaction { tx =>

@@ -1849,6 +1849,36 @@ object Pipeline {
                CAST(SUM(days_active) AS BIGINT) AS sum_dau
         FROM uw GROUP BY 1 ORDER BY week""")),
 
+    // T16 — event-type TRANSITION matrix (the first-order Markov chain of
+    // the user journey — the session-flow analysis behind funnel design
+    // and behavior-shift anomaly detection). ONE shuffle on user_id: a
+    // lag window over the per-user timeline (total order: ts then
+    // event_id, so same-timestamp ties are deterministic cross-engine),
+    // then a hash-agg onto the (from, to) grid. At 100 TB the state per
+    // user is one row of look-back and the output is |types|² regardless
+    // of event count — the same scale shape as sessionization.
+    QDef("t16_transition_matrix",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        T.events(s, d).select("user_id", "ts", "event_id", "event_type")
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type").as("from_type"),
+            col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""
+        WITH seq AS (SELECT user_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                         AS prev_type
+                     FROM events)
+        SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY from_type, to_type""")),
+
     // X5 corpus curation composite — the end-to-end pipeline shape: score
     // quality (X2 logic) → drop low-quality docs → drop exact-dup losers
     // (DD1 logic, keep min doc_id per head fingerprint) → per-source

@@ -1167,6 +1167,31 @@ class LakeSpec extends SparkSpec {
       cat.execute("CREATE MATERIALIZED VIEW bad3 AS " +
         "SELECT k, COUNT(*) AS n_rows FROM f GROUP BY v")
     }
+    // SQL ON is order-insensitive: the reversed clause resolves by
+    // schema, and same-name-on-both-sides ambiguity is rejected
+    cat.execute("CREATE TABLE dim2 (dk INTEGER, grp2 VARCHAR)")
+    cat.execute("INSERT INTO dim2 SELECT * FROM VALUES (1, 'z') AS x(dk, grp2)")
+    cat.execute("CREATE MATERIALIZED VIEW m2 AS " +
+      "SELECT grp2, COUNT(*) AS n_rows FROM f JOIN dim2 ON dk = k GROUP BY grp2")
+    assert(cat.sql("SELECT n_rows FROM m2").head().getLong(0) === 2L)
+    intercept[IllegalArgumentException] {
+      // f and dim both have a column k: ON k = k is the USING form (fine),
+      // but a cross-named pair where both orientations resolve must reject
+      cat.execute("CREATE TABLE dboth (k INTEGER, v INTEGER)")
+      cat.execute("CREATE MATERIALIZED VIEW bad4 AS " +
+        "SELECT k, COUNT(*) AS n_rows FROM f JOIN dboth ON k = v GROUP BY k")
+    }
+    // MV statements refuse to run inside an open interactive transaction
+    cat.execute("BEGIN")
+    try {
+      intercept[IllegalArgumentException] {
+        cat.execute("CREATE MATERIALIZED VIEW m3 AS " +
+          "SELECT k, COUNT(*) AS n_rows FROM f GROUP BY k")
+      }
+      intercept[IllegalArgumentException] {
+        cat.execute("REFRESH MATERIALIZED VIEW m")
+      }
+    } finally cat.execute("ROLLBACK")
   }
 
   test("files() lists per-file manifest bookkeeping; graft_files() serves SQL") {
@@ -1219,6 +1244,13 @@ class LakeSpec extends SparkSpec {
     cat2.insert("t", spark.range(700, 800).selectExpr("id").repartition(6))
     assert(cat2.tableInfo().filter(col("table_name") === "t")
       .head().getAs[Long]("file_count") <= 4)
+    // SQL-routed INSERTs enforce the same cap (not just the Scala API)
+    (0 until 6).foreach { i =>
+      cat2.execute(s"INSERT INTO t SELECT * FROM VALUES (${9000 + i}) AS x(id)")
+    }
+    assert(cat2.tableInfo().filter(col("table_name") === "t")
+      .head().getAs[Long]("file_count") <= 4,
+      "SQL INSERT path must trigger auto-compaction too")
   }
 
   test("zorder accepts date keys; date stats prune ISO-string ranges") {
