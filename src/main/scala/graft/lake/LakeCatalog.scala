@@ -645,10 +645,14 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     // view names carry the catalog identity COLLISION-FREE: an md5 of
     // the exact root string (sanitizing the path maps /a/b and /a_b to
     // the same name, and a 32-bit hash can collide) — two catalogs in
-    // one JVM must never serve each other's metadata
+    // one JVM must never serve each other's metadata. A per-statement
+    // sequence number is appended so CONCURRENT sql() calls (same root,
+    // two threads or two instances) never drop each other's views in
+    // their finally blocks — each statement owns its names outright.
     val ns = "c" + java.security.MessageDigest.getInstance("MD5")
       .digest(root.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+      .map("%02x".format(_)).mkString +
+      "_" + LakeCatalog.metaViewSeq.incrementAndGet()
     val made = scala.collection.mutable.ArrayBuffer.empty[String]
     def guard(q: String, re: scala.util.matching.Regex)(
         mk: scala.util.matching.Regex.Match => String): String = {
@@ -1206,7 +1210,10 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     * the snapshot as table properties (survives restarts and
     * [[migrateTo]]); the compaction is its own commit, so readers see
     * either the pre- or post-layout table, never a half-folded one, and
-    * history/time travel record the maintenance like any other write. */
+    * history/time travel record the maintenance like any other write.
+    * Once the data outgrows `maxFiles * targetFileBytes` no layout can
+    * honor the cap, so the policy goes DORMANT (no per-insert O(table)
+    * rewrites) until the cap or target is raised. */
   def autoCompact(table: String, maxFiles: Int,
       targetFileBytes: Long = 128L << 20): Unit =
     transaction { tx =>
@@ -1220,10 +1227,20 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     current.tables.get(table).foreach { st =>
       st.props.get(LakeCatalog.PropAutoCompactMaxFiles)
         .map(_.toInt).foreach { maxFiles =>
-          if (st.files.size > maxFiles)
-            compact(table,
-              st.props.get(LakeCatalog.PropAutoCompactTargetBytes)
-                .map(_.toLong).getOrElse(128L << 20))
+          val target = st.props.get(LakeCatalog.PropAutoCompactTargetBytes)
+            .map(_.toLong).getOrElse(128L << 20)
+          // the file count a full compaction would produce (compact
+          // rewrites into ceil(bytes/target) files)
+          val folded = math.max(1, math.ceil(
+            st.files.map(_.sizeBytes).sum.toDouble / target).toInt)
+          // trigger only when over the cap AND a compaction can actually
+          // achieve it: once the data outgrows maxFiles*targetFileBytes
+          // no layout honors the cap, and re-running an O(table) rewrite
+          // after every insert would be pure write amplification — the
+          // policy goes dormant instead (raise the cap or the target to
+          // re-arm it)
+          if (st.files.size > maxFiles && folded <= maxFiles)
+            compact(table, target)
         }
     }
 
@@ -1456,6 +1473,10 @@ object LakeCatalog {
   /** Auto-compaction policy table properties — see [[LakeCatalog.autoCompact]]. */
   val PropAutoCompactMaxFiles = "compact.auto.maxFiles"
   val PropAutoCompactTargetBytes = "compact.auto.targetBytes"
+
+  /** JVM-wide statement counter for metadata-view names — uniqueness
+    * across concurrent sql() calls on the same catalog root. */
+  private[lake] val metaViewSeq = new java.util.concurrent.atomic.AtomicLong()
   /** Split `s` on `sep` at paren-depth 0 outside single-quoted strings —
     * the minimal scanner [[LakeCatalog.execute]]'s UPDATE head needs
     * (commas inside function calls and string literals must not split). */

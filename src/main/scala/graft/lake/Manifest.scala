@@ -187,6 +187,22 @@ object Stats {
     case _ => false
   }
 
+  /** Zero-padded 4-digit-year ISO date — the ONLY date rendering whose
+    * lexicographic order is calendar order. Years ≥10000 render with
+    * more digits (Spark prefixes '+') and BCE years with '-', and both
+    * break string ordering ("9999-…" > "+10000-…"; "-0044" > "-0100"
+    * as strings but is the LATER year). Out-of-range values are simply
+    * not harvested and never compared — pruning degrades to scanning,
+    * never to wrong answers. */
+  private val SafeDate = java.util.regex.Pattern.compile("""\d{4}-\d{2}-\d{2}""")
+
+  /** Is this stat/probe value safe to order-compare under the column's
+    * string encoding? (Non-date types: always — their cmp parses.) */
+  def safeValue(c: ColumnDef, v: String): Boolean = c.typeJson match {
+    case "\"date\"" => SafeDate.matcher(v).matches()
+    case _ => true
+  }
+
   private def cmp(c: ColumnDef, a: String, b: String): Int = c.typeJson match {
     case "\"integer\"" | "\"long\"" | "\"short\"" | "\"byte\"" =>
       java.lang.Long.compare(a.toLong, b.toLong)
@@ -196,10 +212,14 @@ object Stats {
   }
 
   /** Can [lo,hi] of an incoming batch intersect this file's range?
-    * Missing stats → must assume yes. */
+    * Missing stats — or any value outside the safely-ordered encoding
+    * (legacy manifests, exotic probe dates) — must assume yes. */
   def overlaps(st: Option[ColStat], c: ColumnDef, lo: String, hi: String): Boolean =
     st match {
-      case Some(ColStat(mn, mx)) => cmp(c, mn, hi) <= 0 && cmp(c, lo, mx) <= 0
+      case Some(ColStat(mn, mx)) =>
+        if (!safeValue(c, mn) || !safeValue(c, mx) ||
+          !safeValue(c, lo) || !safeValue(c, hi)) true
+        else cmp(c, mn, hi) <= 0 && cmp(c, lo, mx) <= 0
       case None => true
     }
 

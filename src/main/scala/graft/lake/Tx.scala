@@ -534,7 +534,8 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
             val stats = statCols.flatMap { c =>
               val mn = r.getAs[String](s"min_${c.name}")
               val mx = r.getAs[String](s"max_${c.name}")
-              if (mn == null || mx == null) None
+              if (mn == null || mx == null ||
+                !Stats.safeValue(c, mn) || !Stats.safeValue(c, mx)) None
               else Some(c.name -> ColStat(mn, mx))
             }.toMap
             val pv = pvalCols.flatMap { c =>
@@ -1186,7 +1187,8 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
             val stats = statCols.flatMap { c =>
               val mn = r.getAs[String](s"min_${c.name}")
               val mx = r.getAs[String](s"max_${c.name}")
-              if (mn == null || mx == null) None
+              if (mn == null || mx == null ||
+                !Stats.safeValue(c, mn) || !Stats.safeValue(c, mx)) None
               else Some(c.name -> ColStat(mn, mx))
             }.toMap
             val pv = pvalCols.flatMap { c =>

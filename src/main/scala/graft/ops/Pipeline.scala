@@ -176,6 +176,31 @@ object Pipeline {
   private val cosDuckAB =
     "list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)"
 
+  /** 4x8-sign-bit LSH band key (the shared candidate-generation core of
+    * ss2/ss4/ss6/ss7/ss8): explodes v into (band, bv) sign-bucket structs
+    * under `alias`. ONE definition — a band-count or bit-width change
+    * here keeps every query AND its oracle in lockstep with
+    * [[signBandDuck]], its DuckDB twin. */
+  private def signBandExpr(alias: String): String =
+    "explode(transform(sequence(0, 3), b -> struct(b AS band, " +
+      "aggregate(sequence(0, 7), 0L, (acc, j) -> acc + " +
+      "IF(element_at(v, b * 16 + j + 1) >= cast(0 AS double), " +
+      s"shiftleft(1L, j), 0L)) AS bv))) AS $alias"
+
+  /** DuckDB twin of [[signBandExpr]] — the same bucket key as the `bv`
+    * column of a `FROM e, (SELECT unnest(range(0, 4)) AS band) t`
+    * lateral. */
+  private val signBandDuck =
+    "list_sum(list_transform(range(0, 8), j -> CASE WHEN " +
+      "v[t.band * 16 + j + 1] >= 0 THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS bv "
+
+  /** 4-bit scalar quantizer v -> clamp(floor(v*16), -8, 7), shared by the
+    * SQ shortlist queries (ss4/ss6/ss7); [[sqQuantDuck]] is its twin. */
+  private val sqQuantSpark =
+    "transform(v, x -> cast(greatest(-8L, least(7L, floor(x * 16))) AS double))"
+  private val sqQuantDuck =
+    "list_transform(v, x -> greatest(-8, least(7, floor(x * 16)))::BIGINT) AS qv "
+
   val defs: Seq[QDef] = Seq(
 
     // ------------------------------------------------------- text analysis
@@ -945,10 +970,7 @@ object Pipeline {
       (s, d) => {
         val e = embNorm(s, d)
         val bands = e.selectExpr("vec_id", "v", "nrm",
-          "explode(transform(sequence(0, 3), b -> struct(b AS band, " +
-            "aggregate(sequence(0, 7), 0L, (acc, j) -> acc + " +
-            "IF(element_at(v, b * 16 + j + 1) >= cast(0 AS double), " +
-            "shiftleft(1L, j), 0L)) AS bv))) AS e")
+          signBandExpr("e"))
           .selectExpr("vec_id", "v", "nrm", "e.band AS band", "e.bv AS bv")
         val cand = bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
@@ -964,8 +986,7 @@ object Pipeline {
       },
       Some(s"WITH e AS ($embNormD), " +
         "bands AS (SELECT vec_id, t.band, " +
-        "list_sum(list_transform(range(0, 8), j -> CASE WHEN " +
-        "v[t.band * 16 + j + 1] >= 0 THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS bv " +
+        signBandDuck +
         "FROM e, (SELECT unnest(range(0, 4)) AS band) t), " +
         "cand AS (SELECT DISTINCT x.vec_id id1, y.vec_id id2 " +
         "FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv " +
@@ -1119,10 +1140,7 @@ object Pipeline {
       (s, d) => {
         val e = embNorm(s, d)
         val bands = e.selectExpr("vec_id",
-          "explode(transform(sequence(0, 3), b -> struct(b AS band, " +
-            "aggregate(sequence(0, 7), 0L, (acc, j) -> acc + " +
-            "IF(element_at(v, b * 16 + j + 1) >= cast(0 AS double), " +
-            "shiftleft(1L, j), 0L)) AS bv))) AS x")
+          signBandExpr("x"))
           .selectExpr("vec_id", "x.band AS band", "x.bv AS bv")
         val cand = bands.as("qb").join(bands.as("nb"),
             col("qb.band") === col("nb.band") && col("qb.bv") === col("nb.bv") &&
@@ -1142,8 +1160,7 @@ object Pipeline {
       },
       Some(s"WITH e AS ($embNormD), " +
         "bands AS (SELECT vec_id, t.band, " +
-        "list_sum(list_transform(range(0, 8), j -> CASE WHEN " +
-        "v[t.band * 16 + j + 1] >= 0 THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS bv " +
+        signBandDuck +
         "FROM e, (SELECT unnest(range(0, 4)) AS band) t), " +
         "cand AS (SELECT DISTINCT qb.vec_id qid, nb.vec_id nid " +
         "FROM bands qb JOIN bands nb ON qb.band = nb.band AND qb.bv = nb.bv " +
@@ -1168,12 +1185,9 @@ object Pipeline {
     QDef("ss4_sq_rerank",
       (s, d) => {
         val e = embNorm(s, d).withColumn("qv",
-          expr("transform(v, x -> cast(greatest(-8L, least(7L, floor(x * 16))) AS double))"))
+          expr(sqQuantSpark))
         val bands = e.selectExpr("vec_id",
-          "explode(transform(sequence(0, 3), b -> struct(b AS band, " +
-            "aggregate(sequence(0, 7), 0L, (acc, j) -> acc + " +
-            "IF(element_at(v, b * 16 + j + 1) >= cast(0 AS double), " +
-            "shiftleft(1L, j), 0L)) AS bv))) AS x")
+          signBandExpr("x"))
           .selectExpr("vec_id", "x.band AS band", "x.bv AS bv")
         val cand = bands.as("qb").join(bands.as("nb"),
             col("qb.band") === col("nb.band") && col("qb.bv") === col("nb.bv") &&
@@ -1203,11 +1217,10 @@ object Pipeline {
           .orderBy("qid", "rank")
       },
       Some(s"WITH e AS (SELECT vec_id, v, nrm, " +
-        "list_transform(v, x -> greatest(-8, least(7, floor(x * 16)))::BIGINT) AS qv " +
+        sqQuantDuck +
         s"FROM ($embNormD)), " +
         "bands AS (SELECT vec_id, t.band, " +
-        "list_sum(list_transform(range(0, 8), j -> CASE WHEN " +
-        "v[t.band * 16 + j + 1] >= 0 THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS bv " +
+        signBandDuck +
         "FROM e, (SELECT unnest(range(0, 4)) AS band) t), " +
         "cand AS (SELECT DISTINCT qb.vec_id qid, nb.vec_id nid " +
         "FROM bands qb JOIN bands nb ON qb.band = nb.band AND qb.bv = nb.bv " +
@@ -1241,10 +1254,7 @@ object Pipeline {
         val e = embNorm(s, d)
         val lbl = T.embeddings(s, d).select(col("vec_id").as("lid"), col("label"))
         val bands = e.selectExpr("vec_id",
-          "explode(transform(sequence(0, 3), b -> struct(b AS band, " +
-            "aggregate(sequence(0, 7), 0L, (acc, j) -> acc + " +
-            "IF(element_at(v, b * 16 + j + 1) >= cast(0 AS double), " +
-            "shiftleft(1L, j), 0L)) AS bv))) AS x")
+          signBandExpr("x"))
           .selectExpr("vec_id", "x.band AS band", "x.bv AS bv")
         val cand = bands.as("qb").join(bands.as("nb"),
             col("qb.band") === col("nb.band") && col("qb.bv") === col("nb.bv"))
@@ -1273,8 +1283,7 @@ object Pipeline {
       Some(s"WITH e AS ($embNormD), " +
         "lab AS (SELECT vec_id AS lid, label FROM embeddings), " +
         "bands AS (SELECT vec_id, t.band, " +
-        "list_sum(list_transform(range(0, 8), j -> CASE WHEN " +
-        "v[t.band * 16 + j + 1] >= 0 THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS bv " +
+        signBandDuck +
         "FROM e, (SELECT unnest(range(0, 4)) AS band) t), " +
         "cand AS (SELECT DISTINCT qb.vec_id AS qid, nb.vec_id AS nid " +
         "FROM bands qb JOIN bands nb ON qb.band = nb.band AND qb.bv = nb.bv " +
@@ -1373,12 +1382,9 @@ object Pipeline {
             "cast(embedding AS array<double>) AS v")
           .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
           .withColumn("qv", expr(
-            "transform(v, x -> cast(greatest(-8L, least(7L, floor(x * 16))) AS double))"))
+            sqQuantSpark))
         val bands = e.selectExpr("vec_id", "label",
-          "explode(transform(sequence(0, 3), b -> struct(b AS band, " +
-            "aggregate(sequence(0, 7), 0L, (acc, j) -> acc + " +
-            "IF(element_at(v, b * 16 + j + 1) >= cast(0 AS double), " +
-            "shiftleft(1L, j), 0L)) AS bv))) AS x")
+          signBandExpr("x"))
           .selectExpr("vec_id", "label", "x.band AS band", "x.bv AS bv")
         val cand = bands.as("qb").join(bands.as("nb"),
             col("qb.band") === col("nb.band") && col("qb.bv") === col("nb.bv") &&
@@ -1413,8 +1419,7 @@ object Pipeline {
         "x -> greatest(-8, least(7, floor(x * 16)))::BIGINT) AS qv " +
         "FROM embeddings), " +
         "bands AS (SELECT vec_id, label, t.band, " +
-        "list_sum(list_transform(range(0, 8), j -> CASE WHEN " +
-        "v[t.band * 16 + j + 1] >= 0 THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS bv " +
+        signBandDuck +
         "FROM e, (SELECT unnest(range(0, 4)) AS band) t), " +
         "cand AS (SELECT DISTINCT qb.vec_id qid, qb.label qlabel, nb.vec_id nid " +
         "FROM bands qb JOIN bands nb ON qb.band = nb.band AND qb.bv = nb.bv " +
@@ -1466,12 +1471,9 @@ object Pipeline {
             .orderBy(col("kw_score").desc, col("cid"))))
           .filter(col("rank_kw") <= 10)
         val e = embNorm(s, d).withColumn("qv",
-          expr("transform(v, x -> cast(greatest(-8L, least(7L, floor(x * 16))) AS double))"))
+          expr(sqQuantSpark))
         val vbands = e.selectExpr("vec_id",
-          "explode(transform(sequence(0, 3), b -> struct(b AS band, " +
-            "aggregate(sequence(0, 7), 0L, (acc, j) -> acc + " +
-            "IF(element_at(v, b * 16 + j + 1) >= cast(0 AS double), " +
-            "shiftleft(1L, j), 0L)) AS bv))) AS x")
+          signBandExpr("x"))
           .selectExpr("vec_id", "x.band AS band", "x.bv AS bv")
         val vcand = vbands.as("qb").join(vbands.as("nb"),
             col("qb.band") === col("nb.band") && col("qb.bv") === col("nb.bv") &&
@@ -1519,11 +1521,10 @@ object Pipeline {
         "kt AS (SELECT qid, cid, row_number() OVER (PARTITION BY qid " +
         "ORDER BY kw_score DESC, cid) AS rank_kw FROM kw QUALIFY rank_kw <= 10), " +
         "e AS (SELECT vec_id, v, nrm, " +
-        "list_transform(v, x -> greatest(-8, least(7, floor(x * 16)))::BIGINT) AS qv " +
+        sqQuantDuck +
         s"FROM ($embNormD)), " +
         "vbands AS (SELECT vec_id, t.band, " +
-        "list_sum(list_transform(range(0, 8), j -> CASE WHEN " +
-        "v[t.band * 16 + j + 1] >= 0 THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS bv " +
+        signBandDuck +
         "FROM e, (SELECT unnest(range(0, 4)) AS band) t), " +
         "vcand AS (SELECT DISTINCT qb.vec_id qid, nb.vec_id cid " +
         "FROM vbands qb JOIN vbands nb ON qb.band = nb.band AND qb.bv = nb.bv " +

@@ -1251,6 +1251,22 @@ class LakeSpec extends SparkSpec {
     assert(cat2.tableInfo().filter(col("table_name") === "t")
       .head().getAs[Long]("file_count") <= 4,
       "SQL INSERT path must trigger auto-compaction too")
+    // once the data outgrows maxFiles*targetFileBytes the cap is
+    // unachievable: the policy must go DORMANT (no O(table) rewrite per
+    // insert), not thrash
+    val cat3 = newLake()
+    cat3.createTableAs("u", spark.range(50000).selectExpr("id").repartition(2))
+    cat3.autoCompact("u", maxFiles = 2, targetFileBytes = 16L << 10)
+    val nCompact0 = cat3.snapshots()
+      .filter(expr("changes['tables_compacted'] IS NOT NULL")).count()
+    (0 until 3).foreach { i =>
+      cat3.insert("u", spark.range(50000 + i * 100, 50100 + i * 100)
+        .selectExpr("id").repartition(2))
+    }
+    val nCompact1 = cat3.snapshots()
+      .filter(expr("changes['tables_compacted'] IS NOT NULL")).count()
+    assert(nCompact1 === nCompact0,
+      "an unachievable cap must not trigger per-insert rewrites")
   }
 
   test("zorder accepts date keys; date stats prune ISO-string ranges") {
