@@ -158,8 +158,11 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     case None => stateOf(current, table)
   }
 
-  /** Current-snapshot scan (S2). */
-  def read(table: String): DataFrame = readState(stateOf(current, table))
+  /** Current-snapshot scan (S2) — read-your-writes when an interactive
+    * transaction is open, matching the SQL surface (the Scala mutators
+    * stage into the open transaction via inTx, so reads must see the
+    * staged state too or the API would disagree with itself). */
+  def read(table: String): DataFrame = readState(liveState(table))
 
   /** Time-travel scan by version (S3, `AT (VERSION => v)`). */
   def readAt(table: String, version: Long): DataFrame =
@@ -536,8 +539,13 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     * incremental maintainer supports:
     * {{{
     *   SELECT key[, key…], COUNT(*) AS n_rows[, SUM(col) AS sum_col…]
+    *     [, MIN(col) AS min_col…][, MAX(col) AS max_col…]
     *   FROM base [JOIN dim ON fk = pk] [WHERE pred] GROUP BY key[, key…]
     * }}}
+    * Sums are maintained NULL-safe (COALESCE(SUM(col),0): an all-NULL
+    * group reports 0 where plain SQL SUM returns NULL — the convention
+    * the incremental delta apply requires; see [[Mv]]). MIN/MAX keep SQL
+    * semantics and are single-table-MV only.
     * Anything else is REJECTED loudly — silently materializing a shape
     * the refresher cannot maintain would corrupt on first refresh. The
     * WHERE predicate (base-side filter) is only part of the maintained
@@ -551,21 +559,30 @@ class LakeCatalog(val spark: SparkSession, val root: String,
       case BodyRe(selList, base, dim, fk, pk, where, grpBy) =>
         val CountRe = """(?i)^COUNT\s*\(\s*\*\s*\)\s+AS\s+n_rows$""".r
         val SumRe = """(?i)^SUM\s*\(\s*(\w+)\s*\)\s+AS\s+sum_(\w+)$""".r
+        val MinRe = """(?i)^MIN\s*\(\s*(\w+)\s*\)\s+AS\s+min_(\w+)$""".r
+        val MaxRe = """(?i)^MAX\s*\(\s*(\w+)\s*\)\s+AS\s+max_(\w+)$""".r
         val KeyRe = """^(\w+)$""".r
         val keys = scala.collection.mutable.ArrayBuffer.empty[String]
         val sums = scala.collection.mutable.ArrayBuffer.empty[String]
+        val mins = scala.collection.mutable.ArrayBuffer.empty[String]
+        val maxs = scala.collection.mutable.ArrayBuffer.empty[String]
         var sawCount = false
+        def checkAlias(fn: String, c: String, a: String): Unit =
+          require(c.equalsIgnoreCase(a),
+            s"$fn($c) must be aliased ${fn.toLowerCase}_$c (the " +
+              s"maintainer's column naming), got ${fn.toLowerCase}_$a")
         splitTopLevel(selList, ',').map(_.trim).foreach {
           case KeyRe(k) => keys += k
           case CountRe() => sawCount = true
-          case SumRe(c, a) =>
-            require(c.equalsIgnoreCase(a),
-              s"SUM($c) must be aliased sum_$c (the maintainer's column " +
-                s"naming), got sum_$a")
-            sums += c
+          case SumRe(c, a) => checkAlias("SUM", c, a); sums += c
+          case MinRe(c, a) => checkAlias("MIN", c, a); mins += c
+          case MaxRe(c, a) => checkAlias("MAX", c, a); maxs += c
           case other => throw new IllegalArgumentException(
             s"unsupported MV select item '$other' — supported: bare group " +
-              "keys, COUNT(*) AS n_rows, SUM(col) AS sum_col")
+              "keys, COUNT(*) AS n_rows, SUM(col) AS sum_col, " +
+              "MIN(col) AS min_col, MAX(col) AS max_col. Note: sums are " +
+              "maintained NULL-safe as COALESCE(SUM(col),0) — an all-NULL " +
+              "group reports 0, not NULL (min/max keep SQL semantics)")
         }
         require(sawCount,
           "MV select list must include COUNT(*) AS n_rows (the maintainer " +
@@ -578,8 +595,13 @@ class LakeCatalog(val spark: SparkSession, val root: String,
           require(where == null,
             "WHERE without JOIN is outside the maintained subset " +
               "(the Scala API mirrors this: Mv.create has no filter)")
-          Mv.create(this, mv, base, keys.toSeq, sums.toSeq)
+          Mv.create(this, mv, base, keys.toSeq, sums.toSeq,
+            mins.toSeq, maxs.toSeq)
         } else {
+          require(mins.isEmpty && maxs.isEmpty,
+            "MIN/MAX are not maintainable on join MVs (a dim-churn leg " +
+              "would need per-group history) — supported on single-table " +
+              "MVs only")
           // SQL ON is order-insensitive but Mv.createJoin binds (fk, pk)
           // to (base, dim) — resolve each column to its actual side from
           // the table schemas, and reject when both orientations resolve
@@ -611,7 +633,8 @@ class LakeCatalog(val spark: SparkSession, val root: String,
         }
       case other => throw new IllegalArgumentException(
         "unsupported MATERIALIZED VIEW body (grammar: SELECT keys…, " +
-          "COUNT(*) AS n_rows[, SUM(col) AS sum_col…] FROM base " +
+          "COUNT(*) AS n_rows[, SUM(col) AS sum_col…][, MIN(col) AS " +
+          "min_col…][, MAX(col) AS max_col…] FROM base " +
           s"[JOIN dim ON fk = pk] [WHERE pred] GROUP BY keys…): $other")
     }
   }
@@ -1124,8 +1147,12 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     * statements cannot be replayed, so on a losing OCC race COMMIT
     * aborts (discarding the staged files) instead of retrying — the
     * same observable behavior as a serialization failure in a SQL
-    * database. One open transaction per catalog instance. */
-  private var activeTx: Option[(Tx, Long)] = None
+    * database. One open transaction per catalog instance. Volatile:
+    * statements may arrive from a thread other than the one that ran
+    * BEGIN (the metadata-view machinery already supports cross-thread
+    * use), and a stale read here would silently auto-commit a statement
+    * that should have staged. */
+  @volatile private var activeTx: Option[(Tx, Long)] = None
 
   def beginTransaction(): Unit = synchronized {
     require(activeTx.isEmpty, "transaction already open")
@@ -1133,6 +1160,11 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     activeTx = Some((new Tx(this, snapshot(v)), v))
   }
 
+  // A bare BEGIN;COMMIT publishes an empty snapshot DELIBERATELY — the
+  // reference records a snapshot per committed transaction whether or
+  // not it changed anything (SURVEY §2 M7; judged by l7_snapshots_meta),
+  // unlike Mv.refresh's AlreadyFresh short-circuit which models "nothing
+  // to refresh" as not-a-transaction.
   def commitTransaction(): Unit = synchronized {
     val (tx, v) = activeTx.getOrElse(
       throw new IllegalStateException("COMMIT without an open transaction"))
@@ -1183,19 +1215,26 @@ class LakeCatalog(val spark: SparkSession, val root: String,
 
   // --------------------------------------------- single-op convenience APIs
 
+  // Each of these routes through inTx: with an interactive transaction
+  // open (BEGIN via execute/sql) the mutation STAGES into it — mixing
+  // the Scala API with SQL transactions composes instead of publishing
+  // eagerly and dooming the later COMMIT to an OCC abort — and with no
+  // transaction open it auto-commits exactly as before.
   def createTable(name: String, schema: StructType,
       primaryKey: Seq[String] = Nil, notNull: Seq[String] = Nil,
       partitionBy: Seq[String] = Nil): Unit =
-    transaction(_.createTable(name, schema, primaryKey, notNull, partitionBy))
+    inTx(_.createTable(name, schema, primaryKey, notNull, partitionBy))
 
   /** CTAS (D2 — ref utils/ducklake_utils.py:101-111). */
   def createTableAs(name: String, df: DataFrame,
       partitionBy: Seq[String] = Nil): Unit =
-    transaction(_.createTableAs(name, df, partitionBy))
+    inTx(_.createTableAs(name, df, partitionBy))
 
   def insert(table: String, df: DataFrame): Unit = {
-    transaction(_.insert(table, df))
-    maybeAutoCompact(table)
+    inTx(_.insert(table, df))
+    // inside an open interactive txn the staged files aren't published
+    // yet — the auto-compact check defers to the next direct insert
+    if (activeTx.isEmpty) maybeAutoCompact(table)
   }
 
   /** Opt a table into AUTO-COMPACTION (the Delta `autoOptimize.autoCompact`
@@ -1246,7 +1285,7 @@ class LakeCatalog(val spark: SparkSession, val root: String,
 
   /** M8 inlined small-batch insert (rows live in the manifest). */
   def insertInlined(table: String, df: DataFrame): Unit =
-    transaction(_.insertInlined(table, df))
+    inTx(_.insertInlined(table, df))
 
   /** Exactly-once streaming ingestion: insert one micro-batch, idempotent
     * on (table, batchId). The batch id is recorded in the snapshot's
@@ -1269,53 +1308,57 @@ class LakeCatalog(val spark: SparkSession, val root: String,
 
   /** Merge-on-read DELETE (deletion vectors) — see [[Tx.deleteMor]]. */
   def deleteMor(table: String, where: Column): Unit =
-    transaction(_.deleteMor(table, where))
+    inTx(_.deleteMor(table, where))
 
   /** RESTORE to a past version — see [[Tx.restoreTable]]. */
   def restoreTable(table: String, version: Long): Unit =
-    transaction(_.restoreTable(table, version))
+    inTx(_.restoreTable(table, version))
 
   /** Zero-copy clone — see [[Tx.cloneTable]]. */
   def cloneTable(src: String, dst: String): Unit =
-    transaction(_.cloneTable(src, dst))
+    inTx(_.cloneTable(src, dst))
 
-  def dropTable(name: String): Unit = transaction(_.dropTable(name))
+  def dropTable(name: String): Unit = inTx(_.dropTable(name))
 
-  def dropView(name: String): Unit = transaction(_.dropView(name))
+  def dropView(name: String): Unit = inTx(_.dropView(name))
 
   /** Metadata-only rename — see [[Tx.renameTable]]. */
   def renameTable(from: String, to: String): Unit =
-    transaction(_.renameTable(from, to))
+    inTx(_.renameTable(from, to))
 
   /** O(metadata) truncate — see [[Tx.truncateTable]]. */
-  def truncateTable(name: String): Unit = transaction(_.truncateTable(name))
+  def truncateTable(name: String): Unit = inTx(_.truncateTable(name))
 
   def update(table: String, where: Column, sets: Map[String, Column]): Unit =
-    transaction(_.update(table, where, sets))
+    inTx(_.update(table, where, sets))
 
   def delete(table: String, where: Column): Unit =
-    transaction(_.delete(table, where))
+    inTx(_.delete(table, where))
+
+  /** Distributed DELETE by a DataFrame of keys — see [[Tx.delete]]. */
+  def delete(table: String, keys: DataFrame, keyCols: Seq[String]): Unit =
+    inTx(_.delete(table, keys, keyCols))
 
   /** Partition-retention fast-path delete — see [[Tx.deletePartitions]]. */
   def deletePartitions(table: String, eq: Map[String, String]): Unit =
-    transaction(_.deletePartitions(table, eq))
+    inTx(_.deletePartitions(table, eq))
 
   def merge(table: String, source: DataFrame, keys: Seq[String]): Unit =
-    transaction(_.merge(table, source, keys))
+    inTx(_.merge(table, source, keys))
 
   /** Zero-copy registration of existing parquet files — see
     * [[Tx.addDataFiles]]. */
   def addDataFiles(table: String, dir: String): Unit =
-    transaction(_.addDataFiles(table, dir))
+    inTx(_.addDataFiles(table, dir))
 
   /** mergeSchema ingestion — see [[Tx.insertEvolve]]; the schema adds and
     * the data land in ONE atomic commit. */
   def insertEvolve(table: String, df: DataFrame): Unit =
-    transaction(_.insertEvolve(table, df))
+    inTx(_.insertEvolve(table, df))
 
   /** Partition-spec evolution — see [[Tx.setPartitionBy]]. */
   def setPartitionBy(table: String, cols: Seq[String]): Unit =
-    transaction(_.setPartitionBy(table, cols))
+    inTx(_.setPartitionBy(table, cols))
 
   /** Full MERGE with conditional matched / not-matched / not-matched-by-
     * source clauses — see [[Tx.mergeClauses]] and [[MergeClauses]]. */

@@ -27,9 +27,15 @@ import org.apache.spark.sql.functions._
   * the watermark version has been vacuumed away the change feed is
   * unreadable, so refresh falls back to a full recompute (correct,
   * proportional to the table — the documented cost of expiring history
-  * an MV still needed). Only count/sum (and anything derivable: avg)
-  * are maintained: min/max are not incrementally maintainable under
-  * deletes without keeping per-group history.
+  * an MV still needed). count/sum (and anything derivable: avg) are
+  * maintained purely from the delta. min/max are maintained with the
+  * standard split: an INSERT-ONLY delta folds in as
+  * least/greatest(old, delta-min/max) — still O(delta) — while a group
+  * touched by any delete/update-preimage recomputes from the base via a
+  * semi-join on exactly the affected group keys (O(changed groups'
+  * rows); when deletes are rare, almost every refresh takes the fast
+  * path). Join MVs do not accept min/max (a dim-churn leg would need
+  * per-group history).
   *
   * Counts and sums ride integer/decimal arithmetic end-to-end when the
   * summed columns are integral; for floating columns the caller should
@@ -39,6 +45,8 @@ object Mv {
   private val PBase = "mv.base"
   private val PKeys = "mv.keys"
   private val PSums = "mv.sums"
+  private val PMins = "mv.mins"
+  private val PMaxs = "mv.maxs"
   private val PVersion = "mv.version"
   private val PFilter = "mv.filter"
   private val PDim = "mv.join.dim"
@@ -47,10 +55,15 @@ object Mv {
 
   // sums are NULL-safe (COALESCE(SUM(x),0)) so the create/full-recompute
   // paths agree with the incremental delta apply, which must treat an
-  // all-NULL delta as +0 rather than clobbering the group sum to NULL
-  private def aggExprs(sums: Seq[String]): Seq[Column] =
+  // all-NULL delta as +0 rather than clobbering the group sum to NULL.
+  // min/max keep SQL semantics (NULLs skipped; all-NULL group → NULL),
+  // which least/greatest in the fast path match (both skip NULLs).
+  private def aggExprs(sums: Seq[String], mins: Seq[String] = Nil,
+      maxs: Seq[String] = Nil): Seq[Column] =
     count(lit(1)).as("n_rows") +:
-      sums.map(c => coalesce(sum(col(c)), lit(0L)).as(s"sum_$c"))
+      (sums.map(c => coalesce(sum(col(c)), lit(0L)).as(s"sum_$c")) ++
+        mins.map(c => min(col(c)).as(s"min_$c")) ++
+        maxs.map(c => max(col(c)).as(s"max_$c")))
 
   private def joinFrames(f: DataFrame, dm: DataFrame,
       fk: String, pk: String): DataFrame =
@@ -60,17 +73,22 @@ object Mv {
   /** Create `mv` as the materialized grouped aggregate of `base`,
     * atomically with its spec + watermark properties. */
   def create(cat: LakeCatalog, mv: String, base: String,
-      keys: Seq[String], sums: Seq[String]): Unit = cat.transaction { tx =>
-    require(keys.nonEmpty, "mv needs at least one group key")
-    val df = tx.read(base).groupBy(keys.map(col): _*)
-      .agg(aggExprs(sums).head, aggExprs(sums).tail: _*)
-    tx.createTable(mv, df.schema, primaryKey = keys)
-    tx.insert(mv, df)
-    tx.setProperty(mv, PBase, base)
-    tx.setProperty(mv, PKeys, keys.mkString(","))
-    tx.setProperty(mv, PSums, sums.mkString(","))
-    tx.setProperty(mv, PVersion, tx.commitVersion.toString)
-  }
+      keys: Seq[String], sums: Seq[String],
+      mins: Seq[String] = Nil, maxs: Seq[String] = Nil): Unit =
+    cat.transaction { tx =>
+      require(keys.nonEmpty, "mv needs at least one group key")
+      val aggs = aggExprs(sums, mins, maxs)
+      val df = tx.read(base).groupBy(keys.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+      tx.createTable(mv, df.schema, primaryKey = keys)
+      tx.insert(mv, df)
+      tx.setProperty(mv, PBase, base)
+      tx.setProperty(mv, PKeys, keys.mkString(","))
+      tx.setProperty(mv, PSums, sums.mkString(","))
+      if (mins.nonEmpty) tx.setProperty(mv, PMins, mins.mkString(","))
+      if (maxs.nonEmpty) tx.setProperty(mv, PMaxs, maxs.mkString(","))
+      tx.setProperty(mv, PVersion, tx.commitVersion.toString)
+    }
 
   /** Create `mv` as a FILTER + single equi-JOIN + grouped aggregate over
     * two lake tables — the reference's own views join and aggregate
@@ -123,6 +141,8 @@ object Mv {
         throw new IllegalArgumentException(s"$mv is not a materialized view"))
       val keys = props(PKeys).split(",").toSeq.filter(_.nonEmpty)
       val sums = props(PSums).split(",").toSeq.filter(_.nonEmpty)
+      val mins = props.get(PMins).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+      val maxs = props.get(PMaxs).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
       val joinSpec = props.get(PDim).map(dim => (dim, props(PFk), props(PPk)))
       val filt = props.get(PFilter)
       def withFilter(df: DataFrame): DataFrame =
@@ -139,8 +159,9 @@ object Mv {
           case Some((dim, fk, pk)) => joinFrames(f, tx.read(dim), fk, pk)
           case None => f
         }
+        val aggs = aggExprs(sums, mins, maxs)
         tx.insert(mv, src.groupBy(keys.map(col): _*)
-          .agg(aggExprs(sums).head, aggExprs(sums).tail: _*))
+          .agg(aggs.head, aggs.tail: _*))
       } else {
         mode = "incremental"
         val sign = when(
@@ -174,13 +195,24 @@ object Mv {
               leg1.unionByName(leg2).unionByName(leg3)
             }
         }
-        val dAggs = sum(col("__sgn")).as("__dn") +:
-          sums.map(c => sum(col("__sgn") * col(c)).as(s"__d_$c"))
+        // __hasneg flags groups touched by a delete/update_preimage —
+        // the only rows that can invalidate a running min/max
+        val dAggs = (sum(col("__sgn")).as("__dn") +:
+          sums.map(c => sum(col("__sgn") * col(c)).as(s"__d_$c"))) ++
+          mins.map(c => min(when(col("__sgn") > 0, col(c))).as(s"__dmin_$c")) ++
+          maxs.map(c => max(when(col("__sgn") > 0, col(c))).as(s"__dmax_$c")) :+
+          max(when(col("__sgn") < 0, lit(1)).otherwise(lit(0))).as("__hasneg")
         val deltaAgg = delta.groupBy(keys.map(col): _*)
           .agg(dAggs.head, dAggs.tail: _*)
         // join changed groups against their CURRENT MV row (delta-sized)
         val cur = tx.read(mv)
-        val joined = deltaAgg.join(cur, keys, "left_outer")
+        // insert-only groups fold in purely from the delta: sums add,
+        // min/max fold as least/greatest(old, delta) — both NULL-skipping,
+        // matching SQL MIN/MAX semantics
+        val fastGroups =
+          if (mins.isEmpty && maxs.isEmpty) deltaAgg
+          else deltaAgg.filter(col("__hasneg") === 0)
+        val joined = fastGroups.join(cur, keys, "left_outer")
         // NULL-safe delta apply: a delta batch whose summed values are
         // all NULL aggregates to a NULL __d_ — adding that raw would
         // clobber the existing group sum to NULL. Sums here follow the
@@ -193,9 +225,27 @@ object Mv {
               val t = cur.schema(s"sum_$c").dataType
               (coalesce(col(s"sum_$c"), lit(0L).cast(t)) +
                 coalesce(col(s"__d_$c"), lit(0L).cast(t))).as(s"sum_$c")
-            }): _*)
+            } ++
+            mins.map(c => least(col(s"min_$c"), col(s"__dmin_$c")).as(s"min_$c")) ++
+            maxs.map(c =>
+              greatest(col(s"max_$c"), col(s"__dmax_$c")).as(s"max_$c"))): _*)
         tx.merge(mv, updated, keys)
         tx.delete(mv, col("n_rows") <= 0L)
+        if (mins.nonEmpty || maxs.nonEmpty) {
+          // delete-touched groups: the retired value may have BEEN the
+          // min/max, so recompute exactly those groups from the base —
+          // a semi-join on the affected keys, O(changed groups' rows)
+          val delKeys = deltaAgg.filter(col("__hasneg") === 1)
+            .select(keys.map(col): _*)
+          if (!delKeys.isEmpty) {
+            val aggs = aggExprs(sums, mins, maxs)
+            val recomputed = withFilter(tx.read(base))
+              .join(delKeys, keys, "left_semi")
+              .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+            tx.delete(mv, delKeys, keys)   // covers emptied groups too
+            tx.insert(mv, recomputed)
+          }
+        }
       }
       tx.setProperty(mv, PVersion, tx.commitVersion.toString)
     } catch { case AlreadyFresh => () }

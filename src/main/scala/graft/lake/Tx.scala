@@ -622,6 +622,35 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     change("tables_deleted_from", table)
   }
 
+  /** M4 copy-on-write `DELETE` by a DataFrame of keys — the CDC-apply /
+    * anti-join form. Where [[delete]] takes a predicate (which a caller
+    * with a large key SET would have to inline as a million-literal
+    * `isin`, materializing the keys on the driver), this form keeps the
+    * keys distributed end to end: affected files are found with a
+    * left-semi join against the tagged scan and the rewrite is a
+    * left-anti join — both shuffle-or-broadcast plans Catalyst sizes at
+    * runtime. A 100-TB CDC step deleting millions of keys never touches
+    * the driver. NULL semantics match [[delete]]: a row with a NULL key
+    * column never matches the anti join, so it is kept. */
+  def delete(table: String, keys: DataFrame, keyCols: Seq[String]): Unit = {
+    flushInlined(table)
+    val st = state(table)
+    keyCols.foreach(k => require(st.columns.exists(_.name == k),
+      s"no such column: $table.$k"))
+    require(keyCols.nonEmpty, "delete-by-keys requires at least one key column")
+    // align key types to the table's column types so join keys compare
+    // exactly (a LongType key frame against an IntegerType column must
+    // not silently widen row-by-row)
+    val k = keys.select(keyCols.map { kc =>
+      val c = st.columns.find(_.name == kc).get
+      col(kc).cast(DataType.fromJson(c.typeJson)).as(kc)
+    }: _*).distinct()
+    rewriteAffectedBy(table,
+      tagged => tagged.join(k, keyCols, "left_semi"))(
+      affected => affected.join(k, keyCols, "left_anti"))
+    change("tables_deleted_from", table)
+  }
+
   /** Retention delete by partition-key equality — the `DELETE WHERE
     * day = X` / `DROP PARTITION` fast path: a file whose recorded
     * partition-value set is EXACTLY the probed tuple is dropped from the
@@ -1080,6 +1109,16 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     * join — needed when an UPDATE changes a PK column. */
   private def rewriteAffected(table: String, where: Column,
       checkPkAgainstKept: Boolean = false)
+      (transform: DataFrame => DataFrame): Unit =
+    rewriteAffectedBy(table, _.filter(where), checkPkAgainstKept)(transform)
+
+  /** Generalized CoW core: `matcher` maps the file-tagged scan to the
+    * subset of rows whose files must rewrite — a predicate filter for
+    * [[delete]]/[[update]], a distributed semi-join for the
+    * DataFrame-of-keys delete. */
+  private def rewriteAffectedBy(table: String,
+      matcher: DataFrame => DataFrame,
+      checkPkAgainstKept: Boolean = false)
       (transform: DataFrame => DataFrame): Unit = {
     flushInlined(table)
     val st = state(table)
@@ -1091,8 +1130,7 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     // Past the cap (a predicate touching most of a 10^6-file table) the
     // rewrite degenerates to all files — which is the work such an update
     // does anyway — instead of pulling an unbounded path set to the driver.
-    val affectedPaths = cat.readStateTagged(st, "__file")
-      .filter(where)
+    val affectedPaths = matcher(cat.readStateTagged(st, "__file"))
       .select("__file").distinct().limit(Tx.MaxAffectedPaths + 1).collect()
       .map(r => new java.net.URI(r.getString(0)).getPath).toSet
     if (affectedPaths.isEmpty) return

@@ -234,9 +234,10 @@ object LakeScenarios {
     // deletes remove their keys, inserts + update_postimages land as a
     // MERGE). The judged output proves replica == source with a
     // symmetric difference of 0 plus independently recomputed row/sum
-    // profiles. Scale shape: each apply step handles the step's DIFF
-    // (broadcast-sized by nature), never the table; the collected delete
-    // key list is bounded by that same diff.
+    // profiles. Scale shape: each apply step handles the step's DIFF,
+    // never the table, and the delete keys stay a DataFrame end to end —
+    // Tx.delete(keys) anti-joins inside the CoW rewrite, so a version
+    // deleting millions of keys never materializes them on the driver.
     QDef("l17_cdc_apply",
       (s, d) => {
         import s.implicits._
@@ -262,10 +263,9 @@ object LakeScenarios {
           val upserts = ch
             .filter(col("change_type").isin("insert", "update_postimage"))
             .drop("change_type")
-          val delKeys = ch.filter(col("change_type") === "delete")
-            .select("id").as[Long].collect().toSeq // bounded by the step diff
+          val delKeys = ch.filter(col("change_type") === "delete").select("id")
           dst.transaction { tx =>
-            if (delKeys.nonEmpty) tx.delete("c", col("id").isin(delKeys: _*))
+            if (!delKeys.isEmpty) tx.delete("c", delKeys, Seq("id"))
             if (!upserts.isEmpty) tx.merge("c", upserts, Seq("id"))
           }
         }

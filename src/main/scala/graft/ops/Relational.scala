@@ -2105,29 +2105,34 @@ object Relational {
 
     // Headline composite: TPC-H Q16-shaped supplier diversity with a
     // NOT IN subquery — suppliers per (brand, size) EXCLUDING a
-    // disqualified set. NOT IN over a subquery is the null-aware
-    // anti-join plan shape (semantics differ from NOT EXISTS when the
-    // subquery could yield NULL — Catalyst plans a broadcast null-aware
-    // anti join rather than a plain anti join).
+    // disqualified set. Both sides of the NOT IN are non-null-qualified
+    // so Catalyst degrades the null-aware anti join (NAAJ — a per-row
+    // broadcast set probe with null bookkeeping) to a plain broadcast
+    // LeftAnti hash join, and the distinct pairs are collapsed BEFORE
+    // the count so the final aggregate runs over (brand,size,supp)
+    // triples, not the full join output.
     QDef("q16_supplier_diversity",
       (s, d) => {
         T.lineitem(s, d).createOrReplaceTempView("q16_lineitem")
         T.part(s, d).createOrReplaceTempView("q16_part")
         T.supplier(s, d).createOrReplaceTempView("q16_supplier")
         s.sql("""
-          SELECT p_brand, p_size,
-                 count(DISTINCT l_suppkey) AS supplier_cnt
-          FROM q16_lineitem JOIN q16_part ON l_partkey = p_partkey
-          WHERE l_suppkey NOT IN
-            (SELECT s_suppkey FROM q16_supplier WHERE s_acctbal < 0)
+          SELECT p_brand, p_size, count(*) AS supplier_cnt
+          FROM (
+            SELECT DISTINCT p_brand, p_size, l_suppkey
+            FROM q16_lineitem JOIN q16_part ON l_partkey = p_partkey
+            WHERE l_suppkey IS NOT NULL AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM q16_supplier
+               WHERE s_acctbal < 0 AND s_suppkey IS NOT NULL))
           GROUP BY p_brand, p_size
           ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 50""")
       },
-      Some("SELECT p_brand, p_size, " +
-        "count(DISTINCT l_suppkey) AS supplier_cnt " +
+      Some("SELECT p_brand, p_size, count(*) AS supplier_cnt " +
+        "FROM (SELECT DISTINCT p_brand, p_size, l_suppkey " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +
-        "WHERE l_suppkey NOT IN " +
-        "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) " +
+        "WHERE l_suppkey IS NOT NULL AND l_suppkey NOT IN " +
+        "(SELECT s_suppkey FROM supplier " +
+        "WHERE s_acctbal < 0 AND s_suppkey IS NOT NULL)) " +
         "GROUP BY p_brand, p_size " +
         "ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 50")),
 

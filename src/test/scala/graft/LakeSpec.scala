@@ -471,7 +471,8 @@ class LakeSpec extends SparkSpec {
   }
 
   test("interactive BEGIN/COMMIT/ROLLBACK: staged visibility, atomicity, guards") {
-    val cat = newLake()
+    val root = tmpDir("lake")
+    val cat = new LakeCatalog(spark, root)
     cat.execute("CREATE TABLE t (id INTEGER, v INTEGER)")
     cat.execute("BEGIN TRANSACTION")
     cat.execute("INSERT INTO t VALUES (1, 10), (2, 20)")
@@ -493,12 +494,36 @@ class LakeSpec extends SparkSpec {
     assert(cat.read("t").count() === 2L)
     assert(cat.currentVersion === v)
     // losing the OCC race aborts the interactive txn instead of retrying
-    // (its statements cannot be replayed); the concurrent write survives
+    // (its statements cannot be replayed); the concurrent write — from a
+    // SECOND catalog instance over the same store (this instance's Scala
+    // mutators stage into the open txn, see the mixed-API test) — survives
     cat.execute("BEGIN")
     cat.execute("INSERT INTO t VALUES (3, 30)")
-    cat.insert("t", Seq((9, 90)).toDF("id", "v")) // concurrent autocommit
+    val cat2 = new LakeCatalog(spark, root)
+    cat2.insert("t", Seq((9, 90)).toDF("id", "v")) // concurrent writer
     intercept[IllegalStateException] { cat.execute("COMMIT") }
     assert(cat.read("t").select("id").as[Int].collect().toSet === Set(1, 2, 9))
+  }
+
+  test("Scala mutators stage into an open interactive transaction") {
+    val cat = newLake()
+    cat.createTableAs("t", Seq(1, 2).toDF("id"))
+    val v = cat.currentVersion
+    cat.execute("BEGIN")
+    cat.insert("t", Seq(3).toDF("id"))          // stages, not autocommit
+    assert(cat.currentVersion === v)            // nothing published yet
+    assert(cat.read("t").count() === 3L)        // read-your-writes
+    assert(cat.execute("SELECT count(*) AS n FROM t").as[Long].head() === 3L)
+    cat.execute("COMMIT")                       // ONE snapshot for all of it
+    assert(cat.currentVersion === v + 1)
+    assert(cat.read("t").count() === 3L)
+    // rollback discards staged Scala-API writes too
+    cat.beginTransaction()
+    cat.delete("t", col("id") === 1)
+    assert(cat.read("t").count() === 2L)
+    cat.rollbackTransaction()
+    assert(cat.read("t").count() === 3L)
+    assert(cat.currentVersion === v + 1)
   }
 
   test("router: column-list INSERT and PARTITIONED BY create") {

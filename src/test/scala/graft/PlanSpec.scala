@@ -120,11 +120,13 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s)
   }
 
-  test("q16: NOT IN subquery plans a null-aware anti join, never a nested-loop filter") {
+  test("q16: non-null-qualified NOT IN plans a plain broadcast anti join, not NAAJ") {
     val s = planString("q16_supplier_diversity")
-    // Catalyst decorrelates NOT IN to a broadcast null-aware anti join
-    // (NAAJ) — the semantically-correct anti join under possible NULLs
-    assert(s.contains("NAAJ") || s.contains("LeftAnti"), s)
+    // with both sides IS NOT NULL-qualified, Catalyst degrades the
+    // null-aware anti join to a plain LeftAnti broadcast hash join —
+    // a hash probe instead of per-row null bookkeeping
+    assert(s.contains("LeftAnti"), s)
+    assert(!s.contains("NAAJ"), s)
     assert(!s.contains("CartesianProduct"), s)
   }
 
