@@ -1154,6 +1154,12 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     * that should have staged. */
   @volatile private var activeTx: Option[(Tx, Long)] = None
 
+  /** Is an interactive transaction open on this catalog instance? Used
+    * by composite operations (e.g. [[Mv]]) that run their own multi-step
+    * `transaction` blocks and must fail loudly rather than read committed
+    * state past staged writes and doom the open txn to an OCC abort. */
+  private[lake] def hasOpenTransaction: Boolean = activeTx.nonEmpty
+
   def beginTransaction(): Unit = synchronized {
     require(activeTx.isEmpty, "transaction already open")
     val v = currentVersion

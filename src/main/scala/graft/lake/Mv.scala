@@ -70,11 +70,23 @@ object Mv {
     if (fk == pk) f.join(dm, Seq(fk))
     else f.join(dm, f(fk) === dm(pk)).drop(dm(pk))
 
+  // MV operations run their own multi-step transaction blocks: invoked
+  // while an interactive BEGIN is open they would read COMMITTED (not
+  // staged) state and publish an intermediate snapshot that dooms the
+  // later COMMIT to an OCC abort. The SQL router already rejects MV
+  // statements inside a txn (LakeCatalog.execute); mirror that guard on
+  // the Scala API so it fails loudly instead of silently wedging the txn.
+  private def requireNoOpenTx(cat: LakeCatalog, what: String): Unit =
+    require(!cat.hasOpenTransaction,
+      s"$what is not allowed inside an open interactive transaction: " +
+        "it commits its own snapshot, which would conflict with COMMIT")
+
   /** Create `mv` as the materialized grouped aggregate of `base`,
     * atomically with its spec + watermark properties. */
   def create(cat: LakeCatalog, mv: String, base: String,
       keys: Seq[String], sums: Seq[String],
-      mins: Seq[String] = Nil, maxs: Seq[String] = Nil): Unit =
+      mins: Seq[String] = Nil, maxs: Seq[String] = Nil): Unit = {
+    requireNoOpenTx(cat, "Mv.create")
     cat.transaction { tx =>
       require(keys.nonEmpty, "mv needs at least one group key")
       val aggs = aggExprs(sums, mins, maxs)
@@ -89,6 +101,7 @@ object Mv {
       if (maxs.nonEmpty) tx.setProperty(mv, PMaxs, maxs.mkString(","))
       tx.setProperty(mv, PVersion, tx.commitVersion.toString)
     }
+  }
 
   /** Create `mv` as a FILTER + single equi-JOIN + grouped aggregate over
     * two lake tables — the reference's own views join and aggregate
@@ -109,7 +122,9 @@ object Mv {
     * charges for dimension churn). */
   def createJoin(cat: LakeCatalog, mv: String, base: String, dim: String,
       fk: String, pk: String, filter: Option[String],
-      keys: Seq[String], sums: Seq[String]): Unit = cat.transaction { tx =>
+      keys: Seq[String], sums: Seq[String]): Unit = {
+    requireNoOpenTx(cat, "Mv.createJoin")
+    cat.transaction { tx =>
     require(keys.nonEmpty, "mv needs at least one group key")
     val f0 = tx.read(base)
     val f = filter.map(f0.filter).getOrElse(f0)
@@ -126,6 +141,7 @@ object Mv {
     tx.setProperty(mv, PPk, pk)
     filter.foreach(tx.setProperty(mv, PFilter, _))
     tx.setProperty(mv, PVersion, tx.commitVersion.toString)
+    }
   }
 
   /** Advance `mv` to the base table's current state. Returns "noop"
@@ -133,6 +149,7 @@ object Mv {
     * (watermark expired → recompute) — the path actually taken, so
     * callers and tests can assert the O(delta) contract. */
   def refresh(cat: LakeCatalog, mv: String): String = {
+    requireNoOpenTx(cat, "Mv.refresh")
     object AlreadyFresh extends Exception
     var mode = "noop"
     try cat.transaction { tx =>

@@ -639,11 +639,21 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
       s"no such column: $table.$k"))
     require(keyCols.nonEmpty, "delete-by-keys requires at least one key column")
     // align key types to the table's column types so join keys compare
-    // exactly (a LongType key frame against an IntegerType column must
-    // not silently widen row-by-row)
+    // exactly — but only through LOSSLESS (up)casts. A narrowing cast
+    // (LongType key 4294967301 vs an IntegerType column) would wrap to 5
+    // in non-ANSI mode and silently delete the wrong row; an un-castable
+    // value would become NULL and silently match nothing. Fail loudly
+    // instead and make the caller cast deliberately.
     val k = keys.select(keyCols.map { kc =>
       val c = st.columns.find(_.name == kc).get
-      col(kc).cast(DataType.fromJson(c.typeJson)).as(kc)
+      val target = DataType.fromJson(c.typeJson)
+      val from = keys.schema(kc).dataType
+      require(from == target ||
+        org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, target),
+        s"delete-by-keys: key column $kc is $from but $table.$kc is " +
+          s"$target — a narrowing cast could silently match the wrong " +
+          s"rows; cast the key DataFrame explicitly if intended")
+      col(kc).cast(target).as(kc)
     }: _*).distinct()
     rewriteAffectedBy(table,
       tagged => tagged.join(k, keyCols, "left_semi"))(

@@ -1639,6 +1639,52 @@ object LakeScenarios {
                CAST(sum(v) AS BIGINT) AS sum_v, TRUE AS incremental
         FROM fin GROUP BY k ORDER BY k""")),
 
+    // L45 — MV MIN/MAX incremental maintenance, both paths judged: an
+    // insert-only batch folds in as least/greatest over the delta alone
+    // (O(delta), no base scan), then a value-range DELETE retires the
+    // current min of most groups, forcing the exact per-group recompute
+    // via a semi-join on only the affected keys (O(changed groups'
+    // rows), never O(table)). The `incremental` column pins the path
+    // contract for BOTH refreshes — a silent fall-back to full recompute
+    // breaks the hash; the values are the base DML replayed by DuckDB.
+    QDef("l45_mv_minmax",
+      (s, d) => {
+        val cat = freshLake(s)
+        val src = T.orders(s, d).selectExpr(
+          "cast(o_orderkey AS bigint) AS id",
+          "cast(o_custkey % 20 AS bigint) AS k",
+          "cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint) AS v")
+        cat.createTable("sales", StructType(Seq(
+          StructField("id", LongType), StructField("k", LongType),
+          StructField("v", LongType))), primaryKey = Seq("id"))
+        cat.insert("sales", src.filter(col("id") <= 3000))
+        graft.lake.Mv.create(cat, "sales_by_k", "sales", Seq("k"),
+          sums = Seq("v"), mins = Seq("v"), maxs = Seq("v"))
+        // insert-only delta → the least/greatest fast fold
+        cat.insert("sales", src.filter(col("id") > 3000 && col("id") <= 4000))
+        val m1 = graft.lake.Mv.refresh(cat, "sales_by_k")
+        // delete the cheap tail: retires the running min of most groups →
+        // exact recompute of exactly the delete-touched groups
+        cat.delete("sales", col("v") < 10000000L)
+        val m2 = graft.lake.Mv.refresh(cat, "sales_by_k")
+        cat.read("sales_by_k")
+          .select(col("k"), col("n_rows"), col("sum_v"),
+            col("min_v"), col("max_v"),
+            lit(m1 == "incremental" && m2 == "incremental").as("incremental"))
+          .orderBy("k")
+      }, Some("""
+        WITH rows0 AS (
+          SELECT o_orderkey AS id, o_custkey % 20 AS k,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+          FROM orders WHERE o_orderkey <= 4000),
+        fin AS (SELECT * FROM rows0 WHERE v >= 10000000)
+        SELECT CAST(k AS BIGINT) AS k, count(*) AS n_rows,
+               CAST(sum(v) AS BIGINT) AS sum_v,
+               CAST(min(v) AS BIGINT) AS min_v,
+               CAST(max(v) AS BIGINT) AS max_v,
+               TRUE AS incremental
+        FROM fin GROUP BY k ORDER BY k""")),
+
     // L42 — interactive SQL TRANSACTIONS through the single execute()
     // entry point: the reference's whole `conn.execute(sql)` surface is
     // statements, including BEGIN TRANSACTION / COMMIT / ROLLBACK (ref

@@ -476,10 +476,15 @@ class LakeSpec extends SparkSpec {
     cat.execute("CREATE TABLE t (id INTEGER, v INTEGER)")
     cat.execute("BEGIN TRANSACTION")
     cat.execute("INSERT INTO t VALUES (1, 10), (2, 20)")
-    // read-your-writes inside the open transaction
+    // read-your-writes inside the open transaction: read() keeps the SAME
+    // contract as the SQL surface — it sees staged rows while a txn is open
     assert(cat.execute("SELECT count(*) AS n FROM t").as[Long].head() === 2L)
-    // nothing committed yet
-    assert(cat.read("t").count() === 0L)
+    assert(cat.read("t").count() === 2L)
+    // but nothing is COMMITTED yet: a second catalog over the same store
+    // sees the empty table, and no snapshot has been published
+    val vPre = cat.currentVersion
+    assert(new LakeCatalog(spark, root).read("t").count() === 0L)
+    assert(cat.currentVersion === vPre)
     // a second BEGIN while one is open is refused
     intercept[IllegalArgumentException] { cat.execute("BEGIN") }
     cat.execute("COMMIT")
@@ -797,6 +802,86 @@ class LakeSpec extends SparkSpec {
     cat.vacuum(keepLast = 1)
     assert(graft.lake.Mv.refresh(cat, "sales_by_k") === "full")
     assert(mvState() === recompute())
+  }
+
+  test("MV min/max maintenance: insert-only fold, delete-retired min, emptied + all-NULL groups, UPDATE") {
+    val cat = newLake()
+    cat.createTable("m", StructType(Seq(
+      StructField("id", LongType), StructField("k", LongType),
+      StructField("v", LongType))), primaryKey = Seq("id"))
+    // k=0..3 populated; v carries NULLs for k=3 (all-NULL group)
+    cat.insert("m", spark.range(0, 40).selectExpr(
+      "id", "id % 4 AS k", "CASE WHEN id % 4 = 3 THEN NULL ELSE id * 10 END AS v"))
+    graft.lake.Mv.create(cat, "m_by_k", "m", Seq("k"), sums = Seq("v"),
+      mins = Seq("v"), maxs = Seq("v"))
+    def recompute() = cat.read("m").groupBy("k")
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum("v"), lit(0L)).as("sum_v"),
+        min("v").as("min_v"), max("v").as("max_v"))
+      .orderBy("k").collect().map(_.toString).toSeq
+    def mvState() = cat.read("m_by_k")
+      .select(col("k"), col("n_rows"), col("sum_v"), col("min_v"), col("max_v"))
+      .orderBy("k").collect().map(_.toString).toSeq
+    // create path: all-NULL group (k=3) reports NULL min/max, sum 0
+    assert(mvState() === recompute())
+    assert(cat.read("m_by_k").filter(col("k") === 3L)
+      .select("min_v").head().isNullAt(0))
+    // 1) insert-only delta → fast least/greatest fold (incremental),
+    //    including new values both above the max and below the min
+    cat.insert("m", Seq((100L, 0L, -5L), (101L, 1L, 99999L))
+      .toDF("id", "k", "v"))
+    assert(graft.lake.Mv.refresh(cat, "m_by_k") === "incremental")
+    assert(mvState() === recompute())
+    assert(cat.read("m_by_k").filter(col("k") === 0L)
+      .select("min_v").as[Long].head() === -5L)
+    // 2) delete retires a group's current min → recompute path restores
+    //    the true second-smallest, matching a full recompute
+    cat.delete("m", col("id") === 100L) // removes k=0's min (-5)
+    assert(graft.lake.Mv.refresh(cat, "m_by_k") === "incremental")
+    assert(mvState() === recompute())
+    assert(cat.read("m_by_k").filter(col("k") === 0L)
+      .select("min_v").as[Long].head() === 0L)
+    // 3) UPDATE (pre+postimage in one delta) moves a group's max
+    cat.update("m", col("id") === 101L, Map("v" -> lit(7L)))
+    assert(graft.lake.Mv.refresh(cat, "m_by_k") === "incremental")
+    assert(mvState() === recompute())
+    // 4) a group emptied by deletes vanishes (not a stale min/max row)
+    cat.delete("m", col("k") === 2L)
+    assert(graft.lake.Mv.refresh(cat, "m_by_k") === "incremental")
+    assert(!cat.read("m_by_k").select("k").as[Long].collect().contains(2L))
+    assert(mvState() === recompute())
+    // 5) inserting a NULL into the all-NULL group keeps min/max NULL
+    cat.insert("m", Seq((200L, 3L, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "k", "v"))
+    assert(graft.lake.Mv.refresh(cat, "m_by_k") === "incremental")
+    assert(mvState() === recompute())
+    assert(cat.read("m_by_k").filter(col("k") === 3L)
+      .select("max_v").head().isNullAt(0))
+    // 6) first non-NULL value arriving in the all-NULL group folds in
+    cat.insert("m", Seq((201L, 3L, 42L)).toDF("id", "k", "v"))
+    assert(graft.lake.Mv.refresh(cat, "m_by_k") === "incremental")
+    assert(mvState() === recompute())
+    assert(cat.read("m_by_k").filter(col("k") === 3L)
+      .select("min_v").as[Long].head() === 42L)
+  }
+
+  test("Mv Scala API refuses to run inside an open interactive transaction") {
+    val cat = newLake()
+    cat.createTableAs("b", Seq((1L, 10L)).toDF("k", "v"))
+    graft.lake.Mv.create(cat, "b_by_k", "b", Seq("k"), Seq("v"))
+    cat.beginTransaction()
+    try {
+      intercept[IllegalArgumentException] {
+        graft.lake.Mv.create(cat, "b2", "b", Seq("k"), Seq("v"))
+      }
+      intercept[IllegalArgumentException] {
+        graft.lake.Mv.refresh(cat, "b_by_k")
+      }
+      intercept[IllegalArgumentException] {
+        graft.lake.Mv.createJoin(cat, "b3", "b", "b", "k", "k", None,
+          Seq("k"), Seq("v"))
+      }
+    } finally cat.rollbackTransaction()
   }
 
   test("join+filter MV: incremental under fact AND dim churn; expiry falls back") {
@@ -1179,9 +1264,16 @@ class LakeSpec extends SparkSpec {
     assert(path === "incremental")
     assert(cat.sql("SELECT sum_v FROM m WHERE grp = 'b'")
       .head().getLong(0) === 42L)
-    // the maintainer's subset is enforced loudly, not silently mangled
+    // the maintainer's subset is enforced loudly, not silently mangled:
+    // MIN/MAX are single-table only (a dim-churn leg would need history)
     intercept[IllegalArgumentException] {
       cat.execute("CREATE MATERIALIZED VIEW bad1 AS " +
+        "SELECT grp, COUNT(*) AS n_rows, MAX(v) AS max_v " +
+        "FROM f JOIN dim ON k = k GROUP BY grp")
+    }
+    // COUNT(*) AS n_rows is mandatory (retires emptied groups)
+    intercept[IllegalArgumentException] {
+      cat.execute("CREATE MATERIALIZED VIEW bad1b AS " +
         "SELECT k, MAX(v) AS max_v FROM f GROUP BY k")
     }
     intercept[IllegalArgumentException] {
