@@ -25,10 +25,34 @@ object QTime {
           case "0" => "false"; case _ => "true" })
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // QTIME_STATEPARTS=n: A/B the streaming state-store shard count
+    sys.env.get("QTIME_STATEPARTS").foreach(
+      spark.conf.set("spark.graft.streaming.statePartitions", _))
     spark.range(1000000).selectExpr("sum(id)").collect()
     // QTIME_WARM=1 reproduces Bench's conditions (tables persisted once)
     if (sys.env.contains("QTIME_WARM")) Tables.warm(spark, sfDir)
     val explain = sys.env.contains("QTIME_EXPLAIN")
+    // QTIME_JOBS=1: per-job wall-clock + per-stage task-time breakdown for
+    // each timed query — attributes a query's exec bucket to its scheduled
+    // jobs (AQE runs each materialized query stage as its own job, so the
+    // job COUNT times the ~70 ms local-mode job constant is often the
+    // whole story for sub-second queries)
+    val jobsMode = sys.env.contains("QTIME_JOBS")
+    val jobLog =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
+    if (jobsMode) spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        private val starts =
+          new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts.put(js.jobId, js.time)
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val s = Option(starts.remove(je.jobId)).getOrElse(je.time)
+          jobLog.add((je.jobId, s, je.time))
+        }
+      })
     // QTIME_PHASE=1: decompose the per-query constant — plan build,
     // Catalyst analyze+optimize+physical planning, then execution — to
     // attribute the local-mode floor (~50-70 ms/query) to its source
@@ -52,9 +76,22 @@ object QTime {
         val df = SparkEntry.queries(name)(spark, sfDir)
         if (explain) df.explain("formatted")
         else {
+          jobLog.clear()
           val t0 = System.nanoTime()
           val n = df.count()
-          println(f"QTIME $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"QTIME $name rows=$n sec=$sec%.2f")
+          if (jobsMode) {
+            // listener events are async — let the bus drain
+            Thread.sleep(300)
+            val jobs = jobLog.toArray(Array.empty[(Int, Long, Long)])
+              .sortBy(_._1)
+            val busy = jobs.map { case (_, s, e) => e - s }.sum
+            println(f"QJOBS $name n_jobs=${jobs.length} " +
+              f"job_ms_sum=$busy gap_ms=${(sec * 1000).toLong - busy} " +
+              jobs.map { case (id, s, e) => s"j$id=${e - s}ms" }
+                .mkString(" "))
+          }
         }
       }
     }

@@ -1274,18 +1274,24 @@ class LakeCatalog(val spark: SparkSession, val root: String,
         .map(_.toInt).foreach { maxFiles =>
           val target = st.props.get(LakeCatalog.PropAutoCompactTargetBytes)
             .map(_.toLong).getOrElse(128L << 20)
-          // the file count a full compaction would produce (compact
-          // rewrites into ceil(bytes/target) files)
-          val folded = math.max(1, math.ceil(
-            st.files.map(_.sizeBytes).sum.toDouble / target).toInt)
-          // trigger only when over the cap AND a compaction can actually
-          // achieve it: once the data outgrows maxFiles*targetFileBytes
-          // no layout honors the cap, and re-running an O(table) rewrite
-          // after every insert would be pure write amplification — the
-          // policy goes dormant instead (raise the cap or the target to
-          // re-arm it)
-          if (st.files.size > maxFiles && folded <= maxFiles)
-            compact(table, target)
+          // byte-aware trigger: only files under half the target count as
+          // the SMALL tail worth folding; the rewrite is proportional to
+          // that tail (Tx.compactSmall), never an O(table) churn of files
+          // that are already near target size. Trigger only when over the
+          // file-count cap AND folding just the tail can actually honor
+          // it: a wide table whose count overage comes from near-target
+          // files has no layout the cap admits without rewriting healthy
+          // data, so the policy DECLINES (goes dormant) until the cap or
+          // target is raised — the same dormancy rule as before, now
+          // byte-aware so it also declines when a full fold could
+          // technically reach the cap but only by churning healthy files.
+          val (small, big) = st.files.partition(_.sizeBytes < target / 2)
+          val folded = big.size + (if (small.isEmpty) 0
+            else math.max(1, math.ceil(
+              small.map(_.sizeBytes).sum.toDouble / target).toInt))
+          if (st.files.size > maxFiles && small.size >= 2 &&
+              folded <= maxFiles)
+            transaction(_.compactSmall(table, target, target / 2))
         }
     }
 

@@ -902,6 +902,31 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     change("tables_compacted", table)
   }
 
+  /** Selective compaction: fold ONLY files smaller than `smallBytes`
+    * into target-sized files, leaving near-target files untouched. This
+    * is what auto-compaction runs: a wide table whose file count drifts
+    * over the cap because of a tail of tiny append files should pay a
+    * rewrite proportional to the TAIL, not an O(table) rewrite that
+    * churns every already-well-sized file (at 100 TB, rewriting healthy
+    * files to fold a few KB of appends is pure write amplification). */
+  def compactSmall(table: String, targetFileBytes: Long,
+      smallBytes: Long): Unit = {
+    flushInlined(table)
+    val st = state(table)
+    val (small, big) = st.files.partition(_.sizeBytes < smallBytes)
+    if (small.size < 2) return
+    val total = small.map(_.sizeBytes).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt)
+    val smallDf = cat.readState(st.copy(files = small))
+    val df =
+      if (st.partitionBy.isEmpty) smallDf.repartition(n)
+      else smallDf.repartition(n, st.partitionBy.map(col): _*)
+        .sortWithinPartitions(st.partitionBy.map(col): _*)
+    val written = writeFiles(table, df, st.schemaVersion)
+    tables(table) = st.copy(files = big ++ written)
+    change("tables_compacted", table)
+  }
+
   /** Data-layout maintenance — the OPTIMIZE ... ZORDER/cluster analog:
     * rewrite the live files RANGE-PARTITIONED + sorted on `cols`, so each
     * file's manifest min/max for the lead key becomes (near-)disjoint and

@@ -1386,6 +1386,55 @@ class LakeSpec extends SparkSpec {
       "an unachievable cap must not trigger per-insert rewrites")
   }
 
+  test("auto-compaction is byte-aware: near-target files decline, small tails fold selectively") {
+    // (a) DECLINE: the count overage comes from near-target files (each
+    // >= target/2) — the count-cap alone would fold them (a full
+    // compaction reaches ceil(total/target) <= maxFiles), but rewriting
+    // healthy files to satisfy a count cap is churn; the byte policy
+    // must decline
+    val cat = newLake()
+    def filesOf(c: LakeCatalog, t: String) =
+      c.files().filter(col("table_name") === t)
+    val mk = (lo: Int, hi: Int, n: Int) => spark.range(lo, hi)
+      .selectExpr("id", "sha2(cast(id AS string), 256) AS pad")
+      .repartition(n)
+    cat.createTableAs("t", mk(0, 60000, 6))
+    // derive the target from the MEASURED file sizes (absolute parquet
+    // sizes swing with encoder/compression versions): target = 2x the
+    // smallest file makes every existing file "near-target" (>= target/2)
+    // while a full fold of 7 similar files would reach ceil(7/2)=4 <= cap
+    // — i.e. the pre-round-11 count-only policy WOULD have rewritten
+    val sizes = filesOf(cat, "t").select("size_bytes").as[Long].collect()
+    val target = sizes.min * 2
+    cat.autoCompact("t", maxFiles = 6, targetFileBytes = target)
+    val nCompact0 = cat.snapshots()
+      .filter(expr("changes['tables_compacted'] IS NOT NULL")).count()
+    cat.insert("t", mk(60000, 70000, 1)) // 7th near-target file, cap 6
+    assert(cat.snapshots()
+      .filter(expr("changes['tables_compacted'] IS NOT NULL")).count()
+      === nCompact0, "near-target overage must not trigger a rewrite")
+    assert(filesOf(cat, "t").count() === 7L)
+    // (b) SELECTIVE: a tail of tiny files beside healthy big ones folds
+    // the TAIL only — the big files' paths survive the compaction commit
+    val cat2 = newLake()
+    cat2.createTableAs("u", mk(0, 40000, 2)) // 2 healthy files
+    val bigSizes = filesOf(cat2, "u").select("size_bytes").as[Long].collect()
+    cat2.autoCompact("u", maxFiles = 4, targetFileBytes = bigSizes.min)
+    val bigPaths = filesOf(cat2, "u")
+      .select("file_path").as[String].collect().toSet
+    assert(bigPaths.size === 2)
+    (0 until 4).foreach { i =>
+      cat2.insert("u", mk(40000 + i * 10, 40010 + i * 10, 1)) // tiny appends
+    }
+    val after = filesOf(cat2, "u")
+      .select("file_path").as[String].collect().toSet
+    assert(filesOf(cat2, "u").count() <= 4L,
+      "small tail must fold back under the cap")
+    assert(bigPaths.subsetOf(after),
+      "near-target files must NOT be rewritten when folding the tail")
+    assert(cat2.read("u").count() === 40040L)
+  }
+
   test("zorder accepts date keys; date stats prune ISO-string ranges") {
     val cat = newLake()
     val df = spark.range(4096).selectExpr(
