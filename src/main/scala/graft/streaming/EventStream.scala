@@ -260,9 +260,12 @@ object EventStream {
     * SQL-expressible and HASH-verified: the oracle replays the same
     * interval join as a batch self-join in DuckDB. */
   def streamJoinProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    // both sides branch from ONE stream source (a self-join): the batch
+    // planner resolves a single file source per micro-batch instead of
+    // two independent ones
+    val ev = readEvents(spark, sfDir)
     def side(tpe: String, prefix: String) =
-      readEvents(spark, sfDir)
-        .filter(col("event_type") === tpe)
+      ev.filter(col("event_type") === tpe)
         .select(col("user_id").as(s"${prefix}_user"),
           col("ts").as(s"${prefix}_ts"),
           col("event_id").as(s"${prefix}_id"))
