@@ -572,13 +572,19 @@ object Pipeline {
     // fan-out, one per-doc window shuffle, partial+final hash-agg, top-k.
     QDef("x20_bpe_pairs",
       (s, d) => {
-        val toks = docsWithToks(s, d)
-          .selectExpr("doc_id", "posexplode(toks) AS (pos, tok)")
-        toks
-          .withColumn("nxt", lead("tok", 1).over(
-            Window.partitionBy("doc_id").orderBy("pos")))
-          .filter(col("nxt").isNotNull)
-          .select(concat_ws(" ", col("tok"), col("nxt")).as("pair"))
+        // adjacent-token pairs are computed INSIDE each row's token array
+        // (zip_with over two shifted slices) — adjacency never leaves the
+        // row, so there is no posexplode + lead-window shuffle of every
+        // token by doc_id; the only wide exchange is the pair count
+        // hash-agg (map-side combined). At 100 TB the old shape shuffles
+        // the entire tokenized corpus once before counting; this one
+        // shuffles only the per-partition partial pair counts.
+        docsWithToks(s, d)
+          .filter(size(col("toks")) >= 2)
+          .select(explode(expr(
+            "zip_with(slice(toks, 1, size(toks) - 1), " +
+              "slice(toks, 2, size(toks) - 1), " +
+              "(a, b) -> concat(a, ' ', b))")).as("pair"))
           .groupBy("pair").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("pair"))
           .limit(20)
