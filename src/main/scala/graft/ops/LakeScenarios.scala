@@ -1825,6 +1825,70 @@ object LakeScenarios {
           t(phase, file_count, row_count, sum_id)
         ORDER BY phase""")),
 
+    // L46 — BYTE-AWARE auto-compaction (round 11): the policy folds only
+    // the SMALL-file tail (files under target/2, Tx.compactSmall) so
+    // near-target files never churn. Judged ledger: a healthy 2-file
+    // table absorbs 4 tiny appends with exactly ONE selective fold (the
+    // two seed files keep their manifest paths through it), and a table
+    // whose count overage is made of near-target files DECLINES —
+    // no compaction commit at all, where a count-only policy would have
+    // rewritten the whole table. At 100 TB this is the difference
+    // between rewriting the day's append tail and rewriting the table.
+    QDef("l46_byte_compact",
+      (s, d) => {
+        import s.implicits._
+        val cat = freshLake(s)
+        val mk = (lo: Int, hi: Int, n: Int) => s.range(lo, hi)
+          .selectExpr("id", "sha2(cast(id AS string), 256) AS pad")
+          .repartition(n)
+        def filesOf(c: graft.lake.LakeCatalog, t: String) =
+          c.files().filter(col("table_name") === t)
+        def compactions(c: graft.lake.LakeCatalog) = c.snapshots()
+          .filter(expr("changes['tables_compacted'] IS NOT NULL")).count()
+        // selective-fold phase: 2 healthy files + tiny appends
+        cat.createTableAs("t", mk(0, 40000, 2))
+        val seedSizes = filesOf(cat, "t")
+          .select("size_bytes").as[Long].collect()
+        val seedPaths = filesOf(cat, "t")
+          .select("file_path").as[String].collect().toSet
+        cat.autoCompact("t", maxFiles = 4,
+          targetFileBytes = seedSizes.min * 2)
+        (0 until 4).foreach { i =>
+          cat.insert("t", mk(40000 + i * 10, 40010 + i * 10, 1))
+        }
+        val afterPaths = filesOf(cat, "t")
+          .select("file_path").as[String].collect().toSet
+        val rows = Seq(
+          ("1_seed_files", seedPaths.size.toLong),
+          ("2_after_tiny_appends_files", filesOf(cat, "t").count()),
+          ("3_selective_fold_commits", compactions(cat)),
+          ("4_big_paths_survived",
+            if (seedPaths.subsetOf(afterPaths)) 1L else 0L),
+          ("5_t_rows", cat.read("t").count()))
+        // decline phase: count overage made of near-target files only
+        val cat2 = freshLake(s)
+        cat2.createTableAs("u", mk(0, 120000, 6))
+        val uSizes = filesOf(cat2, "u").select("size_bytes").as[Long].collect()
+        cat2.autoCompact("u", maxFiles = 6, targetFileBytes = uSizes.min * 2)
+        cat2.insert("u", mk(120000, 140000, 1)) // a 7th near-target file
+        (rows ++ Seq(
+          ("6_decline_files", filesOf(cat2, "u").count()),
+          ("7_decline_commits", compactions(cat2)),
+          ("8_u_rows", cat2.read("u").count())))
+          .toDF("phase", "value").orderBy("phase")
+      }, Some("""
+        SELECT * FROM (VALUES
+          ('1_seed_files',              CAST(2      AS BIGINT)),
+          ('2_after_tiny_appends_files',CAST(4      AS BIGINT)),
+          ('3_selective_fold_commits',  CAST(1      AS BIGINT)),
+          ('4_big_paths_survived',      CAST(1      AS BIGINT)),
+          ('5_t_rows',                  CAST(40040  AS BIGINT)),
+          ('6_decline_files',           CAST(7      AS BIGINT)),
+          ('7_decline_commits',         CAST(0      AS BIGINT)),
+          ('8_u_rows',                  CAST(140000 AS BIGINT)))
+          t(phase, value)
+        ORDER BY phase""")),
+
     // L41 — JOIN + FILTER materialized view, incrementally maintained:
     // the MV is `SELECT grp, count(*), sum(v) FROM sales JOIN kdim USING
     // (k) WHERE id % 2 = 0 GROUP BY grp` (the reference's own views join
