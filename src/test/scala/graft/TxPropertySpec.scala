@@ -141,6 +141,42 @@ class TxPropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("auto-compaction under random DML is data-invisible and replays cold") {
+    // the byte-aware policy (maybeAutoCompact -> Tx.compactSmall) fires
+    // nondeterministically between operations as file counts drift; it
+    // must never change WHAT the table contains — only the layout. Run
+    // the same random op sequence against a policy-armed catalog and an
+    // unarmed twin: every intermediate read and the cold replay must
+    // agree row-for-row.
+    val dmlGen: Gen[Int] = Gen.choose(0, 4)
+    val prop = Prop.forAllNoShrink(Gen.listOfN(8, dmlGen)) { ops =>
+      val a = freshCat(); val b = freshCat()
+      // tiny cap + tiny target: the policy fires often in the sequence
+      a.autoCompact("ord", maxFiles = 2, targetFileBytes = 1L << 20)
+      def apply(cat: LakeCatalog, op: Int, i: Int): Unit = op match {
+        case 0 | 1 =>
+          cat.insert("ord", Seq((i * 10 + 1, 1, 1), (i * 10 + 2, 2, 2))
+            .toDF("oid", "pid", "n"))
+        case 2 => cat.update("ord", col("pid") === 1, Map("n" -> lit(5)))
+        case 3 => cat.delete("ord", col("oid") % 4 === 0)
+        case 4 => cat.deleteMor("ord", col("oid") % 5 === 1)
+        case _ => ()
+      }
+      val agree = ops.zipWithIndex.forall { case (op, i) =>
+        apply(a, op, i); apply(b, op, i)
+        a.read("ord").orderBy("oid").as[(Int, Int, Int)].collect().toSeq ==
+          b.read("ord").orderBy("oid").as[(Int, Int, Int)].collect().toSeq
+      }
+      val cold = new LakeCatalog(spark, a.root)
+      agree &&
+        cold.read("ord").orderBy("oid").as[(Int, Int, Int)].collect().toSeq ==
+          b.read("ord").orderBy("oid").as[(Int, Int, Int)].collect().toSeq
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(4), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("concurrent writers during schema evolution stay isolated (demo 3)") {
     // ref demos/03_schema_evolution/demo.py:32-72: a background thread
     // keeps inserting while the main thread evolves the schema
