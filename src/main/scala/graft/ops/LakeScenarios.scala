@@ -2092,11 +2092,13 @@ object LakeScenarios {
         val src = T.orders(s, d)
           .selectExpr("o_orderkey", "o_totalprice", "o_orderpriority")
         // three file-backed batches + one manifest-inlined batch, so the
-        // answer provably folds files AND inlined rows
+        // answer provably folds files AND inlined rows. % 10000 keeps the
+        // inlined subset under the 1024-row inlining cap up to ~sf7 (it is
+        // SF-proportional: ~15 rows at sf0.1, ~150 at sf1).
         (0 until 3).foreach(r => cat.insert("ord",
-          src.filter(col("o_orderkey") % 1000 =!= 7 &&
+          src.filter(col("o_orderkey") % 10000 =!= 7 &&
             col("o_orderkey") % 3 === r)))
-        cat.insertInlined("ord", src.filter(col("o_orderkey") % 1000 === 7))
+        cat.insertInlined("ord", src.filter(col("o_orderkey") % 10000 === 7))
         cat.statsAgg("ord", Seq("o_orderkey", "o_totalprice"))
       }, Some("""
         SELECT count(*) AS n,

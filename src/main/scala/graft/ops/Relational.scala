@@ -137,16 +137,19 @@ object Relational {
         "FROM customer ORDER BY c_custkey")),
 
     // P3 comparison filters — ref demos/01_transaction_rollback/demo.py:100,
-    // exploration/ducklake_analysis.sh:124,145
+    // exploration/ducklake_analysis.sh:124,145.
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so the
+    // ORDER BY includes every output column to stay total (oracle row-order
+    // parity at any SF).
     QDef("p3_filter_compare",
       (s, d) => T.lineitem(s, d)
         .filter(col("l_quantity") >= 45 &&
           col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity"),
       Some("SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem " +
         "WHERE l_quantity >= 45 AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' " +
-        "ORDER BY l_orderkey, l_linenumber")),
+        "ORDER BY l_orderkey, l_linenumber, l_quantity")),
 
     // P4 IN-list filter — ref demos/01_transaction_rollback/demo.py:168
     QDef("p4_filter_in",
@@ -218,17 +221,20 @@ object Relational {
     // P10 casts — ref exploration/benchmark_ducklake.sh:75,100-102.
     // DuckDB double::INT rounds half-even while Spark ANSI cast truncates,
     // so both sides floor() explicitly (SURVEY.md §2.2 P10 caution).
+    // (l_orderkey, l_linenumber) is not unique — total ORDER BY over all
+    // output columns, as in P3.
     QDef("p10_cast",
       (s, d) => T.lineitem(s, d)
         .filter(col("l_orderkey") % 100 === 0)
         .select(col("l_orderkey"), col("l_linenumber"),
           floor(col("l_extendedprice")).cast(LongType).as("price_floor"),
           col("l_shipdate").cast(DateType).as("ship_day"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "price_floor", "ship_day"),
       Some("SELECT l_orderkey, l_linenumber, " +
         "CAST(floor(l_extendedprice) AS BIGINT) AS price_floor, " +
         "CAST(l_shipdate AS DATE) AS ship_day FROM lineitem " +
-        "WHERE l_orderkey % 100 = 0 ORDER BY l_orderkey, l_linenumber")),
+        "WHERE l_orderkey % 100 = 0 " +
+        "ORDER BY l_orderkey, l_linenumber, price_floor, ship_day")),
 
     // ---------------------------------------------------------------- §2.3
     // J1 inner equi-join chain — ref demos/02_time_travel/demo.py:273-290.
@@ -1041,14 +1047,18 @@ object Relational {
           abs(col("s_acctbal")).as("ab"),
           round(sqrt(abs(col("s_acctbal"))), 6).as("sq"),
           round(log(abs(col("s_acctbal")) + 1), 6).as("ln1p"),
-          round(pow(col("s_suppkey").cast(DoubleType), 2), 6).as("sqr"),
+          // pow arg bounded by % 100000: suppkey reaches ~1e8 at scaled SFs
+          // and round(huge_double, 6) diverges across engines once
+          // value*1e6 exceeds 2^53 (DuckDB scales-then-rounds in double;
+          // Spark goes through BigDecimal)
+          round(pow((col("s_suppkey") % 100000).cast(DoubleType), 2), 6).as("sqr"),
           floor(col("s_acctbal")).cast(LongType).as("fl"),
           ceil(col("s_acctbal")).cast(LongType).as("ce"))
         .orderBy("s_suppkey"),
       Some("SELECT s_suppkey, abs(s_acctbal) AS ab, " +
         "round(sqrt(abs(s_acctbal)), 6) AS sq, " +
         "round(ln(abs(s_acctbal) + 1), 6) AS ln1p, " +
-        "round(pow(CAST(s_suppkey AS DOUBLE), 2), 6) AS sqr, " +
+        "round(pow(CAST(s_suppkey % 100000 AS DOUBLE), 2), 6) AS sqr, " +
         "CAST(floor(s_acctbal) AS BIGINT) AS fl, " +
         "CAST(ceil(s_acctbal) AS BIGINT) AS ce " +
         "FROM supplier ORDER BY s_suppkey")),
