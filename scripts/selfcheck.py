@@ -8,8 +8,32 @@ corresponding oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB over
 the same sf tables, and compares values exactly (columns sorted by name,
 row order as produced). Exit code 1 if any query mismatches.
 """
-import json, math, sys, glob, os
+import json, math, re, sys, glob, os
 import duckdb
+
+def sort_key_idx(sql, cols):
+    """Indices of the final top-level ORDER BY keys within cols, or None if
+    the query has no ORDER BY / uses expressions that aren't plain output
+    columns (those can't be totality-checked from the result alone)."""
+    i = sql.upper().rfind("ORDER BY")
+    if i < 0:
+        return None
+    tail = re.split(r"(?i)\bLIMIT\b|\bOFFSET\b", sql[i + 8:])[0]
+    keys = []
+    for part in tail.split(","):
+        k = re.sub(r"(?i)\s+(DESC|ASC)(\s+NULLS\s+(FIRST|LAST))?", "",
+                   part).strip().rstrip(")").strip()
+        k = re.sub(r"^\w+\.", "", k)  # table qualifier
+        if re.fullmatch(r"\d+", k):
+            n = int(k) - 1
+            if n >= len(cols):
+                return None
+            keys.append(n)
+        elif k in cols:
+            keys.append(cols.index(k))
+        else:
+            return None  # expression key — skip
+    return keys
 
 def norm(v):
     if isinstance(v, float):
@@ -27,7 +51,7 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     con.execute("SET TimeZone='UTC'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    failures, passed, skipped = [], 0, 0
+    failures, passed, skipped, nontotal = [], 0, 0, []
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(f"{out_dir}/{d}"))
     for name in names:
@@ -96,6 +120,20 @@ def main(sf_dir, out_dir):
             passed += 1
             if not grows:
                 print(f"  note: {name} matches but returns 0 rows")
+            # Latent-SF-hazard sweep: the compare above is row-ORDER
+            # sensitive, so an ORDER BY whose ties contain DIVERGENT rows
+            # passes only while both engines happen to break the tie the
+            # same way — a different SF can reorder them (round-11 escapes
+            # p3/p10/f10). Flag it now, at the SF where it still passes.
+            kidx = sort_key_idx(oracle[name], ecols)
+            if kidx is not None and len(kidx) < len(ecols):
+                groups = {}
+                for r in erows:
+                    groups.setdefault(tuple(norm(r[j]) for j in kidx),
+                                      set()).add(tuple(norm(v) for v in r))
+                div = sum(1 for v in groups.values() if len(v) > 1)
+                if div:
+                    nontotal.append((name, div))
     # an oracle whose query never produced a dump is a FAILED query (the
     # Verify run logged the error) — do not let it vanish silently
     for name in sorted(set(oracle) - set(names)):
@@ -105,6 +143,9 @@ def main(sf_dir, out_dir):
     errp = f"{out_dir}/errors.json"
     errs = json.load(open(errp)) if os.path.exists(errp) else {}
     print(f"PASS={passed} SKIP(no-oracle)={skipped} FAIL={len(failures)}")
+    for n, d in nontotal:
+        print(f"  WARN {n}: ORDER BY is non-total ({d} tie groups with "
+              f"divergent rows) — may break at another SF; extend the sort")
     for n, msg in failures:
         extra = f" [verify: {errs[n]}]" if n in errs else ""
         print(f"FAIL {n}: {msg}{extra}")

@@ -16,7 +16,13 @@ object SmokeOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    SparkEntry.queries(name)(spark, sfDir).show(50, false)
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    // optional third arg: dump dir — write the result as Verify would, so a
+    // single edited query can be oracle-compared without replaying all 224
+    if (args.length > 2) {
+      df.coalesce(1).write.mode("overwrite").parquet(s"${args(2)}/$name")
+      println(s"[smokeone] wrote ${args(2)}/$name")
+    } else df.show(50, false)
     spark.stop()
   }
 }

@@ -1138,6 +1138,8 @@ object Relational {
     // F10 row-level arithmetic — ref demos/01_transaction_rollback/demo.py:98-100.
     // Pure per-row IEEE double expressions are deterministic across engines
     // as long as the association order matches (it does: left-assoc).
+    // (l_orderkey, l_linenumber) is not unique — total ORDER BY over all
+    // output columns, as in P3/P10 (identical doubles sort identically).
     QDef("f10_arithmetic",
       (s, d) => T.lineitem(s, d)
         .filter(col("l_orderkey") % 200 === 0)
@@ -1145,11 +1147,12 @@ object Relational {
           (col("l_extendedprice") * (lit(1) - col("l_discount")) *
             (lit(1) + col("l_tax"))).as("net"),
           (col("l_quantity") - 5).as("qty_less"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "net", "qty_less"),
       Some("SELECT l_orderkey, l_linenumber, " +
         "l_extendedprice * (1 - l_discount) * (1 + l_tax) AS net, " +
         "l_quantity - 5 AS qty_less FROM lineitem " +
-        "WHERE l_orderkey % 200 = 0 ORDER BY l_orderkey, l_linenumber")),
+        "WHERE l_orderkey % 200 = 0 " +
+        "ORDER BY l_orderkey, l_linenumber, net, qty_less")),
 
     // A13 PIVOT — long-to-wide reshaping (explicit value list so the
     // output schema is static, as a production pivot should be; one
