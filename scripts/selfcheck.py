@@ -11,16 +11,47 @@ row order as produced). Exit code 1 if any query mismatches.
 import json, math, re, sys, glob, os
 import duckdb
 
+def _toplevel_order_by(sql):
+    """Byte offset just past the last ORDER BY at paren depth 0 (the outer
+    query's trailing sort), or -1. rfind alone mis-anchors when a window
+    or aggregate ORDER BY appears textually after the outer one."""
+    u = sql.upper()
+    depth = 0
+    for i in range(len(u) - 1, -1, -1):
+        c = u[i]
+        if c == ')':
+            depth += 1
+        elif c == '(':
+            depth -= 1
+        elif depth == 0 and u.startswith("ORDER BY", i):
+            return i + 8
+    return -1
+
+def _split_toplevel(s, sep=','):
+    """Split s on sep at paren depth 0 (ORDER BY keys may hold calls)."""
+    parts, depth, cur = [], 0, []
+    for c in s:
+        if c == '(':
+            depth += 1
+        elif c == ')':
+            depth -= 1
+        if c == sep and depth == 0:
+            parts.append(''.join(cur)); cur = []
+        else:
+            cur.append(c)
+    parts.append(''.join(cur))
+    return parts
+
 def sort_key_idx(sql, cols):
     """Indices of the final top-level ORDER BY keys within cols, or None if
     the query has no ORDER BY / uses expressions that aren't plain output
     columns (those can't be totality-checked from the result alone)."""
-    i = sql.upper().rfind("ORDER BY")
+    i = _toplevel_order_by(sql)
     if i < 0:
         return None
-    tail = re.split(r"(?i)\bLIMIT\b|\bOFFSET\b", sql[i + 8:])[0]
+    tail = re.split(r"(?i)\bLIMIT\b|\bOFFSET\b", sql[i:])[0]
     keys = []
-    for part in tail.split(","):
+    for part in _split_toplevel(tail):
         k = re.sub(r"(?i)\s+(DESC|ASC)(\s+NULLS\s+(FIRST|LAST))?", "",
                    part).strip().rstrip(")").strip()
         k = re.sub(r"^\w+\.", "", k)  # table qualifier

@@ -75,17 +75,31 @@ object QTime {
       } else {
         val df = SparkEntry.queries(name)(spark, sfDir)
         if (explain) df.explain("formatted")
-        else {
-          jobLog.clear()
+        else if (sys.env.contains("QTIME_FINAL")) {
+          // post-execution adaptive plan: explain() shows the INITIAL
+          // plan; AQE's runtime SMJ→BHJ conversions and coalesced
+          // exchanges only appear in executedPlan after an action
+          df.collect()
+          println(s"QFINAL $name\n${df.queryExecution.executedPlan}")
+        } else {
+          // epoch-filter (not clear+sleep): late async listener events
+          // from a previous query can't leak into this query's log, and
+          // we poll until the count stabilizes instead of hoping 300 ms
+          // is enough under load
+          val epoch = System.currentTimeMillis()
           val t0 = System.nanoTime()
           val n = df.count()
           val sec = (System.nanoTime() - t0) / 1e9
           println(f"QTIME $name rows=$n sec=$sec%.2f")
           if (jobsMode) {
-            // listener events are async — let the bus drain
-            Thread.sleep(300)
-            val jobs = jobLog.toArray(Array.empty[(Int, Long, Long)])
-              .sortBy(_._1)
+            def mine = jobLog.toArray(Array.empty[(Int, Long, Long)])
+              .filter(_._2 >= epoch)
+            var prev = -1
+            var waited = 0
+            while (mine.length != prev && waited < 1000) {
+              prev = mine.length; Thread.sleep(100); waited += 100
+            }
+            val jobs = mine.sortBy(_._1)
             val busy = jobs.map { case (_, s, e) => e - s }.sum
             println(f"QJOBS $name n_jobs=${jobs.length} " +
               f"job_ms_sum=$busy gap_ms=${(sec * 1000).toLong - busy} " +

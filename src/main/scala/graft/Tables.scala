@@ -43,7 +43,45 @@ object Tables {
     * maxPartitionBytes do this job; a cache tier would do the same
     * spreading. Row order is NOT preserved (no judged query depends on
     * input order — parity rules require a total ORDER BY everywhere). */
-  def warm(spark: SparkSession, sfDir: String): Unit =
+  /** Keys already warmed in this process — a second warm() for the same
+    * (session, dir) must be a no-op: re-warming would take the persisted
+    * frame as `raw`, re-repartition and re-persist it, and drop the memo
+    * entry without unpersisting the old copy (stacked caches). */
+  private val warmed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
+  /** Dominant join/agg key per table — the warm spread hash-partitions on
+    * it (instead of round-robin) so the cache acts like a BUCKETED table:
+    * a join or groupBy on the bucket key finds the cached side already
+    * hash-distributed and EnsureRequirements inserts NO exchange for it.
+    * Measured at sf1: q5's initial SMJ plan shuffle-wrote the whole 640 MB
+    * lineitem before AQE's runtime BHJ conversion could fire — with the
+    * cache bucketed on l_orderkey that exchange never exists. This is the
+    * local-mode analog of CLUSTERED BY bucketing / Iceberg-style write
+    * distribution, the standard co-location strategy at 100 TB. Tables
+    * whose hot keys vary (events: ts windows vs user_id; documents: joins
+    * are on minhash bands, not doc_id) keep round-robin — a wrong bucket
+    * key is pure cost, an absent one is neutral. */
+  private val bucketKey: Map[String, String] = Map(
+    "lineitem" -> "l_orderkey",
+    "orders"   -> "o_orderkey",
+    "customer" -> "c_custkey",
+    "part"     -> "p_partkey",
+    "supplier" -> "s_suppkey")
+
+  /** Within-partition sort column for the bucketed layout. Hashing by join
+    * key destroys the file's natural date clustering, which the in-memory
+    * cache's per-batch min/max pruning (partitionPruning=true) relies on
+    * for date-range filters — measured +46% on q15's shipdate scan. A
+    * sortWithinPartitions on the hot filter column restores batch pruning
+    * without touching the hash distribution (sort preserves partitioning)
+    * — the cache analog of "CLUSTERED BY key SORTED BY date". */
+  private val sortCol: Map[String, String] = Map(
+    "lineitem" -> "l_shipdate",
+    "orders"   -> "o_orderdate")
+
+  def warm(spark: SparkSession, sfDir: String): Unit = {
+    if (!warmed.add((spark, sfDir))) return
     names.foreach { n =>
       val raw = t(spark, sfDir, n)
       // GRAFT_WARM_SPREAD=0 re-runs the A/B without the spread;
@@ -57,10 +95,24 @@ object Tables {
         if (sys.env.get("GRAFT_WARM_SPREAD").contains("0")) 1
         else math.min(spark.sparkContext.defaultParallelism.toLong,
           math.max(1L, raw.count() / perPart)).toInt
-      val df = if (target > 1) raw.repartition(target) else raw
+      // GRAFT_WARM_BUCKET=0 re-runs the A/B with round-robin spread
+      val bkey = if (sys.env.get("GRAFT_WARM_BUCKET").contains("0")) None
+                 else bucketKey.get(n)
+      val df =
+        if (target > 1) bkey match {
+          case Some(k) =>
+            val parted =
+              raw.repartition(target, org.apache.spark.sql.functions.col(k))
+            sortCol.get(n) match {
+              case Some(sc) => parted.sortWithinPartitions(sc)
+              case None     => parted
+            }
+          case None    => raw.repartition(target)
+        } else raw
       memo.put((spark, sfDir, n), df)
       df.persist().count()
     }
+  }
 
   /** events.ts has shipped as both parquet TIMESTAMP(NANOS) and
     * TIMESTAMP(MICROS) across driver testdata generations, so the loader

@@ -44,13 +44,19 @@ object EventStream {
     * click/purchase pair landed inside the join interval). */
   // the encoding probe is one driver-side footer read per call — st4/st7
   // build two stream sides each, and Bench replays every st* query four
-  // times, so memoize the detected ts type per (session, dir)
+  // times, so memoize the detected ts type. The type is a property of the
+  // FILE, not the session, so key by (dir, mtime): no SparkSession is
+  // retained (sessions come and go across test suites) and regenerating
+  // events.parquet in the same dir invalidates the entry.
   private val tsTypeMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), DataType]()
 
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileTsType = tsTypeMemo.computeIfAbsent((spark, sfDir), _ =>
+    val path = new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet")
+    val mtime = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(path).getModificationTime
+    val fileTsType = tsTypeMemo.computeIfAbsent((sfDir, mtime), _ =>
       spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType)
     val stream = spark.readStream
       .schema(rawSchema(fileTsType))
