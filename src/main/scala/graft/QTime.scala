@@ -23,6 +23,11 @@ object QTime {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("QTIME_PARFIRST", "1") match {
           case "0" => "false"; case _ => "true" })
+      // QTIME_MINPART=<bytes>: A/B AQE's shuffle-read coalescing floor —
+      // the default 1 MB collapses CPU-heavy small-byte stages (a 1M-row
+      // distinct of ints is ~3 MB compressed → 3 tasks on 32 cores)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("QTIME_MINPART", "1m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // QTIME_STATEPARTS=n: A/B the streaming state-store shard count
@@ -40,6 +45,11 @@ object QTime {
     val jobsMode = sys.env.contains("QTIME_JOBS")
     val jobLog =
       new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
+    // (stageId, completionTime, nTasks, sum task executorRunTime ms,
+    //  stage wall ms) — sum/32 is the ideal-parallel data time; stage
+    // wall minus that is scheduling/launch/skew
+    val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Int, Long, Int, Long, Long)]()
     if (jobsMode) spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         private val starts =
@@ -51,6 +61,14 @@ object QTime {
             je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
           val s = Option(starts.remove(je.jobId)).getOrElse(je.time)
           jobLog.add((je.jobId, s, je.time))
+        }
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val wall = (for {s <- si.submissionTime; e <- si.completionTime}
+            yield e - s).getOrElse(0L)
+          stageLog.add((si.stageId, si.completionTime.getOrElse(0L),
+            si.numTasks, si.taskMetrics.executorRunTime, wall))
         }
       })
     // QTIME_PHASE=1: decompose the per-query constant — plan build,
@@ -105,6 +123,15 @@ object QTime {
               f"job_ms_sum=$busy gap_ms=${(sec * 1000).toLong - busy} " +
               jobs.map { case (id, s, e) => s"j$id=${e - s}ms" }
                 .mkString(" "))
+            val stages = stageLog.toArray(
+              Array.empty[(Int, Long, Int, Long, Long)])
+              .filter(_._2 >= epoch).sortBy(_._1)
+            val taskSum = stages.map(_._4).sum
+            println(f"QSTAGES $name n_stages=${stages.length} " +
+              f"task_ms_sum=$taskSum " +
+              f"ideal32_ms=${taskSum / 32} " +
+              stages.map { case (id, _, n, t, w) =>
+                s"s$id[n=$n task=${t}ms wall=${w}ms]" }.mkString(" "))
           }
         }
       }
