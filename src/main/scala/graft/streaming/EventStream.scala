@@ -139,6 +139,15 @@ object EventStream {
       spark.conf.get("spark.graft.streaming.statePartitions", "4")
     val batchPartitions = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    // The file-stream source decodes each micro-batch at FILE-SPLIT
+    // parallelism: a ~15 MB events.parquet is 1-2 splits at the 128 MB
+    // default, so the 600k-row decode runs nearly single-threaded before
+    // the stateful exchange fans it out. Split small during the drain
+    // (restored after) — on a cluster the source is many files and this
+    // knob is moot. A/B'd via GRAFT_STREAM_SPLIT.
+    val batchSplit = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+      sys.env.getOrElse("GRAFT_STREAM_SPLIT", "2m"))
     // state-store deltas + offset/commit logs are fsync-heavy tiny files,
     // one per partition per operator per micro-batch: point the checkpoint
     // at RAM (tmpfs) when available — this replay is a drain-and-discard
@@ -166,6 +175,7 @@ object EventStream {
         }
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", batchPartitions)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", batchSplit)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     }
     spark.table(name)
