@@ -45,18 +45,28 @@ object QTime {
     val jobsMode = sys.env.contains("QTIME_JOBS")
     val jobLog =
       new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]()
+    // jobId -> user-code callsite (from the job's local properties — the
+    // stage name for SQL actions is the useless executor-pool frame)
+    val jobSite = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     // (stageId, completionTime, nTasks, sum task executorRunTime ms,
-    //  stage wall ms) — sum/32 is the ideal-parallel data time; stage
-    // wall minus that is scheduling/launch/skew
+    //  stage wall ms, callsite) — sum/32 is the ideal-parallel data time;
+    // stage wall minus that is scheduling/launch/skew
     val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[
-      (Int, Long, Int, Long, Long)]()
+      (Int, Long, Int, Long, Long, String)]()
     if (jobsMode) spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         private val starts =
           new java.util.concurrent.ConcurrentHashMap[Int, Long]()
         override def onJobStart(
-            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
           starts.put(js.jobId, js.time)
+          Option(js.properties).foreach { p =>
+            val site = Seq("callSite.short", "spark.job.description",
+              "spark.jobGroup.id")
+              .flatMap(k => Option(p.getProperty(k))).headOption
+            jobSite.put(js.jobId, site.getOrElse("?").take(90))
+          }
+        }
         override def onJobEnd(
             je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
           val s = Option(starts.remove(je.jobId)).getOrElse(je.time)
@@ -68,7 +78,8 @@ object QTime {
           val wall = (for {s <- si.submissionTime; e <- si.completionTime}
             yield e - s).getOrElse(0L)
           stageLog.add((si.stageId, si.completionTime.getOrElse(0L),
-            si.numTasks, si.taskMetrics.executorRunTime, wall))
+            si.numTasks, si.taskMetrics.executorRunTime, wall,
+            si.name.replaceAll("\\s+", " ").take(60)))
         }
       })
     // QTIME_PHASE=1: decompose the per-query constant — plan build,
@@ -91,7 +102,13 @@ object QTime {
         println(f"QPHASE $name rows=$n build=${(t1 - t0) / 1e6}%.0fms " +
           f"plan=${(t2 - t1) / 1e6}%.0fms exec=${(t3 - t2) / 1e6}%.0fms")
       } else {
+        // QTIME_BUILDJOBS=1: include jobs run DURING the builder call in
+        // the QJOBS/QSTAGES windows — lake scenarios and driver-loop ops
+        // (l*, dd6/dd7) do their work at build time
+        val preEpoch = System.currentTimeMillis()
+        val preT0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, sfDir)
+        val buildSec = (System.nanoTime() - preT0) / 1e9
         if (explain) df.explain("formatted")
         else if (sys.env.contains("QTIME_FINAL")) {
           // post-execution adaptive plan: explain() shows the INITIAL
@@ -104,11 +121,15 @@ object QTime {
           // from a previous query can't leak into this query's log, and
           // we poll until the count stabilizes instead of hoping 300 ms
           // is enough under load
-          val epoch = System.currentTimeMillis()
+          val buildMode = sys.env.contains("QTIME_BUILDJOBS")
+          val epoch =
+            if (buildMode) preEpoch else System.currentTimeMillis()
           val t0 = System.nanoTime()
           val n = df.count()
-          val sec = (System.nanoTime() - t0) / 1e9
-          println(f"QTIME $name rows=$n sec=$sec%.2f")
+          val sec0 = (System.nanoTime() - t0) / 1e9
+          val sec = if (buildMode) sec0 + buildSec else sec0
+          println(f"QTIME $name rows=$n sec=$sec%.2f" +
+            (if (buildMode) f" (build=$buildSec%.2f)" else ""))
           if (jobsMode) {
             def mine = jobLog.toArray(Array.empty[(Int, Long, Long)])
               .filter(_._2 >= epoch)
@@ -124,14 +145,24 @@ object QTime {
               jobs.map { case (id, s, e) => s"j$id=${e - s}ms" }
                 .mkString(" "))
             val stages = stageLog.toArray(
-              Array.empty[(Int, Long, Int, Long, Long)])
+              Array.empty[(Int, Long, Int, Long, Long, String)])
               .filter(_._2 >= epoch).sortBy(_._1)
             val taskSum = stages.map(_._4).sum
             println(f"QSTAGES $name n_stages=${stages.length} " +
               f"task_ms_sum=$taskSum " +
               f"ideal32_ms=${taskSum / 32} " +
-              stages.map { case (id, _, n, t, w) =>
+              stages.map { case (id, _, n, t, w, _) =>
                 s"s$id[n=$n task=${t}ms wall=${w}ms]" }.mkString(" "))
+            // QTIME_STAGENAMES=1: group jobs by user-code callsite —
+            // names which code path is spawning the job count
+            if (sys.env.contains("QTIME_STAGENAMES"))
+              jobs.groupBy { case (id, _, _) =>
+                  Option(jobSite.get(id)).getOrElse("?") }.toSeq
+                .map { case (nm, js) =>
+                  (nm, js.length, js.map { case (_, s, e) => e - s }.sum) }
+                .sortBy(-_._3)
+                .foreach { case (nm, c, w) =>
+                  println(s"QSITE $name x$c wall=${w}ms  $nm") }
           }
         }
       }

@@ -1093,45 +1093,68 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
   }
 
   /** Write-side constraint enforcement (Spark has no declarative
-    * constraints): NOT NULL scan + PRIMARY KEY duplicate checks. The PK
-    * check is a distributed agg + left-semi join — no driver collect.
-    * Its violation is demo 1's rollback trigger
-    * (ref demos/01_transaction_rollback/demo.py:137-151). */
+    * constraints): NOT NULL scans, CHECK predicates, the in-batch PRIMARY
+    * KEY duplicate test, and the lead-PK min/max (for file pruning) all
+    * fold into ONE aggregate pass over the batch — at 100 TB each
+    * separate action is a full re-scan of the input, and locally each is
+    * 2-3 scheduled jobs (the lake scenarios' dominant cost was exactly
+    * this: ~250 jobs per scenario, mostly per-constraint actions). The
+    * PK-vs-existing check stays a distributed agg + left-semi join over
+    * stats-pruned files — no driver collect. Its violation is demo 1's
+    * rollback trigger (ref demos/01_transaction_rollback/demo.py:137-151). */
   private def validate(table: String, st: TableState, df: DataFrame,
       checkPkAgainstExisting: Boolean): Unit = {
-    st.notNull.foreach { c =>
-      if (df.columns.contains(c) && !df.filter(col(c).isNull).isEmpty)
+    val nnCols = st.notNull.filter(df.columns.contains)
+    val checks = st.props.toSeq.collect {
+      case (k, pred) if k.startsWith("check.") => (k.stripPrefix("check."), pred)
+    }
+    val pkCols = st.primaryKey
+    val leadPk = st.columns.find(c => pkCols.headOption.contains(c.name))
+      .filter(Stats.comparable)
+    val aggs =
+      nnCols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c")) ++
+      checks.map { case (k, pred) =>
+        sum(when(not(coalesce(expr(pred), lit(true))), 1L).otherwise(0L))
+          .as(s"ck_$k") } ++
+      (if (pkCols.nonEmpty)
+        Seq(count(lit(1)).as("n_rows"),
+          count_distinct(struct(pkCols.map(col): _*)).as("n_keys"))
+       else Nil) ++
+      leadPk.toSeq.flatMap(c => Seq(
+        min(col(c.name)).cast("string").as("pk_min"),
+        max(col(c.name)).cast("string").as("pk_max")))
+    if (aggs.isEmpty) return
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    nnCols.foreach { c =>
+      if (row.getAs[Long](s"nn_$c") > 0L)
         throw new ConstraintViolation(s"NOT NULL violated: $table.$c")
     }
-    st.props.foreach { case (k, pred) if k.startsWith("check.") =>
-      if (!df.filter(not(coalesce(expr(pred), lit(true)))).isEmpty)
-        throw new ConstraintViolation(
-          s"CHECK ${k.stripPrefix("check.")} violated: $pred")
-    case _ => ()
+    checks.foreach { case (k, pred) =>
+      if (row.getAs[Long](s"ck_$k") > 0L)
+        throw new ConstraintViolation(s"CHECK $k violated: $pred")
     }
-    if (st.primaryKey.nonEmpty) {
-      val pk = st.primaryKey.map(col)
-      if (!df.groupBy(pk: _*).count().filter(col("count") > 1).isEmpty)
+    if (pkCols.nonEmpty) {
+      if (row.getAs[Long]("n_keys") != row.getAs[Long]("n_rows"))
         throw new ConstraintViolation(
-          s"duplicate key in inserted rows: $table(${st.primaryKey.mkString(",")})")
+          s"duplicate key in inserted rows: $table(${pkCols.mkString(",")})")
       if (checkPkAgainstExisting && (st.files.nonEmpty || st.inlined.nonEmpty)) {
         // stats-based file pruning: only files whose lead-PK-column range
         // overlaps the incoming batch's range can contain a duplicate —
         // at scale this turns a full-table key scan into a ranged one
-        val leadPk = st.columns.find(_.name == st.primaryKey.head)
-        val pruned = leadPk.filter(Stats.comparable) match {
+        val pruned = leadPk match {
           case Some(c) =>
-            val mm = df.agg(min(col(c.name)).cast("string"),
-              max(col(c.name)).cast("string")).head()
-            if (mm.isNullAt(0)) st.copy(files = Nil)
+            val mn = row.getAs[String]("pk_min")
+            val mx = row.getAs[String]("pk_max")
+            if (mn == null) st.copy(files = Nil)
             else st.copy(files = st.files.filter(e =>
-              Stats.overlaps(e.stats.get(c.name), c, mm.getString(0), mm.getString(1))))
+              Stats.overlaps(e.stats.get(c.name), c, mn, mx)))
           case None => st
         }
+        val pk = pkCols.map(col)
         val existing = cat.readState(pruned).select(pk: _*)
-        if (!existing.join(df.select(pk: _*), st.primaryKey, "left_semi").isEmpty)
+        if (!existing.join(df.select(pk: _*), pkCols, "left_semi").isEmpty)
           throw new ConstraintViolation(
-            s"duplicate key: $table(${st.primaryKey.mkString(",")}) already exists")
+            s"duplicate key: $table(${pkCols.mkString(",")}) already exists")
       }
     }
   }
