@@ -34,8 +34,12 @@ import org.apache.spark.sql.functions._
   * touched by any delete/update-preimage recomputes from the base via a
   * semi-join on exactly the affected group keys (O(changed groups'
   * rows); when deletes are rare, almost every refresh takes the fast
-  * path). Join MVs do not accept min/max (a dim-churn leg would need
-  * per-group history).
+  * path). Join MVs accept min/max with the same split: the fast fold
+  * applies when every delta leg is insert-only, and any negative-signed
+  * row (fact delete OR dim churn — dim legs multiply signs in) routes
+  * its groups to the exact recompute, which re-runs the filter+join for
+  * just those groups via a semi-join on the affected keys — O(changed
+  * groups' fact rows), the same bound as the base-table delete path.
   *
   * Counts and sums ride integer/decimal arithmetic end-to-end when the
   * summed columns are integral; for floating columns the caller should
@@ -122,20 +126,24 @@ object Mv {
     * charges for dimension churn). */
   def createJoin(cat: LakeCatalog, mv: String, base: String, dim: String,
       fk: String, pk: String, filter: Option[String],
-      keys: Seq[String], sums: Seq[String]): Unit = {
+      keys: Seq[String], sums: Seq[String],
+      mins: Seq[String] = Nil, maxs: Seq[String] = Nil): Unit = {
     requireNoOpenTx(cat, "Mv.createJoin")
     cat.transaction { tx =>
     require(keys.nonEmpty, "mv needs at least one group key")
     val f0 = tx.read(base)
     val f = filter.map(f0.filter).getOrElse(f0)
+    val aggs = aggExprs(sums, mins, maxs)
     val df = joinFrames(f, tx.read(dim), fk, pk)
       .groupBy(keys.map(col): _*)
-      .agg(aggExprs(sums).head, aggExprs(sums).tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
     tx.createTable(mv, df.schema, primaryKey = keys)
     tx.insert(mv, df)
     tx.setProperty(mv, PBase, base)
     tx.setProperty(mv, PKeys, keys.mkString(","))
     tx.setProperty(mv, PSums, sums.mkString(","))
+    if (mins.nonEmpty) tx.setProperty(mv, PMins, mins.mkString(","))
+    if (maxs.nonEmpty) tx.setProperty(mv, PMaxs, maxs.mkString(","))
     tx.setProperty(mv, PDim, dim)
     tx.setProperty(mv, PFk, fk)
     tx.setProperty(mv, PPk, pk)
@@ -196,7 +204,8 @@ object Mv {
               .withColumn("__sf", sign).drop("change_type")
             val dD = cat.tableChanges(dim, lastV, curV)
               .withColumn("__sd", sign).drop("change_type")
-            val sel = (keys ++ sums).distinct.map(col) :+ col("__sgn")
+            val sel = (keys ++ sums ++ mins ++ maxs).distinct.map(col) :+
+              col("__sgn")
             val dOld = cat.readAt(dim, lastV)
             val leg1 = joinFrames(dF, dOld, fk, pk)
               .withColumn("__sgn", col("__sf")).select(sel: _*)
@@ -250,13 +259,21 @@ object Mv {
         tx.delete(mv, col("n_rows") <= 0L)
         if (mins.nonEmpty || maxs.nonEmpty) {
           // delete-touched groups: the retired value may have BEEN the
-          // min/max, so recompute exactly those groups from the base —
-          // a semi-join on the affected keys, O(changed groups' rows)
+          // min/max, so recompute exactly those groups from the source —
+          // for a join MV that means re-running the filter+join, still
+          // restricted by a semi-join on the affected keys (the keys may
+          // come from either side, so the cut applies after the join):
+          // O(changed groups' fact rows), the bound the scaladoc states
           val delKeys = deltaAgg.filter(col("__hasneg") === 1)
             .select(keys.map(col): _*)
           if (!delKeys.isEmpty) {
             val aggs = aggExprs(sums, mins, maxs)
-            val recomputed = withFilter(tx.read(base))
+            val src = joinSpec match {
+              case Some((dim, fk, pk)) =>
+                joinFrames(withFilter(tx.read(base)), tx.read(dim), fk, pk)
+              case None => withFilter(tx.read(base))
+            }
+            val recomputed = src
               .join(delKeys, keys, "left_semi")
               .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
             tx.delete(mv, delKeys, keys)   // covers emptied groups too

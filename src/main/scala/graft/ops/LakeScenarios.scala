@@ -1685,6 +1685,65 @@ object LakeScenarios {
                TRUE AS incremental
         FROM fin GROUP BY k ORDER BY k""")),
 
+    // L47 — min/max on a JOIN MV (round-11 ask: the delete-path exact
+    // recompute generalized to the join form). Same maintenance split as
+    // l45: an insert-only fact delta folds in as least/greatest (m1);
+    // a fact-side delete that retires running minimums routes exactly
+    // the touched groups to a recompute that re-runs the filter+join
+    // under a semi-join on the affected keys (m2); dim churn produces
+    // negative-signed leg rows, so the remapped groups recompute too
+    // (m3). All three refreshes must report "incremental" — the O(delta)
+    // contract — and every value is recomputed from scratch by DuckDB.
+    QDef("l47_join_mv_minmax",
+      (s, d) => {
+        val cat = freshLake(s)
+        val src = T.orders(s, d).selectExpr(
+          "cast(o_orderkey AS bigint) AS id",
+          "cast(o_custkey % 20 AS bigint) AS k",
+          "cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint) AS v")
+        cat.createTable("sales", StructType(Seq(
+          StructField("id", LongType), StructField("k", LongType),
+          StructField("v", LongType))), primaryKey = Seq("id"))
+        cat.insert("sales", src.filter(col("id") <= 3000))
+        cat.createTableAs("kdim", s.range(20).selectExpr(
+          "cast(id AS bigint) AS k", "cast(id % 4 AS bigint) AS grp"))
+        graft.lake.Mv.createJoin(cat, "sales_mm", "sales", "kdim",
+          "k", "k", Some("id % 2 = 0"), Seq("grp"), sums = Seq("v"),
+          mins = Seq("v"), maxs = Seq("v"))
+        // insert-only fact delta → least/greatest fast fold
+        cat.insert("sales", src.filter(col("id") > 3000 && col("id") <= 4000))
+        val m1 = graft.lake.Mv.refresh(cat, "sales_mm")
+        // fact delete retiring most groups' running min → join recompute
+        // of exactly the delete-touched groups
+        cat.delete("sales", col("v") < 10000000L)
+        val m2 = graft.lake.Mv.refresh(cat, "sales_mm")
+        // dim churn: k=3 remaps to grp 0 — negative leg rows send grp 3
+        // through the recompute; grp 0 gains rows
+        cat.update("kdim", col("k") === 3L, Map("grp" -> lit(0L)))
+        val m3 = graft.lake.Mv.refresh(cat, "sales_mm")
+        cat.read("sales_mm")
+          .select(col("grp"), col("n_rows"), col("sum_v"),
+            col("min_v"), col("max_v"),
+            lit(m1 == "incremental" && m2 == "incremental" &&
+              m3 == "incremental").as("incremental"))
+          .orderBy("grp")
+      }, Some("""
+        WITH rows0 AS (
+          SELECT o_orderkey AS id, o_custkey % 20 AS k,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+          FROM orders WHERE o_orderkey <= 4000),
+        kept AS (SELECT * FROM rows0 WHERE v >= 10000000),
+        fin AS (SELECT * FROM kept WHERE id % 2 = 0),
+        kdim AS (SELECT r AS k,
+                        CASE WHEN r = 3 THEN 0 ELSE r % 4 END AS grp
+                 FROM (SELECT unnest(range(0, 20)) AS r))
+        SELECT CAST(grp AS BIGINT) AS grp, count(*) AS n_rows,
+               CAST(sum(v) AS BIGINT) AS sum_v,
+               CAST(min(v) AS BIGINT) AS min_v,
+               CAST(max(v) AS BIGINT) AS max_v,
+               TRUE AS incremental
+        FROM fin JOIN kdim USING (k) GROUP BY grp ORDER BY grp""")),
+
     // L42 — interactive SQL TRANSACTIONS through the single execute()
     // entry point: the reference's whole `conn.execute(sql)` surface is
     // statements, including BEGIN TRANSACTION / COMMIT / ROLLBACK (ref

@@ -865,6 +865,58 @@ class LakeSpec extends SparkSpec {
       .select("min_v").as[Long].head() === 42L)
   }
 
+  test("MV min/max on a JOIN MV: fast fold, delete-retired min via join recompute, dim churn") {
+    val cat = newLake()
+    cat.createTable("f", StructType(Seq(
+      StructField("id", LongType), StructField("k", LongType),
+      StructField("v", LongType))), primaryKey = Seq("id"))
+    cat.insert("f", spark.range(0, 40).selectExpr(
+      "id", "id % 4 AS k", "id * 10 AS v"))
+    cat.createTableAs("dm", spark.range(4).selectExpr(
+      "id AS k", "id % 2 AS grp"))
+    graft.lake.Mv.createJoin(cat, "f_by_grp", "f", "dm", "k", "k",
+      Some("id % 2 = 0"), Seq("grp"), sums = Seq("v"),
+      mins = Seq("v"), maxs = Seq("v"))
+    def recompute() = cat.read("f").filter(expr("id % 2 = 0"))
+      .join(cat.read("dm"), Seq("k")).groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum("v"), lit(0L)).as("sum_v"),
+        min("v").as("min_v"), max("v").as("max_v"))
+      .orderBy("grp").collect().map(_.toString).toSeq
+    def mvState() = cat.read("f_by_grp")
+      .select(col("grp"), col("n_rows"), col("sum_v"),
+        col("min_v"), col("max_v"))
+      .orderBy("grp").collect().map(_.toString).toSeq
+    assert(mvState() === recompute())
+    // 1) insert-only fact delta → least/greatest fast fold
+    cat.insert("f", Seq((100L, 0L, -5L), (102L, 1L, 99999L))
+      .toDF("id", "k", "v"))
+    assert(graft.lake.Mv.refresh(cat, "f_by_grp") === "incremental")
+    assert(mvState() === recompute())
+    assert(cat.read("f_by_grp").filter(col("grp") === 0L)
+      .select("min_v").as[Long].head() === -5L)
+    // 2) fact delete retires grp 0's min → recompute re-runs the
+    //    filter+join for the touched groups only
+    cat.delete("f", col("id") === 100L)
+    assert(graft.lake.Mv.refresh(cat, "f_by_grp") === "incremental")
+    assert(mvState() === recompute())
+    assert(cat.read("f_by_grp").filter(col("grp") === 0L)
+      .select("min_v").as[Long].head() === 0L)
+    // 3) dim churn: remapping k=1 to grp 0 moves its max across groups —
+    //    both donor and recipient groups must match a full recompute
+    cat.update("dm", col("k") === 1L, Map("grp" -> lit(0L)))
+    assert(graft.lake.Mv.refresh(cat, "f_by_grp") === "incremental")
+    assert(mvState() === recompute())
+    // 4) UPDATE on the fact (pre+postimage) moving a group's max
+    cat.update("f", col("id") === 102L, Map("v" -> lit(7L)))
+    assert(graft.lake.Mv.refresh(cat, "f_by_grp") === "incremental")
+    assert(mvState() === recompute())
+    // 5) emptied group vanishes: delete every even id of one dim key...
+    cat.delete("f", col("k") === 2L)
+    assert(graft.lake.Mv.refresh(cat, "f_by_grp") === "incremental")
+    assert(mvState() === recompute())
+  }
+
   test("Mv Scala API refuses to run inside an open interactive transaction") {
     val cat = newLake()
     cat.createTableAs("b", Seq((1L, 10L)).toDF("k", "v"))
