@@ -75,19 +75,35 @@ def replica_sql(table, src, r):
     if table == "embeddings":
         if r == 0:
             return f"SELECT * FROM {f}"
+        # per-replica SIGNED STRIDE PERMUTATION of the 64 components — an
+        # exact isometry, so every replica's internal near-dup/ANN
+        # structure is identical to the original (more clusters, not
+        # bigger ones), while cross-replica cosines drop to ~N(0, 1/8),
+        # far below every similarity threshold in the suite. The previous
+        # +-0.1 jitter left replica twins at cos ~0.99: dd5's candidate
+        # pairs then grew QUADRATICALLY in the replica count (52k pairs at
+        # sf1, 479k at sf3) — a fixture artifact, not engine scaling.
+        p = 2 * r + 3  # odd => bijection mod 64
         return (f"SELECT vec_id + {s} AS vec_id, "
-                f"list_transform(embedding, (x, i) -> CAST(x + "
-                f"((CAST(hash(vec_id * 1009 + i * 13 + {r}) % 101 AS BIGINT)) - 50) * 0.002 AS FLOAT)) "
+                f"list_transform(range(0, 64), i -> "
+                f"CAST(CASE WHEN hash(i * 7919 + {r} * 104729) % 2 = 0 "
+                f"THEN 1 ELSE -1 END AS FLOAT) * "
+                f"embedding[((i * {p} + {r}) % 64) + 1]) "
                 f"AS embedding, label FROM {f}")
     raise ValueError(table)
 
 
-def main(src, out, factor=10):
+def main(src, out, factor=10, only=None):
+    """`only`: optional subset of tables to replicate at `factor`; the rest
+    are emitted at 1x (one replica). Used for the dedup/ANN scale curve —
+    sf3 scales documents/embeddings 30x while the relational tables stay
+    1x, so the corpus fits in RAM without a 30x lineitem riding along."""
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute("SET threads=16")
     for t in TABLES:
-        legs = [q for q in (replica_sql(t, src, r) for r in range(factor)) if q]
+        fac = factor if (only is None or t in only) else 1
+        legs = [q for q in (replica_sql(t, src, r) for r in range(fac)) if q]
         union = " UNION ALL ".join(legs)
         con.execute(f"COPY ({union}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
         n = con.sql(f"SELECT count(*) FROM '{out}/{t}.parquet'").fetchone()[0]
@@ -95,4 +111,6 @@ def main(src, out, factor=10):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 10)
+    main(sys.argv[1], sys.argv[2],
+         int(sys.argv[3]) if len(sys.argv) > 3 else 10,
+         set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None)
