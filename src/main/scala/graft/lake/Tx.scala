@@ -618,7 +618,8 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     * it evaluates NULL are kept — so the keep-filter is NOT(coalesce(where,
     * false)), consistent with affected-file discovery via filter(where). */
   def delete(table: String, where: Column): Unit = {
-    rewriteAffected(table, where)(_.filter(not(coalesce(where, lit(false)))))
+    rewriteAffected(table, where, pureDelete = true)(
+      _.filter(not(coalesce(where, lit(false)))))
     change("tables_deleted_from", table)
   }
 
@@ -656,7 +657,7 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
       col(kc).cast(target).as(kc)
     }: _*).distinct()
     rewriteAffectedBy(table,
-      tagged => tagged.join(k, keyCols, "left_semi"))(
+      tagged => tagged.join(k, keyCols, "left_semi"), pureDelete = true)(
       affected => affected.join(k, keyCols, "left_anti"))
     change("tables_deleted_from", table)
   }
@@ -817,10 +818,10 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     keys.foreach(k =>
       require(st.columns.exists(_.name == k), s"no such column: $k"))
     val src = alignToSchema(source, st)
-    if (!src.groupBy(keys.map(col): _*).count().filter(col("count") > 1).isEmpty)
-      throw new ConstraintViolation(
-        s"merge source not unique on (${keys.mkString(",")})")
-    validate(table, st, src, checkPkAgainstExisting = false)
+    // source key-uniqueness (SQL MERGE cardinality rule) rides the same
+    // single validation aggregate instead of its own scan
+    validate(table, st, src, checkPkAgainstExisting = false,
+      uniqueOn = keys)
     val keyCols = keys.map(col)
     // WHEN NOT MATCHED [AND cond] THEN INSERT — cond over bare src columns
     def insertRows(cur: DataFrame): DataFrame = cl.notMatchedInsert match {
@@ -1103,7 +1104,8 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     * stats-pruned files — no driver collect. Its violation is demo 1's
     * rollback trigger (ref demos/01_transaction_rollback/demo.py:137-151). */
   private def validate(table: String, st: TableState, df: DataFrame,
-      checkPkAgainstExisting: Boolean): Unit = {
+      checkPkAgainstExisting: Boolean,
+      uniqueOn: Seq[String] = Nil): Unit = {
     val nnCols = st.notNull.filter(df.columns.contains)
     val checks = st.props.toSeq.collect {
       case (k, pred) if k.startsWith("check.") => (k.stripPrefix("check."), pred)
@@ -1116,9 +1118,14 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
       checks.map { case (k, pred) =>
         sum(when(not(coalesce(expr(pred), lit(true))), 1L).otherwise(0L))
           .as(s"ck_$k") } ++
+      (if (pkCols.nonEmpty || uniqueOn.nonEmpty)
+        Seq(count(lit(1)).as("n_rows"))
+       else Nil) ++
       (if (pkCols.nonEmpty)
-        Seq(count(lit(1)).as("n_rows"),
-          count_distinct(struct(pkCols.map(col): _*)).as("n_keys"))
+        Seq(count_distinct(struct(pkCols.map(col): _*)).as("n_keys"))
+       else Nil) ++
+      (if (uniqueOn.nonEmpty && uniqueOn != pkCols)
+        Seq(count_distinct(struct(uniqueOn.map(col): _*)).as("n_ukeys"))
        else Nil) ++
       leadPk.toSeq.flatMap(c => Seq(
         min(col(c.name)).cast("string").as("pk_min"),
@@ -1132,6 +1139,13 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     checks.foreach { case (k, pred) =>
       if (row.getAs[Long](s"ck_$k") > 0L)
         throw new ConstraintViolation(s"CHECK $k violated: $pred")
+    }
+    if (uniqueOn.nonEmpty) {
+      val uk = if (uniqueOn == pkCols) row.getAs[Long]("n_keys")
+               else row.getAs[Long]("n_ukeys")
+      if (uk != row.getAs[Long]("n_rows"))
+        throw new ConstraintViolation(
+          s"merge source not unique on (${uniqueOn.mkString(",")})")
     }
     if (pkCols.nonEmpty) {
       if (row.getAs[Long]("n_keys") != row.getAs[Long]("n_rows"))
@@ -1166,9 +1180,11 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     * against the kept (unrewritten) files via a distributed left-semi
     * join — needed when an UPDATE changes a PK column. */
   private def rewriteAffected(table: String, where: Column,
-      checkPkAgainstKept: Boolean = false)
+      checkPkAgainstKept: Boolean = false,
+      pureDelete: Boolean = false)
       (transform: DataFrame => DataFrame): Unit =
-    rewriteAffectedBy(table, _.filter(where), checkPkAgainstKept)(transform)
+    rewriteAffectedBy(table, _.filter(where), checkPkAgainstKept,
+      pureDelete)(transform)
 
   /** Generalized CoW core: `matcher` maps the file-tagged scan to the
     * subset of rows whose files must rewrite — a predicate filter for
@@ -1176,7 +1192,8 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     * DataFrame-of-keys delete. */
   private def rewriteAffectedBy(table: String,
       matcher: DataFrame => DataFrame,
-      checkPkAgainstKept: Boolean = false)
+      checkPkAgainstKept: Boolean = false,
+      pureDelete: Boolean = false)
       (transform: DataFrame => DataFrame): Unit = {
     flushInlined(table)
     val st = state(table)
@@ -1201,7 +1218,11 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     // aligned to the current schema (same path as readState).
     val sub = st.copy(files = affected)
     val rewritten = transform(cat.readState(sub))
-    validate(table, st, rewritten, checkPkAgainstExisting = false)
+    // a pure delete keeps a SUBSET of already-committed rows — it cannot
+    // introduce a NOT NULL / CHECK / duplicate-key violation, so the
+    // validation scan is skipped (one fewer full pass over the rewrite)
+    if (!pureDelete)
+      validate(table, st, rewritten, checkPkAgainstExisting = false)
     if (checkPkAgainstKept && st.primaryKey.nonEmpty && kept.nonEmpty) {
       val pk = st.primaryKey.map(col)
       val keptKeys = cat.readState(st.copy(files = kept)).select(pk: _*)
