@@ -33,6 +33,44 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("bucketed warm cache: an orderkey join exchanges only the small side") {
+    // Tables.warm hash-partitions lineitem/orders on orderkey (the cache
+    // analog of CLUSTERED BY bucketing) precisely so the fact side of an
+    // orderkey join needs NO exchange — q5's initial sort-merge plan used
+    // to shuffle-write all of lineitem before AQE's broadcast conversion
+    // could fire. Pin it: after warm, join the two on orderkey with
+    // broadcast disabled (so the co-partitioning, not a broadcast, must
+    // carry the plan) and count shuffle exchanges in the executed plan.
+    // lineitem warms to more partitions than orders (65k rows/partition),
+    // so exactly ONE side (orders) may exchange — never lineitem.
+    val d = "/root/testdata/sf0.1"
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      Tables.warm(spark, d)
+      val li = Tables.lineitem(spark, d)
+      val o = Tables.orders(spark, d)
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      // count only join-INSERTED exchanges (ENSURE_REQUIREMENTS) — the
+      // plan string also prints the warm layout's own REPARTITION_BY_NUM
+      // exchanges inside each cached relation's stored subtree
+      val ensureReq = "Exchange hashpartitioning\\([^)]*\\), [0-9]+\\), ENSURE_REQUIREMENTS".r
+        .findAllMatchIn(plan).length
+      assert(ensureReq <= 1,
+        s"expected at most one join-inserted exchange (orders side), got $ensureReq:\n$plan")
+      assert("Exchange hashpartitioning\\(l_orderkey[^)]*\\), [0-9]+\\), ENSURE_REQUIREMENTS".r
+        .findFirstIn(plan).isEmpty,
+        s"the lineitem (fact) side must not re-exchange on its bucket key:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("streaming replay sees the same timeline as the batch loader") {
     val d = "/root/testdata/sf0.001"
     val batch = Tables.events(spark, d)
