@@ -2651,11 +2651,17 @@ object Relational {
               .select("n_nationkey")),
             col("s_nationkey") === col("n_nationkey"))
           .select("s_suppkey")
-        val pv = T.lineitem(s, d)
+        // pv feeds BOTH the per-part rows and the scalar total; AQE's
+        // ReuseExchange does not dedupe a subtree referenced from two
+        // branches (measured on x7, round 11), so un-materialized this
+        // scans and shuffles lineitem TWICE. Persist the per-part agg —
+        // O(parts) rows, distributed — exactly what a CTE
+        // materialization does; Cached.release drops it post-query.
+        val pv = Cached.track(T.lineitem(s, d)
           .select("l_partkey", "l_suppkey", "l_extendedprice")
           .join(broadcast(asup), col("l_suppkey") === col("s_suppkey"))
           .groupBy("l_partkey")
-          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("v"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("v")))
         val tot = pv.agg(sum(col("v")).as("total"))
         pv.crossJoin(broadcast(tot))
           .select(col("l_partkey"), col("v").cast(DoubleType).as("part_value"),
