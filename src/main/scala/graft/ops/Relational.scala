@@ -2708,12 +2708,16 @@ object Relational {
     // suppkey agg over the date-pruned scan, then dim-sized joins.
     QDef("q15_top_supplier",
       (s, d) => {
-        val rev = T.lineitem(s, d)
+        // rev feeds both the supplier join and the scalar max — same
+        // double-referenced-subtree shape as q11: AQE does not reuse the
+        // exchange across branches, so materialize the O(suppliers) agg
+        // once (Cached.release drops it post-query)
+        val rev = Cached.track(T.lineitem(s, d)
           .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
             col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
           .groupBy("l_suppkey")
           .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
-            (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).as("rev_dec"))
+            (lit(1) - col("l_discount").cast(DecimalType(4, 2)))).as("rev_dec")))
         val mx = rev.agg(max(col("rev_dec")).as("max_dec"))
         T.supplier(s, d)
           .join(rev, col("s_suppkey") === col("l_suppkey"))
