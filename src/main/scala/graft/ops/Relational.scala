@@ -2129,14 +2129,24 @@ object Relational {
         T.lineitem(s, d).createOrReplaceTempView("q16_lineitem")
         T.part(s, d).createOrReplaceTempView("q16_part")
         T.supplier(s, d).createOrReplaceTempView("q16_supplier")
+        // COUNT(DISTINCT supplier) per (brand,size) via collect_set, not a
+        // row-level DISTINCT: the group space is tiny (|brands|x|sizes| ~
+        // 1.2k) and suppliers bounded (10k/SF), so per-partition sets
+        // shuffle as ~groups x partitions packed array rows instead of the
+        // ~|lineitem| string-keyed rows a two-exchange DISTINCT moves —
+        // the classic bitmap/set-per-group distinct-count shape
+        // (sf1: 2x42 s of task time -> one set-merge pass)
         s.sql("""
-          SELECT p_brand, p_size, count(*) AS supplier_cnt
+          SELECT p_brand, p_size, CAST(SUM(bc) AS BIGINT) AS supplier_cnt
           FROM (
-            SELECT DISTINCT p_brand, p_size, l_suppkey
+            SELECT p_brand, p_size,
+                   bitmap_count(bitmap_construct_agg(
+                     bitmap_bit_position(l_suppkey))) AS bc
             FROM q16_lineitem JOIN q16_part ON l_partkey = p_partkey
             WHERE l_suppkey IS NOT NULL AND l_suppkey NOT IN
               (SELECT s_suppkey FROM q16_supplier
-               WHERE s_acctbal < 0 AND s_suppkey IS NOT NULL))
+               WHERE s_acctbal < 0 AND s_suppkey IS NOT NULL)
+            GROUP BY p_brand, p_size, bitmap_bucket_number(l_suppkey))
           GROUP BY p_brand, p_size
           ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 50""")
       },
@@ -2745,10 +2755,15 @@ object Relational {
     // division, deterministic cross-engine.
     QDef("q17_small_qty_revenue",
       (s, d) => {
-        val l = T.lineitem(s, d)
+        // the brand-filtered join subset feeds BOTH the per-part avg and
+        // the final probe — the q11/q15 double-referenced-subtree shape:
+        // materialize it once (sf1: the second fact pass was 9.0 s of
+        // task time; a window formulation instead collapses to one
+        // AQE-coalesced serial task at local scale)
+        val l = Cached.track(T.lineitem(s, d)
           .select("l_partkey", "l_quantity", "l_extendedprice")
           .join(broadcast(T.part(s, d).filter(col("p_brand") === "Brand#5")
-            .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+            .select("p_partkey")), col("l_partkey") === col("p_partkey")))
         val avgq = l.groupBy(col("l_partkey").as("ap"))
           .agg(avg(col("l_quantity")).as("avg_qty"))
         l.join(broadcast(avgq), col("l_partkey") === col("ap") &&
