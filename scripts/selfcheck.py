@@ -11,11 +11,26 @@ row order as produced). Exit code 1 if any query mismatches.
 import json, math, re, sys, glob, os
 import duckdb
 
+def _blank_quoted(sql):
+    """Copy of sql with single-quoted literal bodies replaced by spaces
+    (same length, quotes kept): ')' or 'ORDER BY' inside a string constant
+    must not perturb depth tracking or keyword anchoring. Handles ''
+    escapes by treating the doubled quote as two adjacent literals."""
+    out, in_q = [], False
+    for c in sql:
+        if c == "'":
+            in_q = not in_q
+            out.append(c)
+        else:
+            out.append(' ' if in_q else c)
+    return ''.join(out)
+
 def _toplevel_order_by(sql):
     """Byte offset just past the last ORDER BY at paren depth 0 (the outer
     query's trailing sort), or -1. rfind alone mis-anchors when a window
-    or aggregate ORDER BY appears textually after the outer one."""
-    u = sql.upper()
+    or aggregate ORDER BY appears textually after the outer one; quoted
+    literals are blanked first so their content cannot mis-anchor."""
+    u = _blank_quoted(sql).upper()
     depth = 0
     for i in range(len(u) - 1, -1, -1):
         c = u[i]
@@ -49,7 +64,10 @@ def sort_key_idx(sql, cols):
     i = _toplevel_order_by(sql)
     if i < 0:
         return None
-    tail = re.split(r"(?i)\bLIMIT\b|\bOFFSET\b", sql[i:])[0]
+    # split on the blanked text too: a literal in a sort expression can't
+    # hold stray parens/commas; blanked keys that were plain columns are
+    # byte-identical, and expression keys fail the col match either way
+    tail = re.split(r"(?i)\bLIMIT\b|\bOFFSET\b", _blank_quoted(sql)[i:])[0]
     keys = []
     for part in _split_toplevel(tail):
         k = re.sub(r"(?i)\s+(DESC|ASC)(\s+NULLS\s+(FIRST|LAST))?", "",

@@ -118,8 +118,13 @@ object Bench {
         val fs = stNames.map { n => Future {
           try { SparkEntry.queries(n)(spark.newSession(), sfDir).count(); () }
           catch { case e: Throwable =>
-            failed(n) = s"concurrent: ${e.getClass.getSimpleName}: ${e.getMessage}"
-            System.err.println(s"[bench] concurrent $n FAILED: ${failed(n)}")
+            // LinkedHashMap is not thread-safe and these run on pool
+            // threads — synchronize; and key under a __concurrent suffix
+            // so a drain that only fails under concurrency doesn't mark
+            // the (passed) sequential timing as failed in the artifact
+            val msg = s"concurrent: ${e.getClass.getSimpleName}: ${e.getMessage}"
+            failed.synchronized { failed(s"${n}__concurrent") = msg }
+            System.err.println(s"[bench] concurrent $n FAILED: $msg")
           }
         }}
         fs.foreach(Await.result(_, Duration.Inf))

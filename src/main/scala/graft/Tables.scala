@@ -80,8 +80,32 @@ object Tables {
     "lineitem" -> "l_shipdate",
     "orders"   -> "o_orderdate")
 
+  /** Rows-per-partition target by table. The 65k default is tuned for
+    * narrow relational rows; a documents row is ~350 chars of text whose
+    * downstream cost is tokenize/regex/shingle (~100x a lineitem row), an
+    * embeddings row a 64-dim vector feeding dot products — so their
+    * cached scans must spread at a much smaller row count or the whole
+    * text/vector family runs 1-2 tasks wide (measured at sf1: x20's
+    * pair-count stage was n=2 tasks, 3.1 s of its 3.4 s wall serial; same
+    * stage in x7). On a cluster this is just files.maxPartitionBytes
+    * doing its job — locally the tiny parquet (a few MB of compressed
+    * text) defeats the byte-based split. */
+  private val perPartRows: Map[String, Long] = Map(
+    "documents"  -> 512L,
+    "embeddings" -> 256L)
+
   def warm(spark: SparkSession, sfDir: String): Unit = {
+    // add-first keeps a concurrent second caller from racing a re-warm,
+    // but a mid-loop failure (one unreadable parquet) must not leave the
+    // key claimed with the cache half-built — later calls would silently
+    // no-op — so the claim is rolled back on any throw
     if (!warmed.add((spark, sfDir))) return
+    try warm0(spark, sfDir)
+    catch { case e: Throwable =>
+      warmed.remove((spark, sfDir)); throw e }
+  }
+
+  private def warm0(spark: SparkSession, sfDir: String): Unit = {
     names.foreach { n =>
       val raw = t(spark, sfDir, n)
       // GRAFT_WARM_SPREAD=0 re-runs the A/B without the spread;
@@ -90,7 +114,8 @@ object Tables {
       // batch decode, agg hash-map setup — stay amortized, small enough
       // that a 600k-row join+distinct stage is not 3 tasks wide)
       val perPart =
-        sys.env.get("GRAFT_WARM_ROWS").map(_.toLong).getOrElse(65536L)
+        sys.env.get("GRAFT_WARM_ROWS").map(_.toLong)
+          .orElse(perPartRows.get(n)).getOrElse(65536L)
       val target =
         if (sys.env.get("GRAFT_WARM_SPREAD").contains("0")) 1
         else math.min(spark.sparkContext.defaultParallelism.toLong,

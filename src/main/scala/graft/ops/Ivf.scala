@@ -126,14 +126,31 @@ object Ivf {
     * centroids (and so the exact neighbor lists) are engine-specific, but
     * the promise an ANN index makes — "probing NProbe/K cells still finds
     * the true neighbors" — is checkable: compute the exact top-3 by brute
-    * force in the same session and emit, per query, whether the IVF top-3
-    * recovered at least one true top-3 neighbor (probing 16/64 cells =
-    * 25% of the table; measured: every query clears this at sf0.001-0.1,
-    * aggregate recall ~80% at sf0.1). DuckDB independently derives the
-    * query set, so a recall regression (bad quantizer, broken probe
-    * join) breaks the hash. Detailed per-rank ordering stays pinned in
-    * PipelineSpec via [[ivfTop3]]. */
+    * force in the same session and judge AGGREGATE recall@3 — at least
+    * 95% of queries must recover a true top-3 neighbor, and that verdict
+    * is stamped on every DuckDB-derived query row. The contract is
+    * statistical on purpose: per-query all-pass is the wrong promise for
+    * an ANN index at scale (an isolated vector whose true neighbors sit
+    * in unprobed cells — 4/200 queries at sf1 — is exactly why real
+    * deployments quote recall@k fractions). A recall regression below
+    * the floor flips every row and breaks the hash; PER-QUERY visibility
+    * lives in [[perQueryOk]], asserted with a floor in PipelineSpec, and
+    * per-rank ordering stays pinned there via [[ivfTop3]]. */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val perQ = perQueryOk(spark, sfDir)
+    val frac = perQ.agg(
+      avg(when(col("__ok"), 1.0).otherwise(0.0)).as("__recall"))
+    perQ.crossJoin(broadcast(frac))
+      .select(col("qid"), lit(3).as("k"),
+        (col("__recall") >= 0.95).as("recall_ok"))
+      .orderBy("qid")
+  }
+
+  /** (qid, __ok) — did the IVF top-3 recover at least one exact top-3
+    * neighbor for this query. The per-query layer of the recall story;
+    * [[annIvf]] aggregates it into the judged statistical contract. */
+  private[graft] def perQueryOk(spark: SparkSession, sfDir: String)
+      : DataFrame = {
     val (points, _) = assign(spark, sfDir)
     val ivf = ivfTop3(spark, sfDir)
     val queries = points.filter(col("vec_id") % 100 === 0)
@@ -149,21 +166,9 @@ object Ivf {
     val hits = ivf.select("qid", "nid")
       .join(exact, Seq("qid", "nid"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("__hits"))
-    // start from the query set so a zero-hit query still emits its row.
-    // The CONTRACT is statistical — aggregate recall >= 95%, stamped on
-    // every DuckDB-derived query row — because per-query all-pass is the
-    // wrong promise for an ANN index at scale: an isolated vector whose
-    // true neighbors are other replicas' noise (cos ~0.45 needles in
-    // unprobed cells; 4/200 queries at sf1) is exactly the case real
-    // deployments quote recall@k fractions for.
-    val perQ = queries.select("qid").join(hits, Seq("qid"), "left")
+    // start from the query set so a zero-hit query still emits its row
+    queries.select("qid").join(hits, Seq("qid"), "left")
       .select(col("qid"),
         (coalesce(col("__hits"), lit(0L)) >= 1).as("__ok"))
-    val frac = perQ.agg(
-      avg(when(col("__ok"), 1.0).otherwise(0.0)).as("__recall"))
-    perQ.crossJoin(broadcast(frac))
-      .select(col("qid"), lit(3).as("k"),
-        (col("__recall") >= 0.95).as("recall_ok"))
-      .orderBy("qid")
   }
 }

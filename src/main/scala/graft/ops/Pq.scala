@@ -44,16 +44,17 @@ object Pq {
   /** Build-once index memo per (session, table dir) — same rationale as
     * [[Ivf.indexMemo]]: a PQ index is trained and populated once. */
   private val memo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, Seq[(Int, Int, Array[Double])])]()
+    (SparkSession, String),
+    (DataFrame, Seq[(Int, Int, Array[Double])], Long)]()
 
   private def index(spark: SparkSession, sfDir: String)
-      : (DataFrame, Seq[(Int, Int, Array[Double])]) =
+      : (DataFrame, Seq[(Int, Int, Array[Double])], Long) =
     memo.computeIfAbsent((spark, sfDir), _ => build(spark, sfDir))
 
   /** Encode the table: per-subspace KMeans codes + the codebooks as
     * (subspace, code, centroid) rows. */
   private def build(spark: SparkSession, sfDir: String)
-      : (DataFrame, Seq[(Int, Int, Array[Double])]) = {
+      : (DataFrame, Seq[(Int, Int, Array[Double])], Long) = {
     graft.functions.DotProduct.register(spark)
     val total = graft.Tables.embeddings(spark, sfDir).count()
     // PQ in L2-normalized space for the same reason as IVF: ranking is
@@ -82,12 +83,15 @@ object Pq {
       // session-lifetime index cache (memoized) — bare persist on
       // purpose, see Ivf: Cached.release would un-cache the memo
       .persist()
-    (encoded, books.result())
+    // the corpus count rides the memo: shortlist() needs it on every
+    // pqTop3 call, and a fresh points.count() per call is an extra job
+    // over the cached index (Bench replays each query four times)
+    (encoded, books.result(), total)
   }
 
   /** PQ/ADC top-3 for the `vec_id % 100 = 0` query set. */
   private[graft] def pqTop3(spark: SparkSession, sfDir: String): DataFrame = {
-    val (points, books) = index(spark, sfDir)
+    val (points, books, total) = index(spark, sfDir)
     import spark.implicits._
     val bookDf = books.toDF("m", "code", "cvec")
     val queries = points.filter(col("vec_id") % 100 === 0)
@@ -113,7 +117,7 @@ object Pq {
     val wShort = Window.partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))
     val short = adc
       .withColumn("srank", row_number().over(wShort))
-      .filter(col("srank") <= shortlist(points.count()))
+      .filter(col("srank") <= shortlist(total))
     // exact cosine re-rank of the shortlist only
     val wRank = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     short
@@ -126,13 +130,28 @@ object Pq {
       .select("qid", "rank", "nid", "cos", "adc")
   }
 
-  /** Judged query SS5: PQ judged by its recall contract — the PQ top-3
-    * (ADC shortlist + exact re-rank) must recover at least one true
-    * top-3 neighbor per query, with the exact side computed brute-force
-    * in the same session and the query set independently derived by
-    * DuckDB (same contract shape as ss3). */
+  /** Judged query SS5: PQ judged by its recall contract — AGGREGATE
+    * recall@3 of at least 95% (the PQ top-3 recovering a true top-3
+    * neighbor), stamped on every row, with the exact side computed
+    * brute-force in the same session and the query set independently
+    * derived by DuckDB. Same statistical contract and rationale as
+    * [[Ivf.annIvf]]; per-query visibility via [[perQueryOk]] in
+    * PipelineSpec. */
   def annPq(spark: SparkSession, sfDir: String): DataFrame = {
-    val (points, _) = index(spark, sfDir)
+    val perQ = perQueryOk(spark, sfDir)
+    val frac = perQ.agg(
+      avg(when(col("__ok"), 1.0).otherwise(0.0)).as("__recall"))
+    perQ.crossJoin(broadcast(frac))
+      .select(col("qid"), lit(3).as("k"),
+        (col("__recall") >= 0.95).as("recall_ok"))
+      .orderBy("qid")
+  }
+
+  /** (qid, __ok) — per-query layer of the PQ recall story (see
+    * [[Ivf.perQueryOk]]). */
+  private[graft] def perQueryOk(spark: SparkSession, sfDir: String)
+      : DataFrame = {
+    val (points, _, _) = index(spark, sfDir)
     val pq = pqTop3(spark, sfDir)
     val queries = points.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
@@ -146,16 +165,8 @@ object Pq {
     val hits = pq.select("qid", "nid")
       .join(exact, Seq("qid", "nid"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("__hits"))
-    // statistical contract, same shape and rationale as Ivf.annIvf:
-    // aggregate recall >= 95% stamped on every derived query row
-    val perQ = queries.select("qid").join(hits, Seq("qid"), "left")
+    queries.select("qid").join(hits, Seq("qid"), "left")
       .select(col("qid"),
         (coalesce(col("__hits"), lit(0L)) >= 1).as("__ok"))
-    val frac = perQ.agg(
-      avg(when(col("__ok"), 1.0).otherwise(0.0)).as("__recall"))
-    perQ.crossJoin(broadcast(frac))
-      .select(col("qid"), lit(3).as("k"),
-        (col("__recall") >= 0.95).as("recall_ok"))
-      .orderBy("qid")
   }
 }
