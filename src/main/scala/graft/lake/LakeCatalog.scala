@@ -150,6 +150,22 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     s.tables.getOrElse(table,
       throw new NoSuchElementException(s"table not found: $table"))
 
+  /** Zero-job manifest check: did `table`'s data-bearing state (schema,
+    * file list, inlined batches) change between two catalog versions?
+    * Snapshots are CATALOG-level — most commits touch other tables — so
+    * incremental consumers (Mv.refresh) use this to skip whole
+    * change-feed legs without running a Spark action. Conservative by
+    * construction: a data-identical rewrite (compaction) reads as
+    * changed and the consumer just computes an empty delta. A table
+    * absent at either version also reads as changed. */
+  def tableChangedBetween(table: String, fromV: Long, toV: Long): Boolean = {
+    if (fromV == toV) return false
+    def key(v: Long) = snapshot(v).tables.get(table).map(st =>
+      (st.schemaVersion, st.schemas, st.files, st.inlined))
+    val (a, b) = (key(fromV), key(toV))
+    a.isEmpty || b.isEmpty || a != b
+  }
+
   /** Table state as the SQL surface sees it: the staged state when an
     * interactive transaction is open (read-your-writes), else the
     * current committed snapshot. */

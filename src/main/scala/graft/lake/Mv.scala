@@ -175,6 +175,19 @@ object Mv {
       val lastV = props(PVersion).toLong
       val curV = tx.baseVersion
       if (lastV == curV) throw AlreadyFresh // no empty snapshot
+      // catalog versions advance on EVERY commit, so lastV != curV says
+      // nothing about THIS MV's sources — check them in the manifest
+      // (zero Spark jobs; only when the watermark snapshot still exists,
+      // an expired one may not load). Untouched sources → the MV is
+      // already fresh; the watermark stays put (correct: the next
+      // refresh diffs from the same unchanged state) and no empty
+      // snapshot is published.
+      val watermarkLive = !tx.versionExpired(lastV)
+      val bChanged = !watermarkLive ||
+        cat.tableChangedBetween(base, lastV, curV)
+      val dChanged = joinSpec.exists { case (dim, _, _) =>
+        !watermarkLive || cat.tableChangedBetween(dim, lastV, curV) }
+      if (watermarkLive && !bChanged && !dChanged) throw AlreadyFresh
       if (tx.versionExpired(lastV)) {
         // watermark vacuumed: the feed below it is gone — full reload
         mode = "full"
@@ -198,24 +211,35 @@ object Mv {
             withFilter(cat.tableChanges(base, lastV, curV))
               .withColumn("__sgn", sign)
           case Some((dim, fk, pk)) =>
-            // Δ(F⋈D) = ΔF⋈D₀ ∪ F₀⋈ΔD ∪ ΔF⋈ΔD (signs multiply);
-            // old states via time travel at the shared watermark
-            val dF = withFilter(cat.tableChanges(base, lastV, curV))
-              .withColumn("__sf", sign).drop("change_type")
-            val dD = cat.tableChanges(dim, lastV, curV)
-              .withColumn("__sd", sign).drop("change_type")
+            // Δ(F⋈D) = ΔF⋈D₀ ∪ F₀⋈ΔD ∪ ΔF⋈ΔD (signs multiply); old
+            // states via time travel at the shared watermark. The
+            // manifest check above already said which sides moved, so
+            // only the legs with a changed input are BUILT — a dim-only
+            // churn never scans the fact change feed and vice versa
+            // (each tableChanges leg is a two-version exceptAll plan —
+            // real jobs, not free)
             val sel = (keys ++ sums ++ mins ++ maxs).distinct.map(col) :+
               col("__sgn")
-            val dOld = cat.readAt(dim, lastV)
-            val leg1 = joinFrames(dF, dOld, fk, pk)
-              .withColumn("__sgn", col("__sf")).select(sel: _*)
-            // unchanged dim (the common refresh): one O(fact-delta) leg
-            if (dD.isEmpty) leg1
-            else {
-              val fOld = withFilter(cat.readAt(base, lastV))
-              val leg2 = joinFrames(fOld, dD, fk, pk)
+            def dF = withFilter(cat.tableChanges(base, lastV, curV))
+              .withColumn("__sf", sign).drop("change_type")
+            def dD = cat.tableChanges(dim, lastV, curV)
+              .withColumn("__sd", sign).drop("change_type")
+            if (!dChanged) {
+              // unchanged dim (the common refresh): one O(fact-delta) leg
+              joinFrames(dF, cat.readAt(dim, lastV), fk, pk)
+                .withColumn("__sgn", col("__sf")).select(sel: _*)
+            } else if (!bChanged) {
+              // dim-only churn: one O(dim-delta) leg over the old facts
+              joinFrames(withFilter(cat.readAt(base, lastV)), dD, fk, pk)
                 .withColumn("__sgn", col("__sd")).select(sel: _*)
-              val leg3 = joinFrames(dF, dD, fk, pk)
+            } else {
+              val dFv = dF; val dDv = dD
+              val leg1 = joinFrames(dFv, cat.readAt(dim, lastV), fk, pk)
+                .withColumn("__sgn", col("__sf")).select(sel: _*)
+              val fOld = withFilter(cat.readAt(base, lastV))
+              val leg2 = joinFrames(fOld, dDv, fk, pk)
+                .withColumn("__sgn", col("__sd")).select(sel: _*)
+              val leg3 = joinFrames(dFv, dDv, fk, pk)
                 .withColumn("__sgn", col("__sf") * col("__sd"))
                 .select(sel: _*)
               leg1.unionByName(leg2).unionByName(leg3)
@@ -228,8 +252,22 @@ object Mv {
           mins.map(c => min(when(col("__sgn") > 0, col(c))).as(s"__dmin_$c")) ++
           maxs.map(c => max(when(col("__sgn") > 0, col(c))).as(s"__dmax_$c")) :+
           max(when(col("__sgn") < 0, lit(1)).otherwise(lit(0))).as("__hasneg")
+        // the per-group delta is consumed up to three times (merge,
+        // zero-group gate, min/max recompute keys) and each consumer
+        // would otherwise replay the whole change-feed plan — persist
+        // the changed-groups-sized frame and read its two routing flags
+        // in ONE action (which also materializes the cache)
         val deltaAgg = delta.groupBy(keys.map(col): _*)
-          .agg(dAggs.head, dAggs.tail: _*)
+          .agg(dAggs.head, dAggs.tail: _*).persist()
+        try {
+        val flags = deltaAgg.agg(
+          count(lit(1)).as("__g"),
+          max(col("__hasneg")).as("__hn"),
+          min(col("__dn")).as("__mindn")).head()
+        val nGroups = flags.getLong(0)
+        val anyNeg = nGroups > 0 && flags.getInt(1) == 1
+        val mayEmpty = nGroups > 0 && flags.getLong(2) < 0L
+        if (nGroups > 0) {
         // join changed groups against their CURRENT MV row (delta-sized)
         val cur = tx.read(mv)
         // insert-only groups fold in purely from the delta: sums add,
@@ -256,8 +294,11 @@ object Mv {
             maxs.map(c =>
               greatest(col(s"max_$c"), col(s"__dmax_$c")).as(s"max_$c"))): _*)
         tx.merge(mv, updated, keys)
-        tx.delete(mv, col("n_rows") <= 0L)
-        if (mins.nonEmpty || maxs.nonEmpty) {
+        // a group can only hit zero if some group's row-delta is
+        // negative — insert-only refreshes (the common case) skip the
+        // delete pass entirely
+        if (mayEmpty) tx.delete(mv, col("n_rows") <= 0L)
+        if ((mins.nonEmpty || maxs.nonEmpty) && anyNeg) {
           // delete-touched groups: the retired value may have BEEN the
           // min/max, so recompute exactly those groups from the source —
           // for a join MV that means re-running the filter+join, still
@@ -266,20 +307,20 @@ object Mv {
           // O(changed groups' fact rows), the bound the scaladoc states
           val delKeys = deltaAgg.filter(col("__hasneg") === 1)
             .select(keys.map(col): _*)
-          if (!delKeys.isEmpty) {
-            val aggs = aggExprs(sums, mins, maxs)
-            val src = joinSpec match {
-              case Some((dim, fk, pk)) =>
-                joinFrames(withFilter(tx.read(base)), tx.read(dim), fk, pk)
-              case None => withFilter(tx.read(base))
-            }
-            val recomputed = src
-              .join(delKeys, keys, "left_semi")
-              .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-            tx.delete(mv, delKeys, keys)   // covers emptied groups too
-            tx.insert(mv, recomputed)
+          val aggs = aggExprs(sums, mins, maxs)
+          val src = joinSpec match {
+            case Some((dim, fk, pk)) =>
+              joinFrames(withFilter(tx.read(base)), tx.read(dim), fk, pk)
+            case None => withFilter(tx.read(base))
           }
+          val recomputed = src
+            .join(delKeys, keys, "left_semi")
+            .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          tx.delete(mv, delKeys, keys)   // covers emptied groups too
+          tx.insert(mv, recomputed)
         }
+        }
+        } finally deltaAgg.unpersist(blocking = false)
       }
       tx.setProperty(mv, PVersion, tx.commitVersion.toString)
     } catch { case AlreadyFresh => () }
