@@ -2312,6 +2312,86 @@ object LakeScenarios {
           t(metric, value)
         ORDER BY metric""")),
 
+    // L48 — the metadata-only stats path driven through the interaction
+    // that usually breaks it: MoR tombstones make per-file stats stale
+    // (a deleted row may have held the extreme / inflate the sketch), so
+    // after a deletion-vector delete BOTH stats surfaces must FALL BACK
+    // to exact scans — and after compaction (DVs materialized, stats +
+    // NDV sketches rebuilt on the rewritten files) the zero-data-read
+    // path must fire again and reflect the delete. The `meta`/`fallback`
+    // ledger rows pin the path taken at each phase (a metadata answer
+    // that silently ignored tombstones, or a fallback that never
+    // recovers, breaks the hash); every value is recomputed by DuckDB
+    // from the orders slice with the delete replayed as a filter.
+    QDef("l48_stats_after_mor",
+      (s, d) => {
+        val cat = freshLake(s)
+        cat.createTable("ord", StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_custkey", LongType))),
+          primaryKey = Seq("o_orderkey"))
+        cat.ndvIndex("ord", "o_custkey")
+        val src = T.orders(s, d).select("o_orderkey", "o_custkey")
+        // 4 commits x 8-way writes = a ~32-file table, so the folds
+        // provably cross many files
+        (0 until 4).foreach(r => cat.insert("ord",
+          src.filter(col("o_orderkey") % 4 === r).repartition(8)))
+        val m1 = cat.statsAgg("ord", Seq("o_orderkey")).head()
+        val (_, mo1) = cat.approxDistinct("ord", "o_custkey")
+        // MoR delete: tombstones a whole residue class via (file,pos)
+        // deletion vectors only — every file now carries stale per-file
+        // extrema/sketches, the exact state a metadata answer must not
+        // trust
+        cat.deleteMor("ord", col("o_orderkey") % 4 === 1)
+        val m2 = cat.statsAgg("ord", Seq("o_orderkey")).head()
+        val (_, mo2) = cat.approxDistinct("ord", "o_custkey")
+        cat.compact("ord", targetFileBytes = 128L << 20)
+        val st3 = cat.current.tables("ord")
+        val dvCleared = st3.files.nonEmpty && st3.files.forall(_.dv.isEmpty)
+        val allSketched = st3.files.forall(_.ndv.contains("o_custkey"))
+        val m3 = cat.statsAgg("ord", Seq("o_orderkey")).head()
+        val (e3, mo3) = cat.approxDistinct("ord", "o_custkey")
+        val exact3 = cat.read("ord").agg(countDistinct(col("o_custkey")))
+          .head().getLong(0)
+        val s2 = s
+        import s2.implicits._
+        Seq(
+          ("01_n_before", m1.getLong(0)),
+          ("02_meta_before",
+            if (m1.getBoolean(3) && mo1) 1L else 0L),
+          ("03_n_after_delete", m2.getLong(0)),
+          ("04_min_after_delete", m2.getLong(1)),
+          ("05_max_after_delete", m2.getLong(2)),
+          ("06_fallback_after_delete",
+            if (!m2.getBoolean(3) && !mo2) 1L else 0L),
+          ("07_n_after_compact", m3.getLong(0)),
+          ("08_min_after_compact", m3.getLong(1)),
+          ("09_max_after_compact", m3.getLong(2)),
+          ("10_meta_after_compact",
+            if (m3.getBoolean(3) && mo3 && dvCleared && allSketched) 1L
+            else 0L),
+          ("11_ndv_within_5pct",
+            if (math.abs(e3 - exact3) <= exact3 * 0.05) 1L else 0L))
+          .toDF("metric", "value").orderBy("metric")
+      }, Some("""
+        WITH fin AS (
+          SELECT o_orderkey, o_custkey FROM orders
+          WHERE NOT (o_orderkey % 4 = 1))
+        SELECT * FROM (VALUES
+          ('01_n_before', (SELECT count(*) FROM orders)),
+          ('02_meta_before', CAST(1 AS BIGINT)),
+          ('03_n_after_delete', (SELECT count(*) FROM fin)),
+          ('04_min_after_delete', (SELECT min(o_orderkey) FROM fin)),
+          ('05_max_after_delete', (SELECT max(o_orderkey) FROM fin)),
+          ('06_fallback_after_delete', CAST(1 AS BIGINT)),
+          ('07_n_after_compact', (SELECT count(*) FROM fin)),
+          ('08_min_after_compact', (SELECT min(o_orderkey) FROM fin)),
+          ('09_max_after_compact', (SELECT max(o_orderkey) FROM fin)),
+          ('10_meta_after_compact', CAST(1 AS BIGINT)),
+          ('11_ndv_within_5pct', CAST(1 AS BIGINT)))
+          t(metric, value)
+        ORDER BY metric""")),
+
     // T6 — engine introspection as DataFrames (ref exploration/
     // ducklake_analysis.sh:186-191: duckdb_functions()/duckdb_settings()).
     // The settings probe reports PRESENCE (set/unset), not the value —
