@@ -259,15 +259,27 @@ object LakeScenarios {
           (9992L, "new_2", 20.0), (9993L, "new_3", 30.0))
           .toDF("id", "name", "bal"))                            // v5
         (1L until src.currentVersion).foreach { v =>
-          val ch = src.tableChanges("c", v, v + 1)
-          val upserts = ch
-            .filter(col("change_type").isin("insert", "update_postimage"))
-            .drop("change_type")
-          val delKeys = ch.filter(col("change_type") === "delete").select("id")
-          dst.transaction { tx =>
-            if (!delKeys.isEmpty) tx.delete("c", delKeys, Seq("id"))
-            if (!upserts.isEmpty) tx.merge("c", upserts, Seq("id"))
-          }
+          // one version's change feed feeds three consumers (the routing
+          // decisions and the apply) — persist it and read its
+          // composition in ONE action instead of replaying the
+          // two-version exceptAll plan per consumer
+          val ch = src.tableChanges("c", v, v + 1).persist()
+          try {
+            val kinds = ch.groupBy("change_type").count()
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+            val hasDel = kinds.getOrElse("delete", 0L) > 0L
+            val hasUps = kinds.getOrElse("insert", 0L) +
+              kinds.getOrElse("update_postimage", 0L) > 0L
+            val upserts = ch
+              .filter(col("change_type").isin("insert", "update_postimage"))
+              .drop("change_type")
+            val delKeys =
+              ch.filter(col("change_type") === "delete").select("id")
+            dst.transaction { tx =>
+              if (hasDel) tx.delete("c", delKeys, Seq("id"))
+              if (hasUps) tx.merge("c", upserts, Seq("id"))
+            }
+          } finally ch.unpersist(blocking = false)
         }
         val a = src.read("c")
         val b = dst.read("c")
