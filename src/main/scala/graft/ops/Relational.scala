@@ -2126,29 +2126,40 @@ object Relational {
     // triples, not the full join output.
     QDef("q16_supplier_diversity",
       (s, d) => {
-        T.lineitem(s, d).createOrReplaceTempView("q16_lineitem")
-        T.part(s, d).createOrReplaceTempView("q16_part")
-        T.supplier(s, d).createOrReplaceTempView("q16_supplier")
-        // COUNT(DISTINCT supplier) per (brand,size) via collect_set, not a
-        // row-level DISTINCT: the group space is tiny (|brands|x|sizes| ~
-        // 1.2k) and suppliers bounded (10k/SF), so per-partition sets
-        // shuffle as ~groups x partitions packed array rows instead of the
-        // ~|lineitem| string-keyed rows a two-exchange DISTINCT moves —
-        // the classic bitmap/set-per-group distinct-count shape
-        // (sf1: 2x42 s of task time -> one set-merge pass)
-        s.sql("""
-          SELECT p_brand, p_size, CAST(SUM(bc) AS BIGINT) AS supplier_cnt
-          FROM (
-            SELECT p_brand, p_size,
-                   bitmap_count(bitmap_construct_agg(
-                     bitmap_bit_position(l_suppkey))) AS bc
-            FROM q16_lineitem JOIN q16_part ON l_partkey = p_partkey
-            WHERE l_suppkey IS NOT NULL AND l_suppkey NOT IN
-              (SELECT s_suppkey FROM q16_supplier
-               WHERE s_acctbal < 0 AND s_suppkey IS NOT NULL)
-            GROUP BY p_brand, p_size, bitmap_bucket_number(l_suppkey))
-          GROUP BY p_brand, p_size
-          ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 50""")
+        // COUNT(DISTINCT supplier) per (brand,size) as a BITMAP aggregate
+        // over the bounded suppkey domain, not a row-level DISTINCT: the
+        // group space is tiny (|brands|x|sizes| ~ 1.2k), so fixed 4 KB
+        // bitmaps shuffle instead of the ~|lineitem| string-keyed rows a
+        // two-exchange DISTINCT moves (sf1: 2x42 s of task time -> one
+        // bitmap pass) — DuckDB's perfect-hash-set trick for small-domain
+        // distinct counts. The hot aggregation is keyed by a DENSE INT
+        // combo id minted from the 1.2k distinct (brand,size) pairs (the
+        // string columns rejoin only on the 1.2k-row result), so the
+        // per-row hash probe touches two ints, not a string
+        val part = T.part(s, d).select("p_partkey", "p_brand", "p_size")
+        val combos = part.select("p_brand", "p_size").distinct()
+          .withColumn("cid",
+            row_number().over(Window.orderBy("p_brand", "p_size")))
+        val pmap = part.join(broadcast(combos), Seq("p_brand", "p_size"))
+          .select("p_partkey", "cid")
+        val badSup = T.supplier(s, d)
+          .filter(col("s_acctbal") < 0 && col("s_suppkey").isNotNull)
+          .select("s_suppkey")
+        T.lineitem(s, d).select("l_partkey", "l_suppkey")
+          .filter(col("l_suppkey").isNotNull)
+          .join(broadcast(badSup),
+            col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(broadcast(pmap), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("cid"),
+            expr("bitmap_bucket_number(l_suppkey)").as("b"))
+          .agg(expr("bitmap_count(bitmap_construct_agg(" +
+            "bitmap_bit_position(l_suppkey)))").as("bc"))
+          .groupBy("cid")
+          .agg(sum(col("bc")).cast(LongType).as("supplier_cnt"))
+          .join(broadcast(combos), "cid")
+          .select("p_brand", "p_size", "supplier_cnt")
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+          .limit(50)
       },
       Some("SELECT p_brand, p_size, count(*) AS supplier_cnt " +
         "FROM (SELECT DISTINCT p_brand, p_size, l_suppkey " +
