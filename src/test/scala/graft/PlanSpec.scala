@@ -130,6 +130,21 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("q16: distinct-count is a bitmap aggregate, not a row-level DISTINCT") {
+    val s = planString("q16_supplier_diversity")
+    // the fact-side exchange must carry fixed-size bitmaps per
+    // (combo, bucket) group, never ~|lineitem| distinct rows: no Expand
+    // (count-distinct rewrite) and no aggregate keyed by the raw
+    // suppkey may appear
+    assert(s.contains("bitmap_construct_agg"), s)
+    assert(!s.contains("Expand"), s)
+    val hotAgg = s.linesIterator
+      .filter(l => l.contains("bitmap_construct_agg") && l.contains("keys="))
+    assert(hotAgg.forall(l => l.contains("cid#") && !l.contains("p_brand#")),
+      "the hot aggregate must be keyed by the dense combo id, not the " +
+        "brand string\n" + s)
+  }
+
   test("j14: interval-overlap join is a bucket equi-join, never a nested loop") {
     val s = planString("j14_overlap_join")
     assert(!s.contains("CartesianProduct") && !s.contains("NestedLoop"), s)

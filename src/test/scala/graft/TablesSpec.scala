@@ -71,6 +71,23 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("warm spreads text/vector tables by per-row cost, not the relational row target") {
+    // documents rows are ~350 chars of text (tokenize/regex downstream,
+    // ~100x a lineitem row), so their cache must spread at a far smaller
+    // rows/partition target — with the 65k relational default, the sf0.1
+    // documents cache kept its raw 1-2 parquet partitions and the whole
+    // text family ran serial on 32 cores (x20's sf1 pair-count stage:
+    // 3.1 s of its 3.4 s wall on one task). Pin the layout: after warm,
+    // documents and embeddings must spread to multiple partitions even
+    // at sf0.1 row counts.
+    val d = "/root/testdata/sf0.1"
+    Tables.warm(spark, d)
+    val docParts = Tables.documents(spark, d).rdd.getNumPartitions
+    val embParts = Tables.embeddings(spark, d).rdd.getNumPartitions
+    assert(docParts >= 4, s"documents cache spread too narrow: $docParts")
+    assert(embParts >= 4, s"embeddings cache spread too narrow: $embParts")
+  }
+
   test("streaming replay sees the same timeline as the batch loader") {
     val d = "/root/testdata/sf0.001"
     val batch = Tables.events(spark, d)
