@@ -804,6 +804,59 @@ class LakeSpec extends SparkSpec {
     assert(mvState() === recompute())
   }
 
+  test("MV refresh: commits to UNRELATED tables are manifest-detected noops") {
+    // catalog versions advance on every commit, so a refresh after
+    // activity on other tables used to run the whole (empty) delta path
+    // and publish an empty snapshot — the manifest check must make it a
+    // pure noop: same mode, NO new version, watermark untouched, and a
+    // later real delta still applies correctly from the old watermark
+    val cat = newLake()
+    cat.createTable("sales", StructType(Seq(
+      StructField("id", LongType), StructField("k", LongType),
+      StructField("v", LongType))), primaryKey = Seq("id"))
+    cat.createTableAs("other", spark.range(10).toDF("id"))
+    cat.insert("sales", spark.range(0, 300)
+      .selectExpr("id", "id % 5 AS k", "id * 2 AS v"))
+    graft.lake.Mv.create(cat, "s_by_k", "sales", Seq("k"), Seq("v"))
+    cat.insert("other", spark.range(10, 20).toDF("id"))
+    cat.delete("other", col("id") < 5)
+    val vBefore = cat.currentVersion
+    assert(graft.lake.Mv.refresh(cat, "s_by_k") === "noop")
+    assert(cat.currentVersion === vBefore, "a noop refresh must not commit")
+    // the stale watermark still yields a correct incremental apply
+    cat.insert("sales", spark.range(300, 400)
+      .selectExpr("id", "id % 5 AS k", "id * 2 AS v"))
+    assert(graft.lake.Mv.refresh(cat, "s_by_k") === "incremental")
+    val got = cat.read("s_by_k").select("k", "n_rows", "sum_v")
+      .orderBy("k").collect().map(_.toString).toSeq
+    val want = cat.read("sales").groupBy("k")
+      .agg(count(lit(1)).as("n_rows"), sum("v").as("sum_v"))
+      .orderBy("k").collect().map(_.toString).toSeq
+    assert(got === want)
+  }
+
+  test("join MV refresh: a dim-only churn takes the dim-delta leg and stays exact") {
+    // bChanged=false / dChanged=true is the leg the manifest gating
+    // builds alone (F0 ⋈ ΔD over time travel) — pin its arithmetic:
+    // remap and delete dim rows without touching the fact side
+    val cat = newLake()
+    cat.createTableAs("f", spark.range(0, 400)
+      .selectExpr("id", "id % 10 AS k", "id AS v"))
+    cat.createTableAs("dm", spark.range(10)
+      .selectExpr("id AS k", "id % 3 AS grp"))
+    graft.lake.Mv.createJoin(cat, "f_by_grp", "f", "dm", "k", "k",
+      None, Seq("grp"), sums = Seq("v"))
+    def recompute() = cat.read("f").join(cat.read("dm"), "k")
+      .groupBy("grp").agg(count(lit(1)).as("n_rows"), sum("v").as("sum_v"))
+      .orderBy("grp").collect().map(_.toString).toSeq
+    def mv() = cat.read("f_by_grp").select("grp", "n_rows", "sum_v")
+      .orderBy("grp").collect().map(_.toString).toSeq
+    cat.update("dm", col("k") === 7L, Map("grp" -> lit(0L)))
+    cat.delete("dm", col("k") === 9L)
+    assert(graft.lake.Mv.refresh(cat, "f_by_grp") === "incremental")
+    assert(mv() === recompute())
+  }
+
   test("MV min/max maintenance: insert-only fold, delete-retired min, emptied + all-NULL groups, UPDATE") {
     val cat = newLake()
     cat.createTable("m", StructType(Seq(
