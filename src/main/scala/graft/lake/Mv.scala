@@ -57,6 +57,14 @@ object Mv {
   private val PFk = "mv.join.fk"
   private val PPk = "mv.join.pk"
 
+  /** How far (in catalog versions) a fresh MV's watermark may drift
+    * behind the head before a noop refresh renews it with a
+    * property-only commit. Below the default vacuum retention
+    * (keepLast = 10) so a steadily-refreshed MV over a never-changing
+    * base keeps a live watermark and never degrades to a full
+    * recompute. */
+  private[graft] val WatermarkRenewGap = 8L
+
   // sums are NULL-safe (COALESCE(SUM(x),0)) so the create/full-recompute
   // paths agree with the incremental delta apply, which must treat an
   // all-NULL delta as +0 rather than clobbering the group sum to NULL.
@@ -155,7 +163,12 @@ object Mv {
   /** Advance `mv` to the base table's current state. Returns "noop"
     * (already fresh), "incremental" (delta applied) or "full"
     * (watermark expired → recompute) — the path actually taken, so
-    * callers and tests can assert the O(delta) contract. */
+    * callers and tests can assert the O(delta) contract. A "noop" is
+    * usually commit-free; when the watermark has drifted ≥
+    * [[WatermarkRenewGap]] versions behind the head it is renewed with
+    * a property-only commit (zero Spark jobs) so that later vacuums
+    * don't expire it and force a full recompute of a never-changed
+    * MV. */
   def refresh(cat: LakeCatalog, mv: String): String = {
     requireNoOpenTx(cat, "Mv.refresh")
     object AlreadyFresh extends Exception
@@ -187,8 +200,21 @@ object Mv {
         cat.tableChangedBetween(base, lastV, curV)
       val dChanged = joinSpec.exists { case (dim, _, _) =>
         !watermarkLive || cat.tableChangedBetween(dim, lastV, curV) }
-      if (watermarkLive && !bChanged && !dChanged) throw AlreadyFresh
-      if (tx.versionExpired(lastV)) {
+      if (watermarkLive && !bChanged && !dChanged) {
+        // sources untouched — but a watermark left behind forever would
+        // eventually be vacuumed out from under a never-changed MV, and
+        // the NEXT refresh would silently pay a full recompute. Renew it
+        // once it drifts ≥ [[WatermarkRenewGap]] catalog versions
+        // behind: fall through to the final watermark setProperty — a
+        // property-only commit, zero Spark jobs, and invisible to
+        // tableChangedBetween (schema/files/inlined untouched), so MVs
+        // stacked on THIS table still see it as unchanged. Small gaps —
+        // the common refresh — stay commit-free; a vacuum keeping fewer
+        // versions than the gap can still expire a live watermark,
+        // which remains the documented full-recompute cost of expiring
+        // history an MV needed.
+        if (curV - lastV < WatermarkRenewGap) throw AlreadyFresh
+      } else if (tx.versionExpired(lastV)) {
         // watermark vacuumed: the feed below it is gone — full reload
         mode = "full"
         tx.delete(mv, lit(true))

@@ -835,6 +835,49 @@ class LakeSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("MV refresh: a far-drifted watermark is renewed by a property-only commit and survives vacuum") {
+    // an MV whose base never changes must not degrade to a full
+    // recompute just because unrelated commits pushed the catalog head
+    // past the vacuum retention — once the gap reaches
+    // Mv.WatermarkRenewGap, a noop refresh renews the watermark with a
+    // property-only commit (no schema/file change, so stacked readers
+    // still see the MV as unchanged)
+    val cat = newLake()
+    cat.createTableAs("sales", spark.range(0, 100)
+      .selectExpr("id", "id % 5 AS k", "id * 2 AS v"))
+    cat.createTableAs("other", spark.range(10).toDF("id"))
+    graft.lake.Mv.create(cat, "s_by_k", "sales", Seq("k"), Seq("v"))
+    val mvStateBefore = cat.read("s_by_k").orderBy("k")
+      .collect().map(_.toString).toSeq
+    // drift: WatermarkRenewGap unrelated commits
+    (1L to graft.lake.Mv.WatermarkRenewGap).foreach { i =>
+      cat.insert("other", spark.range(i * 100, i * 100 + 5).toDF("id")) }
+    val vBefore = cat.currentVersion
+    assert(graft.lake.Mv.refresh(cat, "s_by_k") === "noop")
+    assert(cat.currentVersion === vBefore + 1,
+      "a renewal noop commits exactly once (property-only)")
+    // the renewal is invisible to manifest-gated readers of the MV
+    assert(!cat.tableChangedBetween("s_by_k", vBefore, cat.currentVersion))
+    // vacuum away everything older than the renewed watermark: a fresh
+    // refresh stays a commit-free noop (NOT "full"), and the MV is intact
+    cat.vacuum(keepLast = 1)
+    val vAfterVacuum = cat.currentVersion
+    assert(graft.lake.Mv.refresh(cat, "s_by_k") === "noop")
+    assert(cat.currentVersion === vAfterVacuum,
+      "a small-gap noop after renewal must not commit")
+    assert(cat.read("s_by_k").orderBy("k").collect().map(_.toString).toSeq
+      === mvStateBefore)
+    // and a later real delta still applies incrementally
+    cat.insert("sales", spark.range(100, 150)
+      .selectExpr("id", "id % 5 AS k", "id * 2 AS v"))
+    assert(graft.lake.Mv.refresh(cat, "s_by_k") === "incremental")
+    val want = cat.read("sales").groupBy("k")
+      .agg(count(lit(1)).as("n_rows"), sum("v").as("sum_v"))
+      .orderBy("k").collect().map(_.toString).toSeq
+    assert(cat.read("s_by_k").select("k", "n_rows", "sum_v").orderBy("k")
+      .collect().map(_.toString).toSeq === want)
+  }
+
   test("join MV refresh: a dim-only churn takes the dim-delta leg and stays exact") {
     // bChanged=false / dChanged=true is the leg the manifest gating
     // builds alone (F0 ⋈ ΔD over time travel) — pin its arithmetic:
