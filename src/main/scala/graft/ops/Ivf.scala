@@ -122,53 +122,76 @@ object Ivf {
       .select("qid", "rank", "nid", "cos", "cell")
   }
 
-  /** Judged query SS3: the IVF index judged by its RECALL CONTRACT. The
-    * centroids (and so the exact neighbor lists) are engine-specific, but
-    * the promise an ANN index makes — "probing NProbe/K cells still finds
-    * the true neighbors" — is checkable: compute the exact top-3 by brute
-    * force in the same session and judge AGGREGATE recall@3 — at least
-    * 95% of queries must recover a true top-3 neighbor, and that verdict
-    * is stamped on every DuckDB-derived query row. The contract is
-    * statistical on purpose: per-query all-pass is the wrong promise for
-    * an ANN index at scale (an isolated vector whose true neighbors sit
-    * in unprobed cells — 4/200 queries at sf1 — is exactly why real
-    * deployments quote recall@k fractions). A recall regression below
-    * the floor flips every row and breaks the hash; PER-QUERY visibility
-    * lives in [[perQueryOk]], asserted with a floor in PipelineSpec, and
-    * per-rank ordering stays pinned there via [[ivfTop3]]. */
+  /** Judged query SS3: the IVF index judged by its RECALL CONTRACT, in
+    * two layers so BOTH an aggregate drift and a single catastrophic
+    * query break the oracle hash. The centroids (and so the exact
+    * neighbor lists) are engine-specific, but the promise an ANN index
+    * makes — "probing NProbe/K cells still finds the true neighbors" —
+    * is checkable against a brute-force exact ranking computed in the
+    * same session:
+    *
+    *  - `recall_ok` — AGGREGATE recall@3 ≥ 95% (at least 95% of queries
+    *    recover a true top-3 neighbor), stamped on every row. The tight
+    *    statistical contract: per-query top-3 all-pass is the wrong ANN
+    *    promise at scale (an isolated vector whose true top-3 sit in
+    *    unprobed cells — 4/200 queries at sf1 — is why real deployments
+    *    quote recall@k fractions).
+    *  - `found_true_neighbor` — PER-QUERY floor: this query's IVF top-3
+    *    contains at least one exact top-[[PerQueryRankFloor]] neighbor.
+    *    Measured worst best-rank is 5 (sf1, 200 q) / 7 (sf3, 600 q), so
+    *    the floor holds with ≥2x margin at every tested scale — but a
+    *    query with ZERO recall (found nothing genuinely near) flips ITS
+    *    OWN row and breaks the hash, which the aggregate layer alone
+    *    would hide inside the 5% slack.
+    *
+    * Exact per-query top-3 recall keeps its floor assertion in
+    * PipelineSpec (which lists misses), and per-rank ordering stays
+    * pinned there via [[ivfTop3]]. */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val perQ = perQueryOk(spark, sfDir)
     val frac = perQ.agg(
       avg(when(col("__ok"), 1.0).otherwise(0.0)).as("__recall"))
     perQ.crossJoin(broadcast(frac))
       .select(col("qid"), lit(3).as("k"),
+        col("__found").as("found_true_neighbor"),
         (col("__recall") >= 0.95).as("recall_ok"))
       .orderBy("qid")
   }
 
-  /** (qid, __ok) — did the IVF top-3 recover at least one exact top-3
-    * neighbor for this query. The per-query layer of the recall story;
-    * [[annIvf]] aggregates it into the judged statistical contract. */
+  /** Per-query floor rank for the judged `found_true_neighbor` column:
+    * an ANN top-3 that recovers none of the exact top-20 found nothing
+    * genuinely near. Shared by [[Pq]] (whose measured worst best-rank,
+    * 10 at sf3, sets the 2x margin). */
+  private[graft] val PerQueryRankFloor = 20
+
+  /** (qid, __ok, __found) — per query: did the IVF top-3 recover an
+    * exact top-3 neighbor (`__ok`, the aggregate-recall layer) and an
+    * exact top-[[PerQueryRankFloor]] neighbor (`__found`, the judged
+    * per-query floor). [[annIvf]] emits both layers. */
   private[graft] def perQueryOk(spark: SparkSession, sfDir: String)
       : DataFrame = {
     val (points, _) = assign(spark, sfDir)
     val ivf = ivfTop3(spark, sfDir)
     val queries = points.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-    // exact top-3: brute force over the full table, same tie-break
+    // exact top-PerQueryRankFloor: brute force over the full table,
+    // same tie-break; rank <= 3 is the aggregate layer's membership set
     val wExact = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     val exact = queries.join(points, col("qid") =!= col("vec_id"))
       .selectExpr("qid", "vec_id AS nid",
         "round(graft_dot(qv, v) / (qnrm * nrm), 6) AS cos")
       .withColumn("rank", row_number().over(wExact))
-      .filter(col("rank") <= 3)
-      .select("qid", "nid")
-    val hits = ivf.select("qid", "nid")
-      .join(exact, Seq("qid", "nid"), "left_semi")
-      .groupBy("qid").agg(count(lit(1)).as("__hits"))
+      .filter(col("rank") <= PerQueryRankFloor)
+      .select("qid", "nid", "rank")
+    // per query: the best exact rank among its ANN picks (NULL = none)
+    val best = ivf.select("qid", "nid")
+      .join(exact, Seq("qid", "nid"))
+      .groupBy("qid").agg(min(col("rank")).as("__best"))
     // start from the query set so a zero-hit query still emits its row
-    queries.select("qid").join(hits, Seq("qid"), "left")
+    queries.select("qid").join(best, Seq("qid"), "left")
       .select(col("qid"),
-        (coalesce(col("__hits"), lit(0L)) >= 1).as("__ok"))
+        (coalesce(col("__best"), lit(99L)) <= 3).as("__ok"),
+        (coalesce(col("__best"), lit(99L)) <= PerQueryRankFloor)
+          .as("__found"))
   }
 }

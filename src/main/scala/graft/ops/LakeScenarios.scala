@@ -2687,14 +2687,19 @@ object LakeScenarios {
         "FROM events GROUP BY event_type ORDER BY event_type")),
 
     // SS3 — IVF ANN: KMeans coarse quantizer + probe-nearest-cells
-    // search, judged by its STATISTICAL recall contract (aggregate
-    // recall@3 >= 95%, stamped on every query row — see Ivf.annIvf for
-    // why per-query all-pass is the wrong ANN promise at scale). DuckDB
-    // independently derives the query set; per-rank ordering and a
-    // per-query recall floor are pinned in PipelineSpec.
+    // search, judged by a TWO-LAYER recall contract: recall_ok is the
+    // aggregate recall@3 >= 95% stamped on every row (per-query top-3
+    // all-pass is the wrong ANN promise at scale — see Ivf.annIvf);
+    // found_true_neighbor is PER-QUERY (this query's top-3 recovers an
+    // exact top-20 neighbor, measured worst best-rank 5-7), so a single
+    // zero-recall query flips its own row and breaks the hash instead
+    // of hiding in the aggregate slack. DuckDB independently derives
+    // the query set; per-rank ordering and the exact per-query top-3
+    // recall floor are pinned in PipelineSpec.
     QDef("ss3_ann_ivf",
       (s, d) => Ivf.annIvf(s, d),
-      Some("SELECT vec_id AS qid, 3 AS k, TRUE AS recall_ok " +
+      Some("SELECT vec_id AS qid, 3 AS k, TRUE AS found_true_neighbor, " +
+        "TRUE AS recall_ok " +
         "FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid")),
 
     // SS5 — PRODUCT-QUANTIZATION ANN (FAISS IndexPQ shape): per-subspace
@@ -2702,11 +2707,14 @@ object LakeScenarios {
     // score candidates by asymmetric distance computation (broadcast
     // M x K lookup table + code joins — no per-pair float vector math),
     // then the shortlist is exactly re-ranked. Judged by the same
-    // statistical recall contract as ss3: aggregate recall@3 >= 95%
-    // over the DuckDB-derived query set, stamped on every row.
+    // two-layer recall contract as ss3: aggregate recall@3 >= 95%
+    // stamped on every row, plus the per-query found_true_neighbor
+    // floor (exact top-20 hit; measured worst best-rank 7-10) that
+    // makes a single zero-recall query break the hash.
     QDef("ss5_ann_pq",
       (s, d) => Pq.annPq(s, d),
-      Some("SELECT vec_id AS qid, 3 AS k, TRUE AS recall_ok " +
+      Some("SELECT vec_id AS qid, 3 AS k, TRUE AS found_true_neighbor, " +
+        "TRUE AS recall_ok " +
         "FROM embeddings WHERE vec_id % 100 = 0 ORDER BY qid"))
   )
 }

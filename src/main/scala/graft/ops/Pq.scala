@@ -130,24 +130,30 @@ object Pq {
       .select("qid", "rank", "nid", "cos", "adc")
   }
 
-  /** Judged query SS5: PQ judged by its recall contract — AGGREGATE
-    * recall@3 of at least 95% (the PQ top-3 recovering a true top-3
-    * neighbor), stamped on every row, with the exact side computed
-    * brute-force in the same session and the query set independently
-    * derived by DuckDB. Same statistical contract and rationale as
-    * [[Ivf.annIvf]]; per-query visibility via [[perQueryOk]] in
-    * PipelineSpec. */
+  /** Judged query SS5: PQ judged by the same two-layer recall contract
+    * as [[Ivf.annIvf]] — `recall_ok` is the AGGREGATE recall@3 ≥ 95%
+    * (PQ top-3 recovering a true top-3 neighbor) stamped on every row;
+    * `found_true_neighbor` is the PER-QUERY floor (this query's PQ
+    * top-3 recovers an exact top-[[Ivf.PerQueryRankFloor]] neighbor),
+    * so a single zero-recall query flips its own row and breaks the
+    * oracle hash instead of hiding in the 5% aggregate slack. The
+    * exact side is computed brute-force in the same session; the query
+    * set is independently derived by DuckDB. Measured worst best-rank:
+    * 7 (sf1, 200 q) / 10 (sf3, 600 q) — 2x margin under the floor of
+    * 20. Exact per-query top-3 recall keeps its floor assertion in
+    * PipelineSpec via [[perQueryOk]]. */
   def annPq(spark: SparkSession, sfDir: String): DataFrame = {
     val perQ = perQueryOk(spark, sfDir)
     val frac = perQ.agg(
       avg(when(col("__ok"), 1.0).otherwise(0.0)).as("__recall"))
     perQ.crossJoin(broadcast(frac))
       .select(col("qid"), lit(3).as("k"),
+        col("__found").as("found_true_neighbor"),
         (col("__recall") >= 0.95).as("recall_ok"))
       .orderBy("qid")
   }
 
-  /** (qid, __ok) — per-query layer of the PQ recall story (see
+  /** (qid, __ok, __found) — per-query layer of the PQ recall story (see
     * [[Ivf.perQueryOk]]). */
   private[graft] def perQueryOk(spark: SparkSession, sfDir: String)
       : DataFrame = {
@@ -160,13 +166,15 @@ object Pq {
       .selectExpr("qid", "vec_id AS nid",
         "round(graft_dot(qv, v) / (qnrm * nrm), 6) AS cos")
       .withColumn("rank", row_number().over(wExact))
-      .filter(col("rank") <= 3)
-      .select("qid", "nid")
-    val hits = pq.select("qid", "nid")
-      .join(exact, Seq("qid", "nid"), "left_semi")
-      .groupBy("qid").agg(count(lit(1)).as("__hits"))
-    queries.select("qid").join(hits, Seq("qid"), "left")
+      .filter(col("rank") <= Ivf.PerQueryRankFloor)
+      .select("qid", "nid", "rank")
+    val best = pq.select("qid", "nid")
+      .join(exact, Seq("qid", "nid"))
+      .groupBy("qid").agg(min(col("rank")).as("__best"))
+    queries.select("qid").join(best, Seq("qid"), "left")
       .select(col("qid"),
-        (coalesce(col("__hits"), lit(0L)) >= 1).as("__ok"))
+        (coalesce(col("__best"), lit(99L)) <= 3).as("__ok"),
+        (coalesce(col("__best"), lit(99L)) <= Ivf.PerQueryRankFloor)
+          .as("__found"))
   }
 }

@@ -196,8 +196,11 @@ class PipelineSpec extends SparkSpec {
     assert(contract.nonEmpty)
     contract.foreach(r => assert(r.getAs[Boolean]("recall_ok"),
       "aggregate IVF recall fell below the 95% contract"))
+    // the judged per-query floor must hold for EVERY query here
+    contract.foreach(r => assert(r.getAs[Boolean]("found_true_neighbor"),
+      s"IVF query ${r.get(0)} recovered no exact top-20 neighbor"))
     val perQ = ops.Ivf.perQueryOk(spark, d)
-      .as[(Long, Boolean)].collect()
+      .select("qid", "__ok").as[(Long, Boolean)].collect()
     val misses = perQ.filterNot(_._2).map(_._1)
     info(s"IVF per-query recall: ${perQ.length - misses.length}/${perQ.length}" +
       (if (misses.nonEmpty) s" (missed: ${misses.mkString(",")})" else ""))
@@ -222,8 +225,10 @@ class PipelineSpec extends SparkSpec {
     assert(contract.nonEmpty)
     contract.foreach(r => assert(r.getAs[Boolean]("recall_ok"),
       "aggregate PQ recall fell below the 95% contract"))
+    contract.foreach(r => assert(r.getAs[Boolean]("found_true_neighbor"),
+      s"PQ query ${r.get(0)} recovered no exact top-20 neighbor"))
     val perQ = ops.Pq.perQueryOk(spark, d)
-      .as[(Long, Boolean)].collect()
+      .select("qid", "__ok").as[(Long, Boolean)].collect()
     val misses = perQ.filterNot(_._2).map(_._1)
     info(s"PQ per-query recall: ${perQ.length - misses.length}/${perQ.length}" +
       (if (misses.nonEmpty) s" (missed: ${misses.mkString(",")})" else ""))
