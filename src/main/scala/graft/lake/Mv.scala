@@ -188,6 +188,25 @@ object Mv {
       val lastV = props(PVersion).toLong
       val curV = tx.baseVersion
       if (lastV == curV) throw AlreadyFresh // no empty snapshot
+      // spec-vs-base validation BEFORE any delta work: dropping or
+      // renaming a column the MV aggregates is the classic
+      // schema-evolution breakage for maintained views — fail with the
+      // spec columns named instead of letting the change-feed plan die
+      // with a resolution error deep in the apply (added base columns
+      // are benign: the spec never references them and the change feed
+      // projects to columns common to both window ends). Schema-only
+      // reads — no Spark job.
+      val available = tx.read(base).columns.toSet ++
+        joinSpec.map { case (dim, _, _) => tx.read(dim).columns.toSet }
+          .getOrElse(Set.empty)
+      val referenced = keys ++ sums ++ mins ++ maxs ++
+        joinSpec.toSeq.flatMap { case (_, fk, pk) => Seq(fk, pk) }
+      val missing = referenced.distinct.filterNot(available)
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"materialized view $mv references column(s) " +
+          s"${missing.mkString(", ")} no longer present in its source " +
+          s"(dropped or renamed after the MV was created) — drop and " +
+          s"recreate the MV against the evolved schema")
       // catalog versions advance on EVERY commit, so lastV != curV says
       // nothing about THIS MV's sources — check them in the manifest
       // (zero Spark jobs; only when the watermark snapshot still exists,

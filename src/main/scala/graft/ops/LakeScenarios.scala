@@ -2404,6 +2404,130 @@ object LakeScenarios {
           t(metric, value)
         ORDER BY metric""")),
 
+    // L49 — schema evolution THROUGH an incrementally-maintained MV,
+    // composed with merge-on-read deletes and compaction (the classic
+    // maintained-view breakage: Delta/Iceberg MVs must either keep
+    // refreshing across an evolved base or refuse loudly — never
+    // silently corrupt). The ledger drives one MV through:
+    //  (1) insertEvolve adds an UNREFERENCED column mid-window — the
+    //      change feed projects to the columns common to both window
+    //      ends, so the delta apply is untouched;
+    //  (2) a MoR delete (deletion vectors only) — the min/max exact
+    //      recompute path reads THROUGH the merged view;
+    //  (3) compaction materializing the DVs — file-level churn with an
+    //      EMPTY logical delta (the refresh runs and only advances the
+    //      watermark);
+    //  (4) dropping the unreferenced evolved column + more inserts —
+    //      still incremental;
+    //  (5) renaming a column the MV aggregates — refresh REFUSES with
+    //      the spec column named (pinned as a ledger bit).
+    // Oracle: every stage's MV totals recomputed by DuckDB from the
+    // same orders slice and predicates.
+    QDef("l49_evolve_mor_mv",
+      (s, d) => {
+        val cat = freshLake(s)
+        val src = T.orders(s, d).selectExpr(
+          "cast(o_orderkey AS bigint) AS id",
+          "cast(o_custkey % 7 AS bigint) AS k",
+          "cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint) AS v")
+        cat.createTable("fct", StructType(Seq(
+          StructField("id", LongType), StructField("k", LongType),
+          StructField("v", LongType))), primaryKey = Seq("id"))
+        cat.insert("fct", src.filter(col("id") <= 2000))
+        graft.lake.Mv.create(cat, "fct_by_k", "fct", Seq("k"),
+          sums = Seq("v"), mins = Seq("v"), maxs = Seq("v"))
+        def mvTotals(): (Long, Long, Long, Long) = {
+          val r = cat.read("fct_by_k").agg(
+            sum("n_rows"), sum("sum_v"), min("min_v"), max("max_v")).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+        // (1) evolve-the-base insert: batch carries a column the table
+        // (and the MV spec) never had — auto-added nullable
+        cat.insertEvolve("fct", src
+          .filter(col("id") > 2000 && col("id") <= 3000)
+          .withColumn("src_tag", concat(lit("b2_"), col("id") % 3)))
+        val m1 = graft.lake.Mv.refresh(cat, "fct_by_k")
+        val (rows1, sumv1, minv1, maxv1) = mvTotals()
+        // (2) MoR delete: tombstones via deletion vectors, no rewrite;
+        // the deleted rows retire group minima so the refresh must take
+        // the exact-recompute path through the MERGED read
+        cat.deleteMor("fct", col("id") % 5 === 0)
+        val m2 = graft.lake.Mv.refresh(cat, "fct_by_k")
+        val (rows2, sumv2, minv2, maxv2) = mvTotals()
+        // (3) compaction materializes the DVs: physical churn, empty
+        // logical delta — refresh advances the watermark, changes nothing
+        cat.compact("fct", targetFileBytes = 128L << 20)
+        val m3 = graft.lake.Mv.refresh(cat, "fct_by_k")
+        val (rows3, _, _, _) = mvTotals()
+        // (4) drop the UNREFERENCED evolved column, keep ingesting
+        cat.transaction(_.dropColumn("fct", "src_tag"))
+        cat.insert("fct", src.filter(col("id") > 3000 && col("id") <= 4000))
+        val m4 = graft.lake.Mv.refresh(cat, "fct_by_k")
+        val (rows4, sumv4, minv4, maxv4) = mvTotals()
+        val groups4 = cat.read("fct_by_k").count()
+        // (5) rename the aggregated column out from under the spec:
+        // refresh must refuse loudly, naming the missing column
+        cat.transaction(_.renameColumn("fct", "v", "v2"))
+        val refused =
+          try { graft.lake.Mv.refresh(cat, "fct_by_k"); 0L }
+          catch { case e: IllegalStateException
+            if e.getMessage.contains("no longer present") &&
+              e.getMessage.contains("v") => 1L }
+        val s2 = s
+        import s2.implicits._
+        Seq(
+          ("01_mode_evolve", if (m1 == "incremental") 1L else 0L),
+          ("02_rows_after_evolve", rows1),
+          ("03_sumv_after_evolve", sumv1),
+          ("04_minv_after_evolve", minv1),
+          ("05_maxv_after_evolve", maxv1),
+          ("06_mode_mor", if (m2 == "incremental") 1L else 0L),
+          ("07_rows_after_mor", rows2),
+          ("08_sumv_after_mor", sumv2),
+          ("09_minv_after_mor", minv2),
+          ("10_maxv_after_mor", maxv2),
+          ("11_mode_compact", if (m3 == "incremental") 1L else 0L),
+          ("12_rows_after_compact", rows3),
+          ("13_mode_drop_unref", if (m4 == "incremental") 1L else 0L),
+          ("14_rows_final", rows4),
+          ("15_sumv_final", sumv4),
+          ("16_minv_final", minv4),
+          ("17_maxv_final", maxv4),
+          ("18_groups_final", groups4),
+          ("19_rename_refused", refused))
+          .toDF("metric", "value").orderBy("metric")
+      }, Some("""
+        WITH f AS (
+          SELECT o_orderkey AS id, o_custkey % 7 AS k,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+          FROM orders WHERE o_orderkey <= 4000),
+        s2 AS (SELECT * FROM f WHERE id <= 3000),
+        s3 AS (SELECT * FROM s2 WHERE NOT (id % 5 = 0)),
+        s5 AS (SELECT * FROM s3
+               UNION ALL SELECT * FROM f WHERE id > 3000)
+        SELECT * FROM (VALUES
+          ('01_mode_evolve', CAST(1 AS BIGINT)),
+          ('02_rows_after_evolve', (SELECT count(*) FROM s2)),
+          ('03_sumv_after_evolve', (SELECT CAST(sum(v) AS BIGINT) FROM s2)),
+          ('04_minv_after_evolve', (SELECT min(v) FROM s2)),
+          ('05_maxv_after_evolve', (SELECT max(v) FROM s2)),
+          ('06_mode_mor', CAST(1 AS BIGINT)),
+          ('07_rows_after_mor', (SELECT count(*) FROM s3)),
+          ('08_sumv_after_mor', (SELECT CAST(sum(v) AS BIGINT) FROM s3)),
+          ('09_minv_after_mor', (SELECT min(v) FROM s3)),
+          ('10_maxv_after_mor', (SELECT max(v) FROM s3)),
+          ('11_mode_compact', CAST(1 AS BIGINT)),
+          ('12_rows_after_compact', (SELECT count(*) FROM s3)),
+          ('13_mode_drop_unref', CAST(1 AS BIGINT)),
+          ('14_rows_final', (SELECT count(*) FROM s5)),
+          ('15_sumv_final', (SELECT CAST(sum(v) AS BIGINT) FROM s5)),
+          ('16_minv_final', (SELECT min(v) FROM s5)),
+          ('17_maxv_final', (SELECT max(v) FROM s5)),
+          ('18_groups_final', (SELECT count(DISTINCT k) FROM s5)),
+          ('19_rename_refused', CAST(1 AS BIGINT)))
+          t(metric, value)
+        ORDER BY metric""")),
+
     // T6 — engine introspection as DataFrames (ref exploration/
     // ducklake_analysis.sh:186-191: duckdb_functions()/duckdb_settings()).
     // The settings probe reports PRESENCE (set/unset), not the value —

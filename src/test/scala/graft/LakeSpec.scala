@@ -878,6 +878,36 @@ class LakeSpec extends SparkSpec {
       .collect().map(_.toString).toSeq === want)
   }
 
+  test("MV refresh refuses loudly when a referenced base column is dropped or renamed; added columns are benign") {
+    val cat = newLake()
+    cat.createTableAs("b", spark.range(0, 100)
+      .selectExpr("id", "id % 4 AS k", "id AS v"))
+    graft.lake.Mv.create(cat, "b_by_k", "b", Seq("k"), Seq("v"))
+    // additive evolution composes: new column never referenced by the spec
+    cat.transaction(_.addColumn("b", "extra", LongType, Some("7")))
+    cat.insert("b", spark.range(100, 120)
+      .selectExpr("id", "id % 4 AS k", "id AS v", "id AS extra"))
+    assert(graft.lake.Mv.refresh(cat, "b_by_k") === "incremental")
+    assert(cat.read("b_by_k").agg(sum("n_rows")).head().getLong(0) === 120L)
+    // renaming the aggregated column breaks the spec → named refusal
+    cat.transaction(_.renameColumn("b", "v", "v2"))
+    cat.insert("b", spark.range(120, 130)
+      .selectExpr("id", "id % 4 AS k", "id AS v2", "id AS extra"))
+    val e = intercept[IllegalStateException] {
+      graft.lake.Mv.refresh(cat, "b_by_k") }
+    assert(e.getMessage.contains("v") &&
+      e.getMessage.contains("no longer present"))
+    // the failed refresh rolled back: MV state and watermark intact,
+    // and restoring the column heals the spec (rename back)
+    cat.transaction(_.renameColumn("b", "v2", "v"))
+    assert(graft.lake.Mv.refresh(cat, "b_by_k") === "incremental")
+    val want = cat.read("b").groupBy("k")
+      .agg(count(lit(1)).as("n_rows"), sum("v").as("sum_v"))
+      .orderBy("k").collect().map(_.toString).toSeq
+    assert(cat.read("b_by_k").select("k", "n_rows", "sum_v").orderBy("k")
+      .collect().map(_.toString).toSeq === want)
+  }
+
   test("join MV refresh: a dim-only churn takes the dim-delta leg and stays exact") {
     // bChanged=false / dChanged=true is the leg the manifest gating
     // builds alone (F0 ⋈ ΔD over time travel) — pin its arithmetic:
