@@ -230,6 +230,72 @@ object Stats {
     if (cmp(c, a, b) <= 0) a else b
   def maxOf(c: ColumnDef, a: String, b: String): String =
     if (cmp(c, a, b) >= 0) a else b
+
+  /** Types whose parquet FOOTER statistics are exact and render
+    * byte-identically to the Spark `cast(col AS string)` harvest:
+    * integral types (footer min/max are true extrema, decimal
+    * rendering) and dates (int32 epoch days → ISO). Strings are
+    * excluded (writers may truncate binary stats — a truncated max
+    * understates, and manifest stats must stay EXACT because statsAgg
+    * serves them as ANSWERS, not just pruning bounds); float/double are
+    * excluded (NaN-containing columns break the footer/SQL min-max
+    * equivalence and NaN presence is not detectable from the footer). */
+  def footerExact(c: ColumnDef): Boolean = c.typeJson match {
+    case "\"integer\"" | "\"long\"" | "\"short\"" | "\"byte\"" |
+         "\"date\"" => true
+    case _ => false
+  }
+
+  /** Epoch-day window where `LocalDate.toString` and Spark's
+    * date→string cast agree on the zero-padded 4-digit-year ISO form:
+    * 0001-01-01 .. 9999-12-31. Outside it the renderings diverge
+    * ('+10000-…') — the stat is dropped, pruning degrades to scanning. */
+  private val MinSafeEpochDay = java.time.LocalDate.of(1, 1, 1).toEpochDay
+  private val MaxSafeEpochDay = java.time.LocalDate.of(9999, 12, 31).toEpochDay
+
+  private def renderFooterValue(c: ColumnDef, v: Long): Option[String] =
+    c.typeJson match {
+      case "\"date\"" =>
+        if (v < MinSafeEpochDay || v > MaxSafeEpochDay) None
+        else Some(java.time.LocalDate.ofEpochDay(v).toString)
+      case _ => Some(v.toString)
+    }
+
+  /** Per-file min/max harvested from the parquet FOOTER the write path
+    * already opens for row counts — zero Spark jobs, the Iceberg-style
+    * write-time stats collection. Only called when every stat column is
+    * [[footerExact]]; any absent/untrustworthy chunk statistic drops
+    * that column's stat (pruning degrades to scanning, statsAgg to an
+    * exact fallback scan — never to wrong answers). */
+  def fromFooter(md: org.apache.parquet.hadoop.metadata.ParquetMetadata,
+      cols: Seq[ColumnDef]): Map[String, ColStat] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.column.statistics.{IntStatistics, LongStatistics}
+    val blocks = md.getBlocks.asScala.toSeq
+    cols.flatMap { c =>
+      var lo = Long.MaxValue; var hi = Long.MinValue
+      var seen = false; var trusted = true
+      blocks.foreach { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == c.name) match {
+          case None => trusted = false
+          case Some(cc) => cc.getStatistics match {
+            case s: IntStatistics if s.hasNonNullValue =>
+              lo = math.min(lo, s.getMin.toLong)
+              hi = math.max(hi, s.getMax.toLong); seen = true
+            case s: LongStatistics if s.hasNonNullValue =>
+              lo = math.min(lo, s.getMin)
+              hi = math.max(hi, s.getMax); seen = true
+            case s if s != null && !s.hasNonNullValue && s.getNumNulls >= 0 =>
+              () // chunk holds no non-null values — contributes nothing
+            case _ => trusted = false // stats absent or unexpected shape
+          }
+        }
+      }
+      if (!trusted || !seen) None
+      else for (mn <- renderFooterValue(c, lo); mx <- renderFooterValue(c, hi))
+        yield c.name -> ColStat(mn, mx)
+    }.toMap
+  }
 }
 
 object Manifest {

@@ -341,8 +341,13 @@ object Mv {
         tx.merge(mv, updated, keys)
         // a group can only hit zero if some group's row-delta is
         // negative — insert-only refreshes (the common case) skip the
-        // delete pass entirely
-        if (mayEmpty) tx.delete(mv, col("n_rows") <= 0L)
+        // delete pass entirely. With min/max maintained the pass is
+        // dead even then: a negative sign sets __hasneg, which routes
+        // the group OUT of the fast fold and into the exact recompute
+        // below (delete(delKeys) covers its emptied groups), so every
+        // merged group here had a strictly positive row-delta.
+        if (mayEmpty && mins.isEmpty && maxs.isEmpty)
+          tx.delete(mv, col("n_rows") <= 0L)
         if ((mins.nonEmpty || maxs.nonEmpty) && anyNeg) {
           // delete-touched groups: the retired value may have BEEN the
           // min/max, so recompute exactly those groups from the source —
@@ -361,8 +366,19 @@ object Mv {
           val recomputed = src
             .join(delKeys, keys, "left_semi")
             .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-          tx.delete(mv, delKeys, keys)   // covers emptied groups too
-          tx.insert(mv, recomputed)
+          // ONE copy-on-write pass applies the whole recompute: groups
+          // that vanished from the source carry an n_rows = -1 sentinel
+          // and DELETE; surviving groups UPDATE; a group born inside
+          // this window INSERTs (count(*) can never be negative, so the
+          // sentinel is unambiguous). Replaces the former
+          // delete(delKeys) + insert(recomputed) pair — two file
+          // rewrites of the same MV rows — with a single one.
+          val applySrc = delKeys.join(recomputed, keys, "left_outer")
+            .withColumn("n_rows", coalesce(col("n_rows"), lit(-1L)))
+          tx.mergeClauses(mv, applySrc, keys, MergeClauses(
+            matchedDelete = Some("s.n_rows < 0"),
+            matchedUpdate = Some("s.n_rows >= 0"),
+            notMatchedInsert = Some("n_rows >= 0")))
         }
         }
         } finally deltaAgg.unpersist(blocking = false)

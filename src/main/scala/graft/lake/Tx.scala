@@ -1256,11 +1256,30 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     // gates the stats pass below
     val rootQ = cat.fs.makeQualified(new Path(cat.root)).toUri.getPath
       .stripSuffix("/")
+    // stat columns decided up front: when every one is footer-exact
+    // (integral/date) the min/max harvest comes from the SAME footer
+    // open that yields the row count — zero extra Spark jobs (the
+    // Iceberg write-time stats model; the distributed harvest pass
+    // below only remains for string/double stat columns and partition
+    // value sets, whose footer stats aren't trustworthy-exact)
+    val statColsPre = tables.get(table).map { st =>
+      val prioritized = st.columns.sortBy(c =>
+        (!st.partitionBy.contains(c.name), !st.primaryKey.contains(c.name)))
+      prioritized.filter(Stats.comparable).take(8)
+    }.getOrElse(Nil)
+    val pvalColsPre = tables.get(table).map(_.partitionBy).getOrElse(Nil)
+    val footerSafe = pvalColsPre.isEmpty && statColsPre.nonEmpty &&
+      statColsPre.forall(Stats.footerExact)
+    val footerStats = mutable.Map[String, Map[String, ColStat]]()
     val allParts = cat.fs.globStatus(new Path(abs, "*.parquet")).toSeq.map { fst =>
       val p = fst.getPath
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(p, cat.hadoopConf))
-      val rows = try reader.getRecordCount finally reader.close()
+      val rows = try {
+        if (footerSafe) footerStats(p.toUri.getPath) =
+          Stats.fromFooter(reader.getFooter, statColsPre)
+        reader.getRecordCount
+      } finally reader.close()
       (p, fst.getLen, rows)
     }
     // empty shuffle buckets (partition-layout writes with fewer values
@@ -1273,22 +1292,24 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
         allParts.filter(_._3 == 0L).foreach(e => cat.fs.delete(e._1, false))
         allParts.filter(_._3 > 0L)
       }
-    val statCols = tables.get(table).map { st =>
-      // partition columns first (their stats ARE the partition index),
-      // then PK, then the rest, capped to bound manifest size
-      val prioritized = st.columns.sortBy(c =>
-        (!st.partitionBy.contains(c.name), !st.primaryKey.contains(c.name)))
-      prioritized.filter(Stats.comparable).take(8)
-    }.getOrElse(Nil)
-    // partition columns additionally harvest their per-file distinct
-    // VALUE SET (capped — a partition-pure or lightly-collided file has
-    // a handful; past the cap the set is dropped and pruning falls back
+    // partition columns first (their stats ARE the partition index),
+    // then PK, then the rest, capped to bound manifest size; partition
+    // columns additionally harvest their per-file distinct VALUE SET
+    // (capped — a partition-pure or lightly-collided file has a
+    // handful; past the cap the set is dropped and pruning falls back
     // to min/max, never to wrong answers)
-    val pvalCols = tables.get(table).map(_.partitionBy).getOrElse(Nil)
+    val statCols = statColsPre
+    val pvalCols = pvalColsPre
     val MaxPvals = 64
     val harvest: Map[String, (Map[String, ColStat], Map[String, Seq[String]])] =
       if ((statCols.isEmpty && pvalCols.isEmpty) || parts.map(_._3).sum < 64)
         Map.empty
+      else if (footerSafe)
+        parts.map { case (p, _, _) =>
+          val key = p.toUri.getPath
+          key -> (footerStats.getOrElse(key, Map.empty[String, ColStat]),
+            Map.empty[String, Seq[String]])
+        }.toMap
       else {
         val aggs = statCols.flatMap { c =>
           Seq(min(col(c.name)).cast("string").as(s"min_${c.name}"),

@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Dev diagnostic: per-operation Spark JOB COUNTS for the lake commit
+  * machinery — where the ~12 jobs/op floor in the l* scenarios comes
+  * from. `sbt "runMain graft.tools.LakeOpProbe <sfDir>"` prints one
+  * line per op; use it to target job-count cuts that pay across every
+  * lake scenario. */
+object LakeOpProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val jobs = new AtomicInteger(0)
+    val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        val d = Option(js.properties).map { p =>
+          import scala.jdk.CollectionConverters._
+          val keys = p.stringPropertyNames().asScala
+          keys.filter(k => k.contains("callSite") || k.contains("description"))
+            .toSeq.sorted.map(k => p.getProperty(k)).headOption.getOrElse(
+              js.stageInfos.lastOption.map(_.name).getOrElse("?"))
+        }.getOrElse(js.stageInfos.lastOption.map(_.name).getOrElse("?"))
+        sites.add(d)
+      }
+    })
+    def op[T](name: String)(f: => T): T = {
+      Thread.sleep(150) // let queued listener events drain
+      val before = jobs.get(); val t0 = System.nanoTime()
+      val r = f
+      Thread.sleep(150)
+      import scala.jdk.CollectionConverters._
+      val mine = sites.asScala.toSeq
+      sites.clear()
+      println(f"OP $name%-28s jobs=${jobs.get() - before}%3d " +
+        f"ms=${(System.nanoTime() - t0) / 1e6}%8.1f  " +
+        mine.groupBy(identity).view.mapValues(_.size).toSeq
+          .sortBy(-_._2).map { case (k, n) => s"$k x$n" }.mkString(", "))
+      r
+    }
+    val root = java.nio.file.Files.createTempDirectory("opprobe").toString
+    val cat = new graft.lake.LakeCatalog(spark, root)
+    val src = graft.Tables.orders(spark, sfDir).selectExpr(
+      "cast(o_orderkey AS bigint) AS id",
+      "cast(o_custkey % 20 AS bigint) AS k",
+      "cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint) AS v")
+    op("createTable")(cat.createTable("t", StructType(Seq(
+      StructField("id", LongType), StructField("k", LongType),
+      StructField("v", LongType))), primaryKey = Seq("id")))
+    op("insert1 (3k rows)")(cat.insert("t", src.filter(col("id") <= 3000)))
+    op("insert2 (1k rows)")(cat.insert("t",
+      src.filter(col("id") > 3000 && col("id") <= 4000)))
+    op("update")(cat.update("t", col("id") <= 500,
+      Map("v" -> (col("v") + 100L))))
+    op("delete")(cat.delete("t", col("k") === 7L))
+    op("createTableAs dim")(cat.createTableAs("dm", spark.range(20)
+      .selectExpr("cast(id AS bigint) AS k", "cast(id % 4 AS bigint) AS grp")))
+    op("mv createJoin")(graft.lake.Mv.createJoin(cat, "mv", "t", "dm",
+      "k", "k", Some("id % 2 = 0"), Seq("grp"), sums = Seq("v"),
+      mins = Seq("v"), maxs = Seq("v")))
+    op("insert3 (fast-fold delta)")(cat.insert("t",
+      src.filter(col("id") > 4000 && col("id") <= 5000)))
+    op("mv refresh insert-only")(graft.lake.Mv.refresh(cat, "mv"))
+    op("deleteMin")(cat.delete("t", col("v") < 10000000L))
+    op("mv refresh delete")(graft.lake.Mv.refresh(cat, "mv"))
+    op("dim update")(cat.update("dm", col("k") === 3L,
+      Map("grp" -> lit(0L))))
+    op("mv refresh dim-churn")(graft.lake.Mv.refresh(cat, "mv"))
+    op("final read")(cat.read("mv").collect())
+    spark.stop()
+  }
+}
