@@ -1094,14 +1094,30 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     // multiset-diff below.
     val sFrom = stateOf(snapshot(fromV), table)
     val sTo = stateOf(snapshot(toV), table)
-    val sameCols = sFrom.schemaVersion == sTo.schemaVersion &&
-      sFrom.columns == sTo.columns
-    if (sameCols && sFrom.files.toSet.subsetOf(sTo.files.toSet) &&
+    // The fast paths diff COMMON columns (the slow path's contract
+    // too): valid when every column name present at both window ends
+    // is the SAME column — same stable id, type, default — so an
+    // untouched file projects identically onto the common set at
+    // either end and its rows cancel. Purely ADDED or DROPPED columns
+    // don't break this (they're outside the common set), so a window
+    // containing a schema evolution still diffs O(churn): without
+    // this, the refresh after a daily ADD COLUMN would silently pay
+    // two full-table reads. A rename or type/default change falls
+    // back to the full diff.
+    val toByName = sTo.columns.map(c => c.name -> c).toMap
+    val commonNames = sFrom.columns.map(_.name).filter(toByName.contains)
+    val fromByName = sFrom.columns.map(c => c.name -> c).toMap
+    val colsAligned = commonNames.nonEmpty && commonNames.forall { n =>
+      val x = fromByName(n); val y = toByName(n)
+      x.id == y.id && x.typeJson == y.typeJson && x.default == y.default
+    }
+    if (colsAligned && sFrom.files.toSet.subsetOf(sTo.files.toSet) &&
         sTo.inlined.startsWith(sFrom.inlined)) {
       val oldFiles = sFrom.files.toSet
       val sub = sTo.copy(files = sTo.files.filterNot(oldFiles),
         inlined = sTo.inlined.drop(sFrom.inlined.size))
-      return readState(sub).withColumn("change_type", lit("insert"))
+      return readState(sub).select(commonNames.map(col): _*)
+        .withColumn("change_type", lit("insert"))
     }
     // CHURNED-FILES diff: with an unchanged schema, every file entry
     // present verbatim at both window ends (same path, same deletion
@@ -1114,14 +1130,15 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     // MV refresh stay O(delta) at 100 TB. A schema change falls back to
     // the full common-column diff below.
     val (b, a, common) =
-      if (sameCols) {
+      if (colsAligned) {
         val toSet = sTo.files.toSet; val fromSet = sFrom.files.toSet
         val inlEq = sFrom.inlined == sTo.inlined
         val bSub = sFrom.copy(files = sFrom.files.filterNot(toSet),
           inlined = if (inlEq) Nil else sFrom.inlined)
         val aSub = sTo.copy(files = sTo.files.filterNot(fromSet),
           inlined = if (inlEq) Nil else sTo.inlined)
-        (readState(bSub), readState(aSub), sTo.columns.map(_.name))
+        (readState(bSub).select(commonNames.map(col): _*),
+          readState(aSub).select(commonNames.map(col): _*), commonNames)
       } else {
         val before = readAt(table, fromV)
         val after = readAt(table, toV)

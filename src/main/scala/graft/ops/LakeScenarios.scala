@@ -2436,10 +2436,12 @@ object LakeScenarios {
         cat.insert("fct", src.filter(col("id") <= 2000))
         graft.lake.Mv.create(cat, "fct_by_k", "fct", Seq("k"),
           sums = Seq("v"), mins = Seq("v"), maxs = Seq("v"))
-        def mvTotals(): (Long, Long, Long, Long) = {
+        def mvTotals(): (Long, Long, Long, Long, Long) = {
           val r = cat.read("fct_by_k").agg(
-            sum("n_rows"), sum("sum_v"), min("min_v"), max("max_v")).head()
-          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+            sum("n_rows"), sum("sum_v"), min("min_v"), max("max_v"),
+            count(lit(1))).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4))
         }
         // (1) evolve-the-base insert: batch carries a column the table
         // (and the MV spec) never had — auto-added nullable
@@ -2447,24 +2449,23 @@ object LakeScenarios {
           .filter(col("id") > 2000 && col("id") <= 3000)
           .withColumn("src_tag", concat(lit("b2_"), col("id") % 3)))
         val m1 = graft.lake.Mv.refresh(cat, "fct_by_k")
-        val (rows1, sumv1, minv1, maxv1) = mvTotals()
+        val (rows1, sumv1, minv1, maxv1, _) = mvTotals()
         // (2) MoR delete: tombstones via deletion vectors, no rewrite;
         // the deleted rows retire group minima so the refresh must take
         // the exact-recompute path through the MERGED read
         cat.deleteMor("fct", col("id") % 5 === 0)
         val m2 = graft.lake.Mv.refresh(cat, "fct_by_k")
-        val (rows2, sumv2, minv2, maxv2) = mvTotals()
+        val (rows2, sumv2, minv2, maxv2, _) = mvTotals()
         // (3) compaction materializes the DVs: physical churn, empty
         // logical delta — refresh advances the watermark, changes nothing
         cat.compact("fct", targetFileBytes = 128L << 20)
         val m3 = graft.lake.Mv.refresh(cat, "fct_by_k")
-        val (rows3, _, _, _) = mvTotals()
+        val (rows3, _, _, _, _) = mvTotals()
         // (4) drop the UNREFERENCED evolved column, keep ingesting
         cat.transaction(_.dropColumn("fct", "src_tag"))
         cat.insert("fct", src.filter(col("id") > 3000 && col("id") <= 4000))
         val m4 = graft.lake.Mv.refresh(cat, "fct_by_k")
-        val (rows4, sumv4, minv4, maxv4) = mvTotals()
-        val groups4 = cat.read("fct_by_k").count()
+        val (rows4, sumv4, minv4, maxv4, groups4) = mvTotals()
         // (5) rename the aggregated column out from under the spec:
         // refresh must refuse loudly, naming the missing column
         cat.transaction(_.renameColumn("fct", "v", "v2"))
