@@ -106,6 +106,73 @@ class LakeSpec extends SparkSpec {
     assert(dflt.filter($"change_type".startsWith("update")).count() === 2)
   }
 
+  test("tableChanges is O(churn): append-only windows skip the diff; evolution keeps the fast path; renames fall back") {
+    val cat = newLake()
+    cat.createTable("t", StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType))),
+      primaryKey = Seq("id"))
+    cat.insert("t", spark.range(0, 200).selectExpr("id", "id * 2 AS v"))
+    val v1 = cat.currentVersion
+    cat.insert("t", spark.range(200, 300).selectExpr("id", "id * 2 AS v"))
+    // append-only: the feed is the new files read directly — NO
+    // multiset diff in the plan at all (the O(delta) pin)
+    val ap = cat.tableChanges("t", v1, cat.currentVersion)
+    assert(!ap.queryExecution.analyzed.toString.contains("Except"),
+      "append-only window must not plan an exceptAll diff")
+    assert(ap.filter(col("change_type") =!= "insert").isEmpty)
+    assert(ap.count() === 100)
+    // ADD COLUMN inside the window: still fast (common columns align
+    // by stable id), the new column simply doesn't ride the feed
+    val v2 = cat.currentVersion
+    cat.transaction(_.addColumn("t", "w", LongType, Some("0")))
+    cat.insert("t", spark.range(300, 350)
+      .selectExpr("id", "id * 2 AS v", "id AS w"))
+    val ev = cat.tableChanges("t", v2, cat.currentVersion)
+    assert(!ev.queryExecution.analyzed.toString.contains("Except"),
+      "additive-evolution window must keep the no-diff fast path")
+    assert(ev.columns.toSet === Set("id", "v", "change_type"))
+    assert(ev.count() === 50)
+    // MoR delete window: the churned entries are diffed (old entry vs
+    // entry-with-DV), vanished rows surface as deletes
+    val v3 = cat.currentVersion
+    cat.deleteMor("t", col("id") < 10)
+    val mor = cat.tableChanges("t", v3, cat.currentVersion)
+      .select("change_type", "id").as[(String, Long)].collect()
+    assert(mor.forall(_._1 == "delete") && mor.length === 10)
+    // compaction window: physical churn, empty logical feed
+    val v4 = cat.currentVersion
+    cat.compact("t", targetFileBytes = 128L << 20)
+    assert(cat.tableChanges("t", v4, cat.currentVersion).isEmpty)
+    // rename inside the window: the renamed column is outside the
+    // common-by-name set at both ends — exactly like the slow path's
+    // name-intersection — so the fast path REMAINS valid: the feed
+    // diffs the survivors and the new rows ride as inserts, no diff op
+    val v5 = cat.currentVersion
+    cat.transaction(_.renameColumn("t", "w", "w2"))
+    cat.insert("t", spark.range(350, 360)
+      .selectExpr("id", "id * 2 AS v", "id AS w2"))
+    val rn = cat.tableChanges("t", v5, cat.currentVersion)
+    assert(!rn.queryExecution.analyzed.toString.contains("Except"))
+    assert(rn.columns.toSet === Set("id", "v", "change_type"))
+    assert(rn.filter(col("change_type") === "insert").count() === 10)
+    // drop + RE-ADD under the same name (new stable id, default 7):
+    // the name now aliases two different columns across the window —
+    // the fast path must fall back to the full multiset diff, which
+    // honestly reports every surviving row's w2 flip to the new
+    // column's default as an update
+    val v6 = cat.currentVersion
+    cat.transaction { tx =>
+      tx.dropColumn("t", "w2")
+      tx.addColumn("t", "w2", LongType, Some("7"))
+    }
+    val ra = cat.tableChanges("t", v6, cat.currentVersion)
+    assert(ra.queryExecution.analyzed.toString.contains("Except"),
+      "same-name re-add must fall back to the full multiset diff")
+    val live = cat.read("t").count()
+    assert(ra.filter(col("change_type") === "update_postimage")
+      .filter(col("w2") === 7L).count() === live)
+  }
+
   test("DELETE with NULL-evaluating predicate keeps NULL rows (SQL semantics)") {
     val cat = newLake()
     cat.createTable("t", StructType(Seq(
