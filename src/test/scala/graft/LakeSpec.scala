@@ -106,6 +106,44 @@ class LakeSpec extends SparkSpec {
     assert(dflt.filter($"change_type".startsWith("update")).count() === 2)
   }
 
+  test("footer-harvested manifest stats are byte-identical to the Spark cast-to-string harvest") {
+    // the write path trusts parquet footer statistics for integral/date
+    // stat columns (zero Spark jobs) — manifest stats serve statsAgg as
+    // ANSWERS, so they must render exactly as the old distributed
+    // harvest did: negative values, epoch-boundary dates, all-NULL and
+    // mixed-NULL columns included
+    val cat = newLake()
+    cat.createTable("ft", StructType(Seq(
+      StructField("id", LongType), StructField("neg", LongType),
+      StructField("sm", IntegerType), StructField("d", DateType),
+      StructField("allnull", LongType))), primaryKey = Seq("id"))
+    cat.insert("ft", spark.range(0, 500).selectExpr(
+      "id",
+      "CASE WHEN id % 7 = 0 THEN NULL ELSE id - 250 END AS neg",
+      "cast(id % 13 AS int) AS sm",
+      "date_add(date'1969-12-01', cast(id AS int)) AS d",
+      "cast(NULL AS bigint) AS allnull"))
+    val entries = cat.current.tables("ft").files
+    assert(entries.nonEmpty)
+    // recompute every per-file stat with the SQL engine and compare
+    entries.foreach { e =>
+      val df = spark.read.parquet(
+        new java.io.File(cat.root, e.path).toString)
+      Seq("id", "neg", "sm", "d").foreach { c =>
+        val r = df.agg(min(col(c)).cast("string"),
+          max(col(c)).cast("string")).head()
+        val st = e.stats(c)
+        assert(st.min === r.getString(0) && st.max === r.getString(1),
+          s"footer stat for $c diverges from the SQL harvest")
+      }
+      assert(!e.stats.contains("allnull"),
+        "an all-NULL column must carry no stat, like the old harvest")
+    }
+    // and the metadata-only aggregate over them answers exactly
+    val m = cat.statsAgg("ft", Seq("neg")).head()
+    assert(m.getLong(1) === -249L && m.getLong(2) === 249L)
+  }
+
   test("tableChanges is O(churn): append-only windows skip the diff; evolution keeps the fast path; renames fall back") {
     val cat = newLake()
     cat.createTable("t", StructType(Seq(
