@@ -65,6 +65,83 @@ class TxPropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("tableChanges equals a reference multiset diff over every window of random DML") {
+    // the O(churn) fast paths (append-only, churned-files, additive
+    // evolution) must be OBSERVATIONALLY IDENTICAL to the definition:
+    // diff the two snapshots' rows on their common columns, classify by
+    // key. The reference here is re-derived in plain Scala on collected
+    // rows — independent of the production plan entirely.
+    // ops: 0=insert 1=update 2=CoW delete 3=compact 4=MoR delete
+    //      5=ADD COLUMN 6=DROP latest added column
+    val dmlGen: Gen[Int] = Gen.choose(0, 6)
+    val prop = Prop.forAllNoShrink(Gen.listOfN(6, dmlGen)) { ops =>
+      val cat = freshCat()
+      var nextOid = 1000
+      var added = List.empty[String]
+      var colN = 0
+      cat.insert("ord", Seq((1, 1, 1), (2, 2, 2), (3, 3, 3))
+        .toDF("oid", "pid", "n"))
+      val vStart = cat.currentVersion
+      ops.foreach {
+        case 0 =>
+          cat.insert("ord", Seq((nextOid, 1, 1), (nextOid + 1, 2, 2))
+            .toDF("oid", "pid", "n"))
+          nextOid += 2
+        case 1 => cat.update("ord", col("pid") === 1, Map("n" -> lit(9)))
+        case 2 => cat.delete("ord", col("oid") % 3 === 0)
+        case 3 => cat.compact("ord", 1L << 20)
+        case 4 => cat.deleteMor("ord", col("oid") % 3 === 1)
+        case 5 =>
+          cat.transaction(_.addColumn("ord", s"x$colN", LongType, Some("0")))
+          added ::= s"x$colN"; colN += 1
+        case 6 => added match {
+          case c :: rest =>
+            cat.transaction(_.dropColumn("ord", c)); added = rest
+          case Nil =>
+            cat.insert("ord", Seq((nextOid, 3, 3)).toDF("oid", "pid", "n"))
+            nextOid += 1
+        }
+      }
+      val vEnd = cat.currentVersion
+      def rows(v: Long, cols: Seq[String]): Map[Seq[String], Int] =
+        cat.readAt("ord", v).select(cols.map(col): _*).collect()
+          .map(_.toSeq.map(String.valueOf)).toSeq
+          .groupBy(identity).view.mapValues(_.size).toMap
+      val windows = (vStart until vEnd).map(v => (v, v + 1)) :+
+        ((vStart, vEnd))
+      windows.forall { case (f, t) =>
+        val common = cat.readAt("ord", f).columns
+          .intersect(cat.readAt("ord", t).columns).toSeq
+        val b = rows(f, common); val a = rows(t, common)
+        def minus(x: Map[Seq[String], Int], y: Map[Seq[String], Int]) =
+          x.flatMap { case (r, nx) =>
+            val d = nx - y.getOrElse(r, 0)
+            if (d > 0) Some(r -> d) else None
+          }
+        val appeared = minus(a, b); val vanished = minus(b, a)
+        val ki = common.indexOf("oid")
+        val updKeys = appeared.keySet.map(_(ki))
+          .intersect(vanished.keySet.map(_(ki)))
+        def classify(m: Map[Seq[String], Int], hit: String, miss: String) =
+          m.map { case (r, c) =>
+            ((if (updKeys.contains(r(ki))) hit else miss) +: r) -> c }
+        val expected = classify(appeared, "update_postimage", "insert") ++
+          classify(vanished, "update_preimage", "delete")
+        val got = cat.tableChanges("ord", f, t)
+          .select(("change_type" +: common).map(col): _*).collect()
+          .map(_.toSeq.map(String.valueOf)).toSeq
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val ok = got == expected
+        if (!ok) System.err.println(
+          s"window ($f,$t) ops=$ops\n got=$got\n exp=$expected")
+        ok
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("incremental manifests replay identically from a cold catalog") {
     // the delta/blob/merge layer must be invisible: after any random DML
     // sequence, a FRESH catalog (cold caches, state rebuilt purely from
