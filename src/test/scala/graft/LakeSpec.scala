@@ -940,6 +940,36 @@ class LakeSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("MV min/max refresh: a group born and fully emptied inside one window leaves no trace") {
+    // the one-pass recompute apply routes such a group as: present in
+    // delKeys (its delta has negative signs), absent from the MV
+    // (never refreshed in), absent from the recompute (no surviving
+    // rows) — the merge source row carries the -1 sentinel but matches
+    // nothing, so NO clause fires; the group must not appear, and the
+    // other groups' minima must still be exact
+    val cat = newLake()
+    cat.createTableAs("g", spark.range(0, 60)
+      .selectExpr("id", "id % 3 AS k", "id * 10 AS v"))
+    graft.lake.Mv.create(cat, "g_by_k", "g", Seq("k"),
+      sums = Seq("v"), mins = Seq("v"), maxs = Seq("v"))
+    // window: new group k=7 appears and is wholly deleted; k=0 loses
+    // its minimum (retires the running min -> exact recompute path)
+    cat.insert("g", spark.range(1000, 1010)
+      .selectExpr("id", "7L AS k", "id AS v"))
+    cat.delete("g", col("k") === 7L)
+    cat.delete("g", col("id") === 0L) // v=0 was k=0's min
+    assert(graft.lake.Mv.refresh(cat, "g_by_k") === "incremental")
+    val got = cat.read("g_by_k")
+      .select("k", "n_rows", "sum_v", "min_v", "max_v")
+      .orderBy("k").collect().map(_.toString).toSeq
+    val want = cat.read("g").groupBy("k")
+      .agg(count(lit(1)).as("n_rows"), sum("v").as("sum_v"),
+        min("v").as("min_v"), max("v").as("max_v"))
+      .orderBy("k").collect().map(_.toString).toSeq
+    assert(got === want)
+    assert(!cat.read("g_by_k").select("k").as[Long].collect().contains(7L))
+  }
+
   test("MV refresh: a far-drifted watermark is renewed by a property-only commit and survives vacuum") {
     // an MV whose base never changes must not degrade to a full
     // recompute just because unrelated commits pushed the catalog head
