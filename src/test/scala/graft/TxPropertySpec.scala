@@ -142,6 +142,61 @@ class TxPropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("MV refresh equals a full recompute after any random churn sequence") {
+    // the min/max MV's routing (insert-only fast fold vs exact
+    // recompute vs full reload, manifest-gated noops, the one-pass
+    // sentinel merge) must be invisible: after every refresh the MV is
+    // row-identical to recomputing the aggregate from scratch.
+    // ops: 0=insert 1=update 2=CoW delete 3=MoR delete
+    //      4=unrelated-table commit 5=refresh now 6=vacuum(keepLast=2)
+    val dmlGen: Gen[Int] = Gen.frequency(
+      3 -> 0, 2 -> 1, 2 -> 2, 2 -> 3, 2 -> 4, 3 -> 5, 1 -> 6)
+    val prop = Prop.forAllNoShrink(Gen.listOfN(8, dmlGen)) { ops =>
+      val cat = new LakeCatalog(spark, tmpDir("lakemvprop"))
+      cat.createTableAs("other", spark.range(3).toDF("id"))
+      cat.createTableAs("base", spark.range(0, 120)
+        .selectExpr("id", "id % 5 AS k",
+          "CASE WHEN id % 11 = 0 THEN NULL ELSE id * 3 END AS v"))
+      graft.lake.Mv.create(cat, "base_by_k", "base", Seq("k"),
+        sums = Seq("v"), mins = Seq("v"), maxs = Seq("v"))
+      var nextId = 1000L
+      def recompute() = cat.read("base").groupBy("k")
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum("v"), lit(0L)).as("sum_v"),
+          min("v").as("min_v"), max("v").as("max_v"))
+        .orderBy("k").collect().map(_.toString).toSeq
+      def mvState() = cat.read("base_by_k")
+        .select("k", "n_rows", "sum_v", "min_v", "max_v")
+        .orderBy("k").collect().map(_.toString).toSeq
+      val modes = scala.collection.mutable.ArrayBuffer.empty[String]
+      var midOk = true
+      ops.foreach {
+        case 0 =>
+          cat.insert("base", spark.range(nextId, nextId + 30)
+            .selectExpr("id", "id % 5 AS k",
+              "CASE WHEN id % 7 = 0 THEN NULL ELSE id END AS v"))
+          nextId += 30
+        case 1 => cat.update("base", col("id") % 4 === 1,
+          Map("v" -> (col("v") - 100L)))
+        case 2 => cat.delete("base", col("id") % 9 === 2)
+        case 3 => cat.deleteMor("base", col("id") % 13 === 3)
+        case 4 => cat.insert("other",
+          spark.range(nextId, nextId + 1).toDF("id")); nextId += 1
+        case 5 =>
+          modes += graft.lake.Mv.refresh(cat, "base_by_k")
+          if (mvState() != recompute()) midOk = false
+        case 6 =>
+          try cat.vacuum(keepLast = 2)
+          catch { case _: RuntimeException => () } // nothing to expire
+      }
+      modes += graft.lake.Mv.refresh(cat, "base_by_k")
+      midOk && mvState() == recompute()
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("incremental manifests replay identically from a cold catalog") {
     // the delta/blob/merge layer must be invisible: after any random DML
     // sequence, a FRESH catalog (cold caches, state rebuilt purely from
