@@ -1079,9 +1079,21 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     *
     * Scale shape: the pairing joins operate on the DIFF (changed rows
     * only), not the table, and the key set of a typical commit is small —
-    * broadcast-sized — so this adds no full-table shuffle. */
+    * broadcast-sized — so this adds no full-table shuffle.
+    *
+    * `schemaAtV` pins the OUTPUT schema: both window ends are read
+    * through that version's schema — aligned by stable column id exactly
+    * like any other read of older files (adds read their default, drops
+    * vanish, renames follow) — so every window of a long-lived consumer
+    * projects onto one fixed schema no matter what evolution it crosses.
+    * This is the change-feed STREAM's anchor (see
+    * [[graft.streaming.ChangeFeed]]). Default (None) keeps the original
+    * contract: the window's own common columns.
+    *
+    * A `fromV` where the table does not exist yet diffs against the
+    * empty table — the creation commit's rows stream as plain inserts. */
   def tableChanges(table: String, fromV: Long, toV: Long,
-      keyCols: Seq[String] = Nil): DataFrame = {
+      keyCols: Seq[String] = Nil, schemaAtV: Option[Long] = None): DataFrame = {
     // APPEND-ONLY fast path: when the manifest says the window only
     // ADDED data — schema unchanged, every old file entry still present
     // verbatim (same deletion vector, so no MoR tombstones landed), old
@@ -1092,8 +1104,23 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     // diffing two full snapshots (the Delta CDF / Iceberg incremental
     // -scan model). Any other shape falls back to the exact
     // multiset-diff below.
-    val sFrom = stateOf(snapshot(fromV), table)
     val sTo = stateOf(snapshot(toV), table)
+    // a window opening before the table existed diffs against the empty
+    // table: the creation commit's rows are plain inserts
+    val sFrom = snapshot(fromV).tables.getOrElse(table,
+      sTo.copy(files = Nil, inlined = Nil))
+    // Anchor projection: read BOTH ends through schemaAtV's schema by
+    // stable column id (the same align every read of older files does).
+    // The anchor may predate the window, so the schema-version lookup is
+    // widened with the window end's (monotone) history.
+    val anchor: Option[TableState] = schemaAtV.map { v =>
+      val ps = stateOf(snapshot(v), table)
+      ps.copy(schemas = sTo.schemas ++ ps.schemas)
+    }
+    def readSub(st: TableState): DataFrame = anchor match {
+      case Some(ps) => readState(ps.copy(files = st.files, inlined = st.inlined))
+      case None => readState(st)
+    }
     // The fast paths diff COMMON columns (the slow path's contract
     // too): valid when every column name present at both window ends
     // is the SAME column — same stable id, type, default — so an
@@ -1103,20 +1130,26 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     // containing a schema evolution still diffs O(churn): without
     // this, the refresh after a daily ADD COLUMN would silently pay
     // two full-table reads. A rename or type/default change falls
-    // back to the full diff.
+    // back to the full diff. Under an ANCHOR the projection is
+    // version-invariant by construction (ids, types and defaults all
+    // come from the one anchor state), so alignment always holds.
     val toByName = sTo.columns.map(c => c.name -> c).toMap
-    val commonNames = sFrom.columns.map(_.name).filter(toByName.contains)
     val fromByName = sFrom.columns.map(c => c.name -> c).toMap
-    val colsAligned = commonNames.nonEmpty && commonNames.forall { n =>
-      val x = fromByName(n); val y = toByName(n)
-      x.id == y.id && x.typeJson == y.typeJson && x.default == y.default
+    val (commonNames, colsAligned) = anchor match {
+      case Some(ps) => (ps.columns.map(_.name), true)
+      case None =>
+        val cn = sFrom.columns.map(_.name).filter(toByName.contains)
+        (cn, cn.nonEmpty && cn.forall { n =>
+          val x = fromByName(n); val y = toByName(n)
+          x.id == y.id && x.typeJson == y.typeJson && x.default == y.default
+        })
     }
     if (colsAligned && sFrom.files.toSet.subsetOf(sTo.files.toSet) &&
         sTo.inlined.startsWith(sFrom.inlined)) {
       val oldFiles = sFrom.files.toSet
       val sub = sTo.copy(files = sTo.files.filterNot(oldFiles),
         inlined = sTo.inlined.drop(sFrom.inlined.size))
-      return readState(sub).select(commonNames.map(col): _*)
+      return readSub(sub).select(commonNames.map(col): _*)
         .withColumn("change_type", lit("insert"))
     }
     // CHURNED-FILES diff: with an unchanged schema, every file entry
@@ -1137,8 +1170,8 @@ class LakeCatalog(val spark: SparkSession, val root: String,
           inlined = if (inlEq) Nil else sFrom.inlined)
         val aSub = sTo.copy(files = sTo.files.filterNot(fromSet),
           inlined = if (inlEq) Nil else sTo.inlined)
-        (readState(bSub).select(commonNames.map(col): _*),
-          readState(aSub).select(commonNames.map(col): _*), commonNames)
+        (readSub(bSub).select(commonNames.map(col): _*),
+          readSub(aSub).select(commonNames.map(col): _*), commonNames)
       } else {
         val before = readAt(table, fromV)
         val after = readAt(table, toV)
@@ -1390,6 +1423,48 @@ class LakeCatalog(val spark: SparkSession, val root: String,
       tx.markStreamBatch(tag)
       true
     } catch { case AlreadyApplied => false }
+  }
+
+  /** Exactly-once CDC apply: land one micro-batch of CHANGE-FEED rows
+    * (`change_type` + `_commit_version` columns, the
+    * [[graft.streaming.ChangeFeed]] shape) into `table`, idempotent on
+    * (table, batchId) exactly like [[insertStreamBatch]]. A batch may
+    * span several upstream commits, so the NET effect per key is applied:
+    * the latest change by commit version wins (preimages are subsumed by
+    * their postimages), every touched key's stale row is deleted, and the
+    * keys whose final state is a live row are re-inserted — one atomic
+    * two-op transaction. At scale both ops are key-joins against the
+    * batch's (small) key set, never table rewrites beyond the touched
+    * files. Returns false when the batch had already landed. */
+  def applyChangesStreamBatch(table: String, changes: DataFrame,
+      keyCols: Seq[String], batchId: Long): Boolean = {
+    import graft.streaming.ChangeFeed.{TypeCol, VersionCol}
+    val tag = s"$table:cdc:$batchId"
+    object AlreadyApplied extends Exception
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(VersionCol).desc)
+    // one (version, key) row survives the preimage filter per commit, so
+    // version order alone picks the net state
+    val latest = changes.filter(col(TypeCol) =!= "update_preimage")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .persist()
+    try {
+      // an empty net change is a deterministic no-op: skip the commit
+      // entirely (idempotent without a batch tag) — also what keeps a
+      // consumer writing into the SAME catalog from generating commits
+      // for batches its own sink traffic triggered
+      if (latest.isEmpty) return false
+      transaction { tx =>
+        if (tx.streamBatchApplied(tag)) throw AlreadyApplied // no empty snapshot
+        tx.delete(table, latest.select(keyCols.map(col): _*), keyCols)
+        tx.insert(table, latest.filter(col(TypeCol) =!= "delete")
+          .drop(TypeCol, VersionCol))
+        tx.markStreamBatch(tag)
+        true
+      }
+    } catch { case AlreadyApplied => false }
+    finally latest.unpersist(blocking = false)
   }
 
   /** Merge-on-read DELETE (deletion vectors) — see [[Tx.deleteMor]]. */

@@ -2529,6 +2529,137 @@ object LakeScenarios {
           t(metric, value)
         ORDER BY metric""")),
 
+    // L50 — the change feed as a STREAMING source (the Delta CDF
+    // readChangeFeed analog; streaming form of T3's table_changes, ref
+    // utils/ducklake_utils.py:65-78). A CDC consumer follows ONE table
+    // through its full DML lifecycle with a checkpointed Structured
+    // Streaming query over graft.streaming.ChangeFeed: each micro-batch
+    // carries per-commit insert/delete/update_preimage/update_postimage
+    // rows derived O(churn) from the manifest (no change files stored),
+    // and LakeCatalog.applyChangesStreamBatch lands the NET effect per
+    // key into a replica table — atomic, batch-id-deduped, exactly-once
+    // under replay. The ledger pins: per-type change counts of each pass
+    // (pass 1 nets insert→update→MoR-delete correctly; compaction is
+    // layout-only and is never consumed — the "no CDF for OPTIMIZE"
+    // contract, its version absent from the consumed set), replica ==
+    // source after every pass (full-row equality), a third pass with
+    // nothing new upstream applying ZERO batches. Oracle: DuckDB replays
+    // the same DML algebra on the same orders slice.
+    QDef("l50_change_stream",
+      (s, d) => {
+        val cat = freshLake(s)
+        val src = T.orders(s, d).selectExpr(
+          "cast(o_orderkey AS bigint) AS id",
+          "cast(o_custkey % 10 AS bigint) AS k",
+          "cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint) AS v")
+          // slice bounds live inside [0, 1500) — present at EVERY driver
+          // SF (sf0.001's keyspace is exactly 0..1499), so each commit
+          // below is non-empty and the judged commit counts are
+          // SF-invariant literals
+          .filter(col("id") < 1500)
+        val schema = StructType(Seq(
+          StructField("id", LongType), StructField("k", LongType),
+          StructField("v", LongType)))
+        cat.createTable("src", schema, primaryKey = Seq("id"))
+        cat.createTable("replica", schema)
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_cdc_ckpt_").toString
+        val counts = scala.collection.mutable.Map[String, Long]()
+        val versions = scala.collection.mutable.Set[Long]()
+        def observe(b: DataFrame, id: Long): Unit = {
+          // metadata-scale driver reads: ≤4 type rows, a handful of
+          // version ids per batch
+          b.groupBy("change_type").count().collect().foreach(r =>
+            counts(r.getString(0)) =
+              counts.getOrElse(r.getString(0), 0L) + r.getLong(1))
+          versions ++= b.select("_commit_version").distinct()
+            .collect().map(_.getLong(0))
+        }
+        def replicaEq(): Long =
+          if (cat.read("replica").exceptAll(cat.read("src")).isEmpty &&
+            cat.read("src").exceptAll(cat.read("replica")).isEmpty) 1L else 0L
+        // phase A: two inserts, a CoW update, a MoR delete, a compaction
+        cat.insert("src", src.filter(col("id") < 700))
+        cat.insert("src", src.filter(col("id") >= 700 && col("id") < 1100))
+        cat.update("src", col("id") < 300, Map("v" -> (col("v") + 7L)))
+        cat.deleteMor("src", col("k") === 3L)
+        cat.compact("src", targetFileBytes = 128L << 20)
+        graft.streaming.ChangeFeed.applyPass(
+          cat, "src", "replica", Seq("id"), ckpt, observe)
+        val (ins1, pre1, post1, del1) = (counts.getOrElse("insert", 0L),
+          counts.getOrElse("update_preimage", 0L),
+          counts.getOrElse("update_postimage", 0L),
+          counts.getOrElse("delete", 0L))
+        val nCommits1 = versions.size.toLong
+        val r1 = cat.read("replica")
+          .agg(count(lit(1)), coalesce(sum("v"), lit(0L))).head()
+        val (rows1, sumv1) = (r1.getLong(0), r1.getLong(1))
+        val eq1 = replicaEq()
+        // phase B: only the NEW commits stream through the checkpoint
+        counts.clear(); versions.clear()
+        cat.insert("src", src.filter(col("id") >= 1100))
+        cat.update("src", col("k") === 5L, Map("v" -> (col("v") * 2L)))
+        graft.streaming.ChangeFeed.applyPass(
+          cat, "src", "replica", Seq("id"), ckpt, observe)
+        val ins2 = counts.getOrElse("insert", 0L)
+        val post2 = counts.getOrElse("update_postimage", 0L)
+        val nCommits2 = versions.size.toLong
+        val eq2 = replicaEq()
+        // phase C: nothing new upstream -> zero batches applied
+        val applied3 = graft.streaming.ChangeFeed.applyPass(
+          cat, "src", "replica", Seq("id"), ckpt)
+        val rf = cat.read("replica")
+          .agg(count(lit(1)), coalesce(sum("v"), lit(0L))).head()
+        val s2 = s
+        import s2.implicits._
+        Seq(
+          ("01_ins_rows_p1", ins1),
+          ("02_upd_pre_p1", pre1),
+          ("03_upd_post_p1", post1),
+          ("04_del_rows_p1", del1),
+          ("05_data_commits_p1", nCommits1),
+          ("06_replica_rows_p1", rows1),
+          ("07_replica_sumv_p1", sumv1),
+          ("08_replica_eq_p1", eq1),
+          ("09_ins_rows_p2", ins2),
+          ("10_upd_post_p2", post2),
+          ("11_data_commits_p2", nCommits2),
+          ("12_replica_eq_p2", eq2),
+          ("13_batches_p3", applied3),
+          ("14_final_rows", rf.getLong(0)),
+          ("15_final_sumv", rf.getLong(1)))
+          .toDF("metric", "value").orderBy("metric")
+      }, Some("""
+        WITH f AS (
+          SELECT o_orderkey AS id, o_custkey % 10 AS k,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+          FROM orders WHERE o_orderkey < 1500),
+        a AS (SELECT * FROM f WHERE id < 1100),
+        live1 AS (SELECT id, k, CASE WHEN id < 300 THEN v + 7 ELSE v END AS v
+                  FROM a WHERE k <> 3),
+        liveb AS (SELECT * FROM live1
+                  UNION ALL SELECT * FROM f WHERE id >= 1100),
+        live2 AS (SELECT id, k, CASE WHEN k = 5 THEN v * 2 ELSE v END AS v
+                  FROM liveb)
+        SELECT * FROM (VALUES
+          ('01_ins_rows_p1', (SELECT count(*) FROM a)),
+          ('02_upd_pre_p1', (SELECT count(*) FROM a WHERE id < 300)),
+          ('03_upd_post_p1', (SELECT count(*) FROM a WHERE id < 300)),
+          ('04_del_rows_p1', (SELECT count(*) FROM a WHERE k = 3)),
+          ('05_data_commits_p1', CAST(4 AS BIGINT)),
+          ('06_replica_rows_p1', (SELECT count(*) FROM live1)),
+          ('07_replica_sumv_p1', (SELECT CAST(sum(v) AS BIGINT) FROM live1)),
+          ('08_replica_eq_p1', CAST(1 AS BIGINT)),
+          ('09_ins_rows_p2', (SELECT count(*) FROM f WHERE id >= 1100)),
+          ('10_upd_post_p2', (SELECT count(*) FROM liveb WHERE k = 5)),
+          ('11_data_commits_p2', CAST(2 AS BIGINT)),
+          ('12_replica_eq_p2', CAST(1 AS BIGINT)),
+          ('13_batches_p3', CAST(0 AS BIGINT)),
+          ('14_final_rows', (SELECT count(*) FROM live2)),
+          ('15_final_sumv', (SELECT CAST(sum(v) AS BIGINT) FROM live2)))
+          t(metric, value)
+        ORDER BY metric""")),
+
     // T6 — engine introspection as DataFrames (ref exploration/
     // ducklake_analysis.sh:186-191: duckdb_functions()/duckdb_settings()).
     // The settings probe reports PRESENCE (set/unset), not the value —

@@ -1,0 +1,249 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.StreamFrame
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types._
+
+import graft.lake.LakeCatalog
+
+/** The table CHANGE FEED as a streaming source — streaming
+  * `table_changes()` (ref utils/ducklake_utils.py:65-78 exposes the batch
+  * feed; this is its incremental-consumption form, the Delta CDF
+  * `readChangeFeed` analog). Where [[LakeStream.replicate]] tails an
+  * APPEND-ONLY table's data files, this source follows ANY DML: each
+  * micro-batch carries the table's per-commit change rows — `insert`,
+  * `delete`, `update_preimage`/`update_postimage` — tagged with the
+  * commit version, derived on demand from the manifest (no change files
+  * are ever written; the O(churn) diff in [[LakeCatalog.tableChanges]]
+  * reads only the file entries a commit touched).
+  *
+  * Offsets are catalog snapshot versions, so the checkpoint contract is
+  * exact: a batch is the ordered union of the per-commit diffs in
+  * `(startV, endV]`, one window per commit that changed the table's DATA.
+  * Layout-only commits (compaction, clustering) rewrite files without
+  * changing the logical table — their delta is empty by construction —
+  * so the source skips them without reading a byte, exactly as Delta CDF
+  * emits nothing for OPTIMIZE.
+  *
+  * Schema evolution: the stream is ANCHORED — every window is projected
+  * through the table schema at stream start, aligned by stable column id
+  * ([[LakeCatalog.tableChanges]]'s `schemaAtV`), so an ADD/DROP/RENAME on
+  * the base neither breaks the stream nor corrupts it: pre-evolution
+  * windows read exactly as history-through-the-anchor-schema, and a
+  * column added after the anchor stays invisible until the consumer
+  * restarts the query (a restart re-anchors at the then-current schema;
+  * the checkpoint offset carries over). Delta fails the stream outright
+  * here; the anchor keeps it exact AND running.
+  *
+  * Loud-failure edges (never silent corruption):
+  *  - a vacuumed resume point (the feed below the offset is gone) —
+  *    retention must outlive the stream's lag, the same rule Delta
+  *    documents for CDF reads;
+  *  - the table dropped, or REPLACED/renamed-over mid-stream (a
+  *    replacement restarts column ids, so id-anchored alignment would
+  *    be meaningless).
+  *
+  * Scale shape: getOffset is one manifest-head read (zero jobs); a batch
+  * plans one O(churn) diff per consumed commit as ordinary DataFrame
+  * scans/joins (executor-side, prunable, codegen'd) — nothing is
+  * collected on the driver and no second copy of the data is stored.
+  */
+object ChangeFeed {
+  val TypeCol = "change_type"
+  val VersionCol = "_commit_version"
+
+  /** Commit kinds that can change a table's LOGICAL rows. Layout-only
+    * kinds (`tables_compacted`, `tables_clustered`) and pure DDL
+    * (`tables_altered`, `tables_renamed`) are excluded: their logical
+    * delta under the stream's anchor projection is empty by construction
+    * (compaction/clustering rewrite bytes, not rows; an add/drop/rename
+    * doesn't change what existing rows read as through the anchor
+    * schema), so reading them would be paying O(rewritten bytes) to emit
+    * nothing. */
+  private[streaming] val DataKinds = Set(
+    "tables_created", "tables_inserted_into", "tables_updated",
+    "tables_deleted_from", "tables_merged", "tables_replaced",
+    "tables_restored", "tables_truncated", "tables_files_added")
+
+  /** Kinds that advance the stream's OFFSET: the data kinds plus the
+    * identity-breaking ones the guard must surface promptly. The offset
+    * is the last version TOUCHING the table, not the catalog head —
+    * snapshots are catalog-level, so a head offset would re-trigger on
+    * every unrelated commit; worse, a consumer LANDING its batches in
+    * the same catalog (the l50/CDC shape) would chase its own sink
+    * commits forever. */
+  private[streaming] val OffsetKinds = DataKinds ++ Set(
+    "tables_replaced", "tables_renamed", "tables_dropped")
+
+  /** Feed schema = the table's columns + change_type + commit version.
+    * The source itself anchors at its construction-time version; this
+    * helper (used for pre-construction schema queries) reads the current
+    * one — the same thing up to a benign planning race. */
+  def feedSchema(spark: SparkSession, parameters: Map[String, String]): StructType = {
+    val cat = new LakeCatalog(spark, parameters("root"))
+    StructType(cat.read(parameters("table")).schema.fields.toSeq :+
+      StructField(TypeCol, StringType, nullable = false) :+
+      StructField(VersionCol, LongType, nullable = false))
+  }
+
+  /** `spark.readStream` over the change feed of `table` in the lake at
+    * `root`. `keys` drive update pre/post pairing (defaults to the
+    * table's primary key inside tableChanges); `startingVersion` is the
+    * exclusive lower bound of the first batch (0 = full history: the
+    * table's creation commit streams as inserts). */
+  def readChanges(spark: SparkSession, root: String, table: String,
+      keys: Seq[String] = Nil, startingVersion: Long = 0L): DataFrame =
+    spark.readStream
+      .format(classOf[ChangeFeedProvider].getName)
+      .option("root", root)
+      .option("table", table)
+      .option("keys", keys.mkString(","))
+      .option("startingVersion", startingVersion.toString)
+      .load()
+
+  /** One checkpointed incremental CDC pass: consume the change feed of
+    * `src` committed since the last pass with this checkpoint and apply
+    * its net effect to `dst` ([[LakeCatalog.applyChangesStreamBatch]] —
+    * atomic, batch-id-deduped, so a replay or sink retry is exactly-once
+    * end to end). `observe` sees each APPLIED batch (already persisted).
+    * Returns the number of batches applied this pass — 0 when nothing
+    * new was committed upstream. */
+  def applyPass(cat: LakeCatalog, src: String, dst: String,
+      keys: Seq[String], checkpointDir: String,
+      observe: (DataFrame, Long) => Unit = (_, _) => ()): Long = {
+    val applied = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = readChanges(cat.spark, cat.root, src, keys)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        val df = b.toDF().persist()
+        try {
+          if (cat.applyChangesStreamBatch(dst, df, keys, id)) {
+            applied.incrementAndGet()
+            observe(df, id)
+          }
+        } finally df.unpersist(blocking = false)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    applied.get()
+  }
+}
+
+class ChangeFeedProvider extends StreamSourceProvider with DataSourceRegister {
+  override def shortName(): String = "graft-changes"
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), ChangeFeed.feedSchema(ctx.sparkSession, parameters))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    new ChangeFeedSource(ctx.sparkSession, parameters)
+}
+
+class ChangeFeedSource(spark: SparkSession, parameters: Map[String, String])
+    extends Source {
+  import ChangeFeed._
+
+  private val root = parameters("root")
+  private val table = parameters("table")
+  private val keyCols = parameters.get("keys").toSeq
+    .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+  private val startV =
+    parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
+  private val cat = new LakeCatalog(spark, root)
+
+  /** The stream's schema ANCHOR: every window projects through the table
+    * schema at this (stream-start) version, by stable column id. */
+  private val anchorV: Long = cat.currentVersion
+
+  override val schema: StructType =
+    StructType(cat.readAt(table, anchorV).schema.fields.toSeq :+
+      StructField(TypeCol, StringType, nullable = false) :+
+      StructField(VersionCol, LongType, nullable = false))
+  private val valueCols = schema.fields.dropRight(2).map(_.name).toSeq
+
+  /** One manifest-head read + an in-memory header scan; no Spark jobs. */
+  override def getOffset: Option[Offset] = {
+    val v = cat.current.history.reverseIterator
+      .find(h => h.changes.exists { case (k, ts) =>
+        OffsetKinds.contains(k) && ts.contains(table) })
+      .map(_.snapshotId).getOrElse(0L)
+    if (v <= startV) None
+    else Some(org.apache.spark.sql.execution.streaming.runtime.LongOffset(v))
+  }
+
+  // LongOffset live, SerializedOffset after checkpoint recovery — both
+  // render the version as their json
+  private def versionOf(o: Offset): Long = o.json.trim.toLong
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val fromV = start.map(versionOf).getOrElse(startV)
+    val toV = versionOf(end)
+    // the expiry ledger must come from the CURRENT head — a vacuum that
+    // committed after `toV` expired versions that toV's own ledger
+    // cannot know about. Checked BEFORE any snapshot load: the engine's
+    // restart recovery replays getBatch over checkpointed offsets, and an
+    // expired one must fail with the retention message, not a raw
+    // missing-manifest read.
+    val expired = cat.current.expiredVersions
+    Seq(fromV, toV).filter(_ != 0L).find(expired.contains).foreach { v =>
+      throw new IllegalArgumentException(
+        s"change-feed offset v$v of '$table' has been vacuumed — the " +
+          "feed at it is gone; retention must outlive the stream's lag " +
+          "(start a fresh checkpoint to resume from live history)")
+    }
+    val head = cat.snapshot(toV)
+    val window = head.history.iterator
+      .filter(h => h.snapshotId > fromV && h.snapshotId <= toV).toSeq
+    // a REPLACE (or another table renamed over this name) restarts column
+    // ids — id-anchored alignment across it would be meaningless; a DROP
+    // ends the feed even if nothing re-creates the name
+    window.find(h => Seq("tables_replaced", "tables_renamed",
+      "tables_dropped").exists(k =>
+      h.changes.getOrElse(k, Nil).contains(table))).foreach { h =>
+      throw new IllegalStateException(
+        s"table '$table' was dropped, replaced or renamed over at " +
+          s"v${h.snapshotId} — its column identity ended there; start a " +
+          "fresh change stream")
+    }
+    // commits in (fromV, toV] whose changes touched this table's DATA;
+    // expired interior versions merge into the next live window (their
+    // net effect is still exact — the diff is between live snapshots)
+    val dataVs = window.iterator
+      .filterNot(h => expired.contains(h.snapshotId))
+      .filter(h => h.changes.exists { case (k, ts) =>
+        DataKinds.contains(k) && ts.contains(table) })
+      .map(_.snapshotId).toSeq
+    val windows = (fromV +: dataVs).zip(dataVs).map {
+      case (a, b) => changesAt(a, b)
+    }
+    val batch =
+      if (windows.isEmpty)
+        spark.createDataFrame(java.util.List.of[Row](), schema)
+      else windows.reduce(_ union _)
+    StreamFrame.asStreaming(batch)
+  }
+
+  /** The `(fromV, v]` window's change rows, projected through the anchor
+    * schema, stamped with the data-changing commit's version. */
+  private def changesAt(fromV: Long, v: Long): DataFrame = {
+    if (!cat.snapshot(v).tables.contains(table))
+      throw new IllegalStateException(
+        s"table '$table' was dropped or renamed at v$v — the change " +
+          "stream cannot continue; start a fresh stream")
+    cat.tableChanges(table, fromV, v, keyCols, schemaAtV = Some(anchorV))
+      .select(valueCols.map(col) :+ col(TypeCol): _*)
+      .withColumn(VersionCol, lit(v))
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -242,6 +242,138 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("append-only"))
   }
 
+  test("change-feed stream: full DML lifecycle applies net effects to a replica") {
+    import graft.streaming.ChangeFeed
+    val cat = new graft.lake.LakeCatalog(spark, tmpDir("cdcstream"))
+    val src = spark.range(1, 301).selectExpr("id",
+      "id % 10 AS k", "id * 100 AS v")
+    cat.createTable("src", src.schema, primaryKey = Seq("id"))
+    cat.createTable("replica", src.schema)
+    val ckpt = tmpDir("cdcstream_ckpt")
+    val typeCounts = scala.collection.mutable.Map[String, Long]()
+    val versions = scala.collection.mutable.Set[Long]()
+    def observe(b: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      b.groupBy("change_type").count().collect().foreach(r =>
+        typeCounts(r.getString(0)) =
+          typeCounts.getOrElse(r.getString(0), 0L) + r.getLong(1))
+      versions ++= b.select("_commit_version").distinct()
+        .collect().map(_.getLong(0))
+    }
+    // phase A: two inserts, a CoW update, a MoR delete, a compaction
+    cat.insert("src", src.filter(col("id") <= 100))
+    cat.insert("src", src.filter(col("id") > 100 && col("id") <= 200))
+    cat.update("src", col("id") <= 50, Map("v" -> (col("v") + 7L)))
+    cat.deleteMor("src", col("k") === 3L)
+    val compactV = { cat.compact("src", targetFileBytes = 128L << 20)
+      cat.currentVersion }
+    assert(ChangeFeed.applyPass(cat, "src", "replica", Seq("id"), ckpt,
+      observe) >= 1L)
+    // net-effect replica equality, full rows (exercises update + delete)
+    assert(cat.read("replica").exceptAll(cat.read("src")).isEmpty &&
+      cat.read("src").exceptAll(cat.read("replica")).isEmpty)
+    // exact per-type accounting: 200 inserts, 50 update pairs, 20 deletes
+    assert(typeCounts("insert") === 200L)
+    assert(typeCounts("update_preimage") === 50L)
+    assert(typeCounts("update_postimage") === 50L)
+    assert(typeCounts("delete") === 20L)
+    // compaction is layout-only: its version is never consumed (and so
+    // never read) — the Delta "no CDF for OPTIMIZE" contract
+    assert(!versions.contains(compactV))
+    assert(versions.size === 4)
+    // phase B: only the NEW commits stream
+    typeCounts.clear(); versions.clear()
+    cat.insert("src", src.filter(col("id") > 200))
+    cat.update("src", col("k") === 5L, Map("v" -> (col("v") * 2L)))
+    assert(ChangeFeed.applyPass(cat, "src", "replica", Seq("id"), ckpt,
+      observe) >= 1L)
+    assert(typeCounts("insert") === 100L)
+    // k=5 rows alive at the update: ids 5,15,...,295 -> 30 rows
+    assert(typeCounts("update_postimage") === 30L)
+    assert(versions.size === 2)
+    assert(cat.read("replica").exceptAll(cat.read("src")).isEmpty &&
+      cat.read("src").exceptAll(cat.read("replica")).isEmpty)
+    // phase C: nothing new upstream -> no batch, no commit
+    val vBefore = cat.currentVersion
+    assert(ChangeFeed.applyPass(cat, "src", "replica", Seq("id"), ckpt) === 0L)
+    assert(cat.currentVersion === vBefore)
+  }
+
+  test("change-feed stream: anchored schema survives evolution; restart adopts it") {
+    import graft.streaming.ChangeFeed
+    val cat = new graft.lake.LakeCatalog(spark, tmpDir("cdcevolve"))
+    val src = spark.range(1, 101).selectExpr("id", "id * 10 AS v")
+    cat.createTable("src", src.schema, primaryKey = Seq("id"))
+    cat.createTable("replica", src.schema)
+    val ckpt = tmpDir("cdcevolve_ckpt")
+    cat.insert("src", src.filter(col("id") <= 40))
+    // ONE long-lived query spans the evolution: the source object (and so
+    // the anchor) lives across micro-batches
+    val q = ChangeFeed.readChanges(spark, cat.root, "src", Seq("id"))
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          cat.applyChangesStreamBatch("replica", b.toDF(), Seq("id"), id); ()
+      }
+      .start()
+    try {
+      q.processAllAvailable() // consumes the pre-evolution insert
+      // evolve the base mid-stream: new column arrives WITH data, plus a
+      // post-evolution plain insert
+      cat.insertEvolve("src", src.filter(col("id") > 40 && col("id") <= 70)
+        .withColumn("tag", concat(lit("t"), col("id") % 2)))
+      cat.insert("src", src.filter(col("id") > 70).withColumn("tag", lit("x")))
+      // the running (anchored) stream keeps applying EXACTLY, projected
+      // through its start-time schema — no failure, no corruption
+      q.processAllAvailable()
+    } finally q.stop()
+    val anchored = cat.read("src").select("id", "v")
+    assert(cat.read("replica").exceptAll(anchored).isEmpty &&
+      anchored.exceptAll(cat.read("replica")).isEmpty)
+    // a FRESH stream re-anchors at the evolved schema: full history
+    // replays with the new column (pre-evolution rows read its default)
+    val ckpt2 = tmpDir("cdcevolve_ckpt2")
+    cat.createTable("replica2", cat.read("src").schema)
+    assert(ChangeFeed.applyPass(cat, "src", "replica2", Seq("id"), ckpt2) === 1L)
+    assert(cat.read("replica2").exceptAll(cat.read("src")).isEmpty &&
+      cat.read("src").exceptAll(cat.read("replica2")).isEmpty)
+  }
+
+  test("change-feed stream: vacuumed resume point and replace both refuse loudly") {
+    import graft.streaming.ChangeFeed
+    val cat = new graft.lake.LakeCatalog(spark, tmpDir("cdcvacuum"))
+    val src = spark.range(1, 61).selectExpr("id", "id * 10 AS v")
+    cat.createTable("src", src.schema, primaryKey = Seq("id"))
+    cat.createTable("replica", src.schema)
+    val ckpt = tmpDir("cdcvacuum_ckpt")
+    cat.insert("src", src.filter(col("id") <= 20))
+    assert(ChangeFeed.applyPass(cat, "src", "replica", Seq("id"), ckpt) === 1L)
+    // pile up commits, then expire the stream's resume point
+    (1 to 12).foreach(i => cat.insert("src",
+      src.filter(col("id") === 20L + i)))
+    cat.vacuum(keepLast = 3, orphanGraceMs = 0L)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      ChangeFeed.applyPass(cat, "src", "replica", Seq("id"), ckpt)
+    }
+    assert(ex.getCause.getMessage.contains("vacuumed"))
+    // a REPLACE restarts column identity -> a fresh stream past it works,
+    // but one whose window crosses it refuses
+    val cat2 = new graft.lake.LakeCatalog(spark, tmpDir("cdcreplace"))
+    cat2.createTable("t", src.schema, primaryKey = Seq("id"))
+    cat2.createTable("r", src.schema)
+    val ckpt3 = tmpDir("cdcreplace_ckpt")
+    cat2.insert("t", src.filter(col("id") <= 10))
+    assert(ChangeFeed.applyPass(cat2, "t", "r", Seq("id"), ckpt3) === 1L)
+    cat2.transaction { tx =>
+      tx.createTableAs("t_stage", src.filter(col("id") > 50))
+      tx.replaceTable("t", "t_stage")
+    }
+    val ex2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      ChangeFeed.applyPass(cat2, "t", "r", Seq("id"), ckpt3)
+    }
+    assert(ex2.getCause.getMessage.contains("replaced"))
+  }
+
   test("streaming dedup collapses a duplicated stream back to the batch profile") {
     import spark.implicits._
     val streamed = EventStream.dedupProfile(spark, d)
