@@ -1112,10 +1112,28 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     // Anchor projection: read BOTH ends through schemaAtV's schema by
     // stable column id (the same align every read of older files does).
     // The anchor may predate the window, so the schema-version lookup is
-    // widened with the window end's (monotone) history.
+    // widened with the window ends' (monotone) histories — and the merge
+    // REFUSES on a conflicting entry: a table dropped/renamed-away and
+    // re-created under the same name restarts its column ids and schema
+    // versions, and id-anchored alignment across that boundary would be
+    // silent garbage. (A re-creation with BYTE-IDENTICAL column defs
+    // merges cleanly and diffs as the honest full replace:
+    // delete-all + insert-new.)
     val anchor: Option[TableState] = schemaAtV.map { v =>
       val ps = stateOf(snapshot(v), table)
-      ps.copy(schemas = sTo.schemas ++ ps.schemas)
+      val merged = scala.collection.mutable.Map[String, Seq[ColumnDef]]()
+      Seq(sFrom.schemas, sTo.schemas, ps.schemas).foreach(_.foreach {
+        case (k, cols) => merged.get(k) match {
+          case Some(prev) if prev != cols =>
+            throw new IllegalStateException(
+              s"table '$table' schema history diverged at schema version " +
+                s"$k across catalog versions $fromV/$toV/$v — the table " +
+                "was replaced or recreated; an anchored change feed " +
+                "cannot align across it, start a fresh stream")
+          case _ => merged(k) = cols
+        }
+      })
+      ps.copy(schemas = merged.toMap)
     }
     def readSub(st: TableState): DataFrame = anchor match {
       case Some(ps) => readState(ps.copy(files = st.files, inlined = st.inlined))

@@ -372,6 +372,28 @@ class StreamingSpec extends SparkSpec {
       ChangeFeed.applyPass(cat2, "t", "r", Seq("id"), ckpt3)
     }
     assert(ex2.getCause.getMessage.contains("replaced"))
+    // rename-AWAY + recreate under the old name: the rename header only
+    // carries the new name, but the recreated table's restarted schema
+    // history conflicts with the anchor's — the merge must refuse rather
+    // than silently mis-align column ids
+    val cat3 = new graft.lake.LakeCatalog(spark, tmpDir("cdcrename"))
+    cat3.createTable("t", src.schema, primaryKey = Seq("id"))
+    cat3.createTable("r", src.schema)
+    val ckpt4 = tmpDir("cdcrename_ckpt")
+    cat3.insert("t", src.filter(col("id") <= 10))
+    assert(ChangeFeed.applyPass(cat3, "t", "r", Seq("id"), ckpt4) === 1L)
+    cat3.transaction(_.renameTable("t", "t_old"))
+    cat3.createTable("t", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.StringType))))
+    cat3.insert("t", src.filter(col("id") > 50)
+      .selectExpr("id", "cast(v AS string) AS label"))
+    val ex3 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      ChangeFeed.applyPass(cat3, "t", "r", Seq("id"), ckpt4)
+    }
+    assert(ex3.getCause.getMessage.contains("replaced or recreated"))
   }
 
   test("streaming dedup collapses a duplicated stream back to the batch profile") {

@@ -142,6 +142,64 @@ class TxPropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("CDC stream keeps a replica equal to the source under random DML and passes") {
+    // the change-feed STREAM composed end to end: random DML on the
+    // source, checkpointed applyPass at random points (each pass
+    // re-anchors at the then-current schema), additive evolution
+    // mirrored onto the replica — after every pass and at the end the
+    // replica must equal the source ROW FOR ROW on the full current
+    // schema. Exercises: multi-commit batches (net-per-key apply),
+    // MoR tombstones read through the merged view, compaction windows
+    // skipped, anchor default-fill for pre-evolution rows, batch-id
+    // dedup across passes sharing one checkpoint.
+    // ops: 0=insert 1=update 2=CoW delete 3=compact 4=MoR delete
+    //      5=ADD COLUMN (mirrored on replica) 6=applyPass
+    val dmlGen: Gen[Int] = Gen.frequency(
+      3 -> 0, 2 -> 1, 1 -> 2, 1 -> 3, 1 -> 4, 1 -> 5, 3 -> 6)
+    val prop = Prop.forAllNoShrink(Gen.listOfN(7, dmlGen)) { ops =>
+      val cat = freshCat()
+      val ckpt = tmpDir("cdcprop_ckpt")
+      cat.createTable("rep", StructType(Seq(
+        StructField("oid", IntegerType), StructField("pid", IntegerType),
+        StructField("n", IntegerType))))
+      cat.insert("ord", Seq((1, 1, 1), (2, 2, 2), (3, 3, 3))
+        .toDF("oid", "pid", "n"))
+      var nextOid = 1000
+      var colN = 0
+      def equalNow(): Boolean = {
+        val src = cat.read("ord"); val rep = cat.read("rep")
+        rep.exceptAll(src).isEmpty && src.exceptAll(rep).isEmpty
+      }
+      val stepsOk = ops.map {
+        case 0 =>
+          cat.insert("ord", Seq((nextOid, 1, 1), (nextOid + 1, 2, 2))
+            .toDF("oid", "pid", "n"))
+          nextOid += 2; true
+        case 1 => cat.update("ord", col("pid") === 1, Map("n" -> lit(9))); true
+        case 2 => cat.delete("ord", col("oid") % 3 === 0); true
+        case 3 => cat.compact("ord", 1L << 20); true
+        case 4 => cat.deleteMor("ord", col("oid") % 3 === 1); true
+        case 5 =>
+          cat.transaction(_.addColumn("ord", s"x$colN", LongType, Some("7")))
+          cat.transaction(_.addColumn("rep", s"x$colN", LongType, Some("7")))
+          colN += 1; true
+        case 6 =>
+          graft.streaming.ChangeFeed.applyPass(
+            cat, "ord", "rep", Seq("oid"), ckpt)
+          val ok = equalNow()
+          if (!ok) System.err.println(s"replica diverged mid-run ops=$ops")
+          ok
+      }
+      graft.streaming.ChangeFeed.applyPass(cat, "ord", "rep", Seq("oid"), ckpt)
+      val finalOk = equalNow()
+      if (!finalOk) System.err.println(s"replica diverged at end ops=$ops")
+      stepsOk.forall(identity) && finalOk
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(4), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("MV refresh equals a full recompute after any random churn sequence") {
     // the min/max MV's routing (insert-only fast fold vs exact
     // recompute vs full reload, manifest-gated noops, the one-pass
