@@ -78,6 +78,21 @@ object LakeOpProbe {
       Map("grp" -> lit(0L))))
     op("mv refresh dim-churn")(graft.lake.Mv.refresh(cat, "mv"))
     op("final read")(cat.read("mv").collect())
+    // CDC streaming pass cost: a first pass draining the table's whole
+    // history (one batch, N O(churn) windows), an incremental pass over
+    // one new commit, and a noop pass (no new data → no batch)
+    cat.createTable("rep", StructType(Seq(
+      StructField("id", LongType), StructField("k", LongType),
+      StructField("v", LongType))))
+    val ckpt = java.nio.file.Files.createTempDirectory("opprobe_ckpt").toString
+    op("cdc pass (full history)")(graft.streaming.ChangeFeed.applyPass(
+      cat, "t", "rep", Seq("id"), ckpt))
+    op("insert4 (1k rows)")(cat.insert("t",
+      src.filter(col("id") > 5000 && col("id") <= 6000)))
+    op("cdc pass (1 commit)")(graft.streaming.ChangeFeed.applyPass(
+      cat, "t", "rep", Seq("id"), ckpt))
+    op("cdc pass (noop)")(graft.streaming.ChangeFeed.applyPass(
+      cat, "t", "rep", Seq("id"), ckpt))
     spark.stop()
   }
 }
