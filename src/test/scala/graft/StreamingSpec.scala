@@ -242,6 +242,34 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("append-only"))
   }
 
+  test("applyChangesStreamBatch: racing duplicates land exactly once") {
+    // a foreachBatch retry (or two racing sink attempts after a driver
+    // hiccup) re-applies the SAME batch id concurrently — exactly one
+    // must commit, the other must see the tag after losing the OCC race
+    // and no-op, and the replica must hold exactly one copy of the rows
+    val cat = new graft.lake.LakeCatalog(spark, tmpDir("cdcdup"))
+    val src = spark.range(1, 201).selectExpr("id", "id * 10 AS v")
+    cat.createTable("src", src.schema, primaryKey = Seq("id"))
+    cat.createTable("replica", src.schema)
+    cat.insert("src", src)
+    val changes = cat.tableChanges("src", 0L, cat.currentVersion, Seq("id"))
+      .withColumn("_commit_version", lit(cat.currentVersion))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(Future.sequence((1 to 2).map(_ => Future {
+      cat.applyChangesStreamBatch("replica", changes, Seq("id"), 0L)
+    })), Duration.Inf)
+    assert(results.count(identity) === 1,
+      s"exactly one of the racing applies must land, got $results")
+    assert(cat.read("replica").count() === 200L)
+    assert(cat.read("replica").exceptAll(cat.read("src")).isEmpty)
+    // a later sequential replay of the same batch id is also a no-op
+    val v = cat.currentVersion
+    assert(!cat.applyChangesStreamBatch("replica", changes, Seq("id"), 0L))
+    assert(cat.currentVersion === v)
+  }
+
   test("change-feed stream: full DML lifecycle applies net effects to a replica") {
     import graft.streaming.ChangeFeed
     val cat = new graft.lake.LakeCatalog(spark, tmpDir("cdcstream"))
