@@ -93,6 +93,26 @@ object LakeOpProbe {
       cat, "t", "rep", Seq("id"), ckpt))
     op("cdc pass (noop)")(graft.streaming.ChangeFeed.applyPass(
       cat, "t", "rep", Seq("id"), ckpt))
+    // O(churn) receipt: the SAME update churn against a small and a
+    // full-size base, files range-clustered on id so the churn lands in
+    // few files — the feed read must cost O(churned files), flat in
+    // table size. (A hash-spread layout would smear the churn across
+    // every file; clustering is what bounds it, exactly as at 100 TB.)
+    val full = src.count()
+    Seq(("small", 2000L), (s"big (${full} rows)", full + 10)).foreach {
+      case (tag, n) =>
+        val t = s"fs_${tag.takeWhile(_ != ' ')}"
+        cat.createTable(t, StructType(Seq(
+          StructField("id", LongType), StructField("k", LongType),
+          StructField("v", LongType))))
+        op(s"feed base insert $tag")(
+          cat.insert(t, src.filter(col("id") <= n).orderBy("id")))
+        val v0 = cat.currentVersion
+        op(s"feed churn update $tag")(
+          cat.update(t, col("id") < 200, Map("v" -> (col("v") + 1L))))
+        op(s"feed read $tag")(
+          cat.tableChanges(t, v0, cat.currentVersion, Seq("id")).count())
+    }
     spark.stop()
   }
 }
