@@ -2543,8 +2543,14 @@ object LakeScenarios {
     // layout-only and is never consumed — the "no CDF for OPTIMIZE"
     // contract, its version absent from the consumed set), replica ==
     // source after every pass (full-row equality), a third pass with
-    // nothing new upstream applying ZERO batches. Oracle: DuckDB replays
-    // the same DML algebra on the same orders slice.
+    // nothing new upstream applying ZERO batches, and the ANCHOR
+    // contract: a schema evolution (insertEvolve adds `tag` WITH data)
+    // crossed by a pass pinned at the pre-evolution anchor neither
+    // breaks nor corrupts the stream — the replica keeps tracking the
+    // source exactly, projected through that schema. Oracle: DuckDB
+    // replays the same DML algebra on the same orders slice (+ a
+    // range() tail for the evolution phase, outside every SF's
+    // orderkey space).
     QDef("l50_change_stream",
       (s, d) => {
         val cat = freshLake(s)
@@ -2575,9 +2581,13 @@ object LakeScenarios {
           versions ++= b.select("_commit_version").distinct()
             .collect().map(_.getLong(0))
         }
-        def replicaEq(): Long =
-          if (cat.read("replica").exceptAll(cat.read("src")).isEmpty &&
-            cat.read("src").exceptAll(cat.read("replica")).isEmpty) 1L else 0L
+        def replicaEq(onCols: Seq[String] = Nil): Long = {
+          val (r0, s0) = (cat.read("replica"), cat.read("src"))
+          val (r, sd) = if (onCols.isEmpty) (r0, s0)
+            else (r0.select(onCols.map(col): _*), s0.select(onCols.map(col): _*))
+          // symmetric multiset diff in ONE action
+          if (r.exceptAll(sd).union(sd.exceptAll(r)).isEmpty) 1L else 0L
+        }
         // phase A: two inserts, a CoW update, a MoR delete, a compaction
         cat.insert("src", src.filter(col("id") < 700))
         cat.insert("src", src.filter(col("id") >= 700 && col("id") < 1100))
@@ -2610,6 +2620,30 @@ object LakeScenarios {
           cat, "src", "replica", Seq("id"), ckpt)
         val rf = cat.read("replica")
           .agg(count(lit(1)), coalesce(sum("v"), lit(0L))).head()
+        // phase D: schema evolution across the stream, judged via the
+        // PINNED anchor: the base gains a `tag` column WITH data
+        // (insertEvolve) plus a post-evolution insert, and the next pass
+        // consumes both windows anchored at the PRE-evolution version —
+        // the replica (built against the old schema) keeps tracking the
+        // source exactly, projected through that schema. This is the
+        // sink-schema-stability contract (the long-lived-query form of
+        // the same anchor is pinned in StreamingSpec). New ids come from
+        // range(2000, 2500) — outside every driver SF's orderkey space,
+        // so the counts are SF-invariant literals.
+        def dRows(a: Long, b: Long) = s.range(a, b)
+          .selectExpr("id", "id % 10 AS k", "id * 100 AS v")
+        val vAnchor = cat.currentVersion
+        cat.insertEvolve("src", dRows(2000, 2300)
+          .withColumn("tag", concat(lit("t"), col("id") % 3)))
+        cat.insert("src", dRows(2300, 2500).withColumn("tag", lit("x")))
+        graft.streaming.ChangeFeed.applyPass(
+          cat, "src", "replica", Seq("id"), ckpt,
+          anchorVersion = Some(vAnchor))
+        val eqAnchored = replicaEq(Seq("id", "k", "v"))
+        val rf2 = cat.read("replica")
+          .agg(count(lit(1)), coalesce(sum("v"), lit(0L))).head()
+        val srcHasTag =
+          if (cat.read("src").columns.contains("tag")) 1L else 0L
         val s2 = s
         import s2.implicits._
         Seq(
@@ -2627,7 +2661,11 @@ object LakeScenarios {
           ("12_replica_eq_p2", eq2),
           ("13_batches_p3", applied3),
           ("14_final_rows", rf.getLong(0)),
-          ("15_final_sumv", rf.getLong(1)))
+          ("15_final_sumv", rf.getLong(1)),
+          ("16_replica_rows_anchored", rf2.getLong(0)),
+          ("17_replica_sumv_anchored", rf2.getLong(1)),
+          ("18_replica_eq_anchored", eqAnchored),
+          ("19_src_evolved", srcHasTag))
           .toDF("metric", "value").orderBy("metric")
       }, Some("""
         WITH f AS (
@@ -2640,7 +2678,10 @@ object LakeScenarios {
         liveb AS (SELECT * FROM live1
                   UNION ALL SELECT * FROM f WHERE id >= 1100),
         live2 AS (SELECT id, k, CASE WHEN k = 5 THEN v * 2 ELSE v END AS v
-                  FROM liveb)
+                  FROM liveb),
+        phased AS (SELECT r AS id, r % 10 AS k, r * 100 AS v
+                   FROM range(2000, 2500) t(r)),
+        final2 AS (SELECT * FROM live2 UNION ALL SELECT * FROM phased)
         SELECT * FROM (VALUES
           ('01_ins_rows_p1', (SELECT count(*) FROM a)),
           ('02_upd_pre_p1', (SELECT count(*) FROM a WHERE id < 300)),
@@ -2656,7 +2697,12 @@ object LakeScenarios {
           ('12_replica_eq_p2', CAST(1 AS BIGINT)),
           ('13_batches_p3', CAST(0 AS BIGINT)),
           ('14_final_rows', (SELECT count(*) FROM live2)),
-          ('15_final_sumv', (SELECT CAST(sum(v) AS BIGINT) FROM live2)))
+          ('15_final_sumv', (SELECT CAST(sum(v) AS BIGINT) FROM live2)),
+          ('16_replica_rows_anchored', (SELECT count(*) FROM final2)),
+          ('17_replica_sumv_anchored',
+            (SELECT CAST(sum(v) AS BIGINT) FROM final2)),
+          ('18_replica_eq_anchored', CAST(1 AS BIGINT)),
+          ('19_src_evolved', CAST(1 AS BIGINT)))
           t(metric, value)
         ORDER BY metric""")),
 

@@ -84,7 +84,11 @@ object ChangeFeed {
     * one — the same thing up to a benign planning race. */
   def feedSchema(spark: SparkSession, parameters: Map[String, String]): StructType = {
     val cat = new LakeCatalog(spark, parameters("root"))
-    StructType(cat.read(parameters("table")).schema.fields.toSeq :+
+    val base = parameters.get("anchorVersion") match {
+      case Some(v) => cat.readAt(parameters("table"), v.toLong)
+      case None => cat.read(parameters("table"))
+    }
+    StructType(base.schema.fields.toSeq :+
       StructField(TypeCol, StringType, nullable = false) :+
       StructField(VersionCol, LongType, nullable = false))
   }
@@ -95,14 +99,17 @@ object ChangeFeed {
     * exclusive lower bound of the first batch (0 = full history: the
     * table's creation commit streams as inserts). */
   def readChanges(spark: SparkSession, root: String, table: String,
-      keys: Seq[String] = Nil, startingVersion: Long = 0L): DataFrame =
-    spark.readStream
+      keys: Seq[String] = Nil, startingVersion: Long = 0L,
+      anchorVersion: Option[Long] = None): DataFrame = {
+    val r = spark.readStream
       .format(classOf[ChangeFeedProvider].getName)
       .option("root", root)
       .option("table", table)
       .option("keys", keys.mkString(","))
       .option("startingVersion", startingVersion.toString)
-      .load()
+    anchorVersion.foreach(v => r.option("anchorVersion", v.toString))
+    r.load()
+  }
 
   /** One checkpointed incremental CDC pass: consume the change feed of
     * `src` committed since the last pass with this checkpoint and apply
@@ -113,9 +120,11 @@ object ChangeFeed {
     * new was committed upstream. */
   def applyPass(cat: LakeCatalog, src: String, dst: String,
       keys: Seq[String], checkpointDir: String,
-      observe: (DataFrame, Long) => Unit = (_, _) => ()): Long = {
+      observe: (DataFrame, Long) => Unit = (_, _) => (),
+      anchorVersion: Option[Long] = None): Long = {
     val applied = new java.util.concurrent.atomic.AtomicLong(0L)
-    val q = readChanges(cat.spark, cat.root, src, keys)
+    val q = readChanges(cat.spark, cat.root, src, keys,
+        anchorVersion = anchorVersion)
       .writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
@@ -161,8 +170,17 @@ class ChangeFeedSource(spark: SparkSession, parameters: Map[String, String])
   private val cat = new LakeCatalog(spark, root)
 
   /** The stream's schema ANCHOR: every window projects through the table
-    * schema at this (stream-start) version, by stable column id. */
-  private val anchorV: Long = cat.currentVersion
+    * schema at this version, by stable column id. Defaults to the version
+    * at stream start; pass `anchorVersion` to pin it explicitly — the
+    * production story for SINK-schema stability: a restarted consumer
+    * whose downstream table was built against an older schema keeps
+    * consuming under that schema no matter how the base has evolved
+    * since. */
+  private val anchorV: Long = parameters.get("anchorVersion")
+    .map(_.toLong).getOrElse(cat.currentVersion)
+  require(anchorV == 0L || !cat.current.expiredVersions.contains(anchorV),
+    s"anchorVersion v$anchorV of '$table' has been vacuumed — anchor at " +
+      "a live version")
 
   override val schema: StructType =
     StructType(cat.readAt(table, anchorV).schema.fields.toSeq :+
