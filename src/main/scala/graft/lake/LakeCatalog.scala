@@ -382,10 +382,12 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     *  - `DROP TABLE|VIEW x`, `TRUNCATE TABLE t`,
     *    `ALTER TABLE t RENAME TO u`
     *  - `CREATE MATERIALIZED VIEW mv AS SELECT keys…, COUNT(*) AS
-    *    n_rows[, SUM(c) AS sum_c…] FROM base [JOIN dim ON fk = pk]
-    *    [WHERE pred] GROUP BY keys…` and `REFRESH MATERIALIZED VIEW mv`
+    *    n_rows[, SUM(c) AS sum_c…][, AVG(c) AS avg_c…] FROM base
+    *    [JOIN dim ON fk = pk] [WHERE pred] GROUP BY keys…` and
+    *    `REFRESH MATERIALIZED VIEW mv`
     *    (returns the refresh path taken) — the incrementally-maintained
-    *    subset only; other shapes are rejected loudly
+    *    subset only (AVG rides on maintained sum+count, derived at
+    *    write); other shapes are rejected loudly
     *  - queries support `t AT (VERSION|TIMESTAMP => ...)` time travel
     *    (quoted wall-clocks resolve in the session timezone; unquoted
     *    digits are epoch millis) and the `graft_snapshots()/
@@ -575,11 +577,13 @@ class LakeCatalog(val spark: SparkSession, val root: String,
       case BodyRe(selList, base, dim, fk, pk, where, grpBy) =>
         val CountRe = """(?i)^COUNT\s*\(\s*\*\s*\)\s+AS\s+n_rows$""".r
         val SumRe = """(?i)^SUM\s*\(\s*(\w+)\s*\)\s+AS\s+sum_(\w+)$""".r
+        val AvgRe = """(?i)^AVG\s*\(\s*(\w+)\s*\)\s+AS\s+avg_(\w+)$""".r
         val MinRe = """(?i)^MIN\s*\(\s*(\w+)\s*\)\s+AS\s+min_(\w+)$""".r
         val MaxRe = """(?i)^MAX\s*\(\s*(\w+)\s*\)\s+AS\s+max_(\w+)$""".r
         val KeyRe = """^(\w+)$""".r
         val keys = scala.collection.mutable.ArrayBuffer.empty[String]
         val sums = scala.collection.mutable.ArrayBuffer.empty[String]
+        val avgs = scala.collection.mutable.ArrayBuffer.empty[String]
         val mins = scala.collection.mutable.ArrayBuffer.empty[String]
         val maxs = scala.collection.mutable.ArrayBuffer.empty[String]
         var sawCount = false
@@ -591,14 +595,18 @@ class LakeCatalog(val spark: SparkSession, val root: String,
           case KeyRe(k) => keys += k
           case CountRe() => sawCount = true
           case SumRe(c, a) => checkAlias("SUM", c, a); sums += c
+          case AvgRe(c, a) => checkAlias("AVG", c, a); avgs += c
           case MinRe(c, a) => checkAlias("MIN", c, a); mins += c
           case MaxRe(c, a) => checkAlias("MAX", c, a); maxs += c
           case other => throw new IllegalArgumentException(
             s"unsupported MV select item '$other' — supported: bare group " +
               "keys, COUNT(*) AS n_rows, SUM(col) AS sum_col, " +
-              "MIN(col) AS min_col, MAX(col) AS max_col. Note: sums are " +
+              "AVG(col) AS avg_col, MIN(col) AS min_col, " +
+              "MAX(col) AS max_col. Note: sums are " +
               "maintained NULL-safe as COALESCE(SUM(col),0) — an all-NULL " +
-              "group reports 0, not NULL (min/max keep SQL semantics)")
+              "group reports 0, not NULL (avg/min/max keep SQL semantics: " +
+              "an all-NULL group is NULL). An AVG materializes its sum_ " +
+              "and cnt_ building blocks as MV columns alongside avg_")
         }
         require(sawCount,
           "MV select list must include COUNT(*) AS n_rows (the maintainer " +
@@ -612,7 +620,7 @@ class LakeCatalog(val spark: SparkSession, val root: String,
             "WHERE without JOIN is outside the maintained subset " +
               "(the Scala API mirrors this: Mv.create has no filter)")
           Mv.create(this, mv, base, keys.toSeq, sums.toSeq,
-            mins.toSeq, maxs.toSeq)
+            mins.toSeq, maxs.toSeq, avgs.toSeq)
         } else {
           require(mins.isEmpty && maxs.isEmpty,
             "MIN/MAX are not maintainable on join MVs (a dim-churn leg " +
@@ -645,7 +653,8 @@ class LakeCatalog(val spark: SparkSession, val root: String,
                   s"${dimCols.toSeq.sorted.mkString(",")})")
             }
           Mv.createJoin(this, mv, base, dim, fk2, pk2,
-            Option(where).map(_.trim), keys.toSeq, sums.toSeq)
+            Option(where).map(_.trim), keys.toSeq, sums.toSeq,
+            avgs = avgs.toSeq)
         }
       case other => throw new IllegalArgumentException(
         "unsupported MATERIALIZED VIEW body (grammar: SELECT keys…, " +
@@ -1322,24 +1331,58 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     case None => transaction(f)
   }
 
+  /** Run `f` as one atomic multi-table transaction (M5/M6) under OCC.
+    *
+    * Publish failure takes one of two paths, in order:
+    *  1. REBASE (the many-concurrent-writers fast path, Delta-style
+    *     write-conflict detection): if this txn is pure table-scoped DML
+    *     and every commit that landed since its base touched only
+    *     DISJOINT tables, the commit document is rebuilt on the new head
+    *     by overlaying this txn's table diffs — no Spark job re-runs, the
+    *     staged files republish as-is. K writers on K different tables
+    *     serialize only on the conditional put itself (microseconds), not
+    *     on each other's bodies.
+    *  2. RE-RUN: genuinely conflicting work (same tables, DDL, view/tag/
+    *     stream-tag/vacuum) re-executes `f` on a fresh base — conflicting
+    *     read-modify-write (e.g. a counter increment) is SERIALIZED, each
+    *     committed body having seen the previous commit's state. Jittered
+    *     exponential backoff desynchronizes the publish rounds so no
+    *     writer starves.
+    */
   def transaction[T](f: Tx => T): T = {
     var attempts = 0
-    while (attempts < 25) {
+    val rnd = java.util.concurrent.ThreadLocalRandom.current()
+    while (attempts < 100) {
       val base = currentVersion
       val tx = new Tx(this, snapshot(base))
       val result =
         try f(tx)
         catch { case e: Throwable => tx.cleanupStaged(); throw e }
-      val next = tx.buildSnapshot(base + 1)
-      store.publish(base + 1, next, snapshot(base)) match {
-        case Some(stored) =>
-          snapCache.put(base + 1, stored)
-          return result
-        case None => ()
+      var pubBase = base
+      var rebasing = true
+      while (rebasing) {
+        val next = if (pubBase == base) tx.buildSnapshot(base + 1)
+          else tx.buildSnapshotOn(snapshot(pubBase), pubBase + 1)
+        store.publish(pubBase + 1, next, snapshot(pubBase)) match {
+          case Some(stored) =>
+            snapCache.put(pubBase + 1, stored)
+            return result
+          case None => ()
+        }
+        val headV = currentVersion
+        val conc = snapshot(headV).history
+          .filter(h => h.snapshotId > pubBase && h.snapshotId <= headV)
+        val disjoint = tx.isRebaseSafe && conc.nonEmpty && conc.forall { h =>
+          h.changes.forall { case (k, names) =>
+            k.startsWith("tables_") &&
+              names.forall(n => !tx.conflictNames.contains(n)) }
+        }
+        if (disjoint) pubBase = headV else rebasing = false
       }
       tx.cleanupStaged()
       attempts += 1
-      Thread.sleep(3L * attempts)
+      LakeCatalog.occRetries.increment()
+      Thread.sleep(rnd.nextLong(math.min(200L, 4L << math.min(attempts, 5))) + 1L)
     }
     throw new IllegalStateException(s"commit contention after $attempts attempts")
   }
@@ -1453,21 +1496,54 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     * keys whose final state is a live row are re-inserted — one atomic
     * two-op transaction. At scale both ops are key-joins against the
     * batch's (small) key set, never table rewrites beyond the touched
-    * files. Returns false when the batch had already landed. */
+    * files. Returns false when the batch had already landed.
+    *
+    * PRECONDITION: `keyCols` must uniquely identify rows in the source
+    * table. The change FEED itself supports keyless/multiset data (the
+    * diff is an exact multiset diff), but this net-effect APPLY keeps one
+    * surviving row per key — duplicate rows sharing a key within one
+    * commit would be nondeterministically collapsed, silently diverging
+    * the replica. The guard below fails loudly instead; multiset data
+    * belongs on [[graft.streaming.LakeStream.replicate]] (append-only)
+    * or a bespoke multiset apply.
+    *
+    * `streamId` extends the idempotence key to (table, streamId,
+    * batchId): batch ids come from the CHECKPOINT, so a different stream
+    * (fresh checkpoint — ids restart at 0) writing the same table would
+    * otherwise collide with the first stream's tags and silently skip
+    * its early batches as "replays". Distinct logical streams over one
+    * destination must pass distinct ids. */
   def applyChangesStreamBatch(table: String, changes: DataFrame,
-      keyCols: Seq[String], batchId: Long): Boolean = {
+      keyCols: Seq[String], batchId: Long, streamId: String = ""): Boolean = {
     import graft.streaming.ChangeFeed.{TypeCol, VersionCol}
-    val tag = s"$table:cdc:$batchId"
+    val tag = if (streamId.isEmpty) s"$table:cdc:$batchId"
+      else s"$table:cdc:$streamId:$batchId"
     object AlreadyApplied extends Exception
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*).orderBy(col(VersionCol).desc)
     // one (version, key) row survives the preimage filter per commit, so
     // version order alone picks the net state
-    val latest = changes.filter(col(TypeCol) =!= "update_preimage")
+    val survivors = changes.filter(col(TypeCol) =!= "update_preimage")
+      .persist()
+    val latest = survivors
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
       .persist()
     try {
+      // key-uniqueness guard: >1 surviving change row in one (key,
+      // commit) group means the key does NOT identify a row upstream and
+      // the collapse below would be nondeterministic. One aggregation
+      // over the (small, persisted) batch.
+      val dup = survivors
+        .groupBy((keyCols :+ VersionCol).map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+        .limit(1).collect()
+      if (dup.nonEmpty)
+        throw new IllegalArgumentException(
+          s"CDC apply to '$table': key (${keyCols.mkString(", ")}) is not " +
+            "unique within one source commit — net-effect apply requires " +
+            "row-identifying keys; multiset data cannot be replicated " +
+            "by key")
       // an empty net change is a deterministic no-op: skip the commit
       // entirely (idempotent without a batch tag) — also what keeps a
       // consumer writing into the SAME catalog from generating commits
@@ -1482,7 +1558,10 @@ class LakeCatalog(val spark: SparkSession, val root: String,
         true
       }
     } catch { case AlreadyApplied => false }
-    finally latest.unpersist(blocking = false)
+    finally {
+      latest.unpersist(blocking = false)
+      survivors.unpersist(blocking = false)
+    }
   }
 
   /** Merge-on-read DELETE (deletion vectors) — see [[Tx.deleteMor]]. */
@@ -1699,6 +1778,12 @@ object LakeCatalog {
   /** JVM-wide statement counter for metadata-view names — uniqueness
     * across concurrent sql() calls on the same catalog root. */
   private[lake] val metaViewSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** JVM-wide count of OCC publish retries (a failed conditional put that
+    * re-ran its transaction body). Diagnostic only — read/reset it around
+    * a workload to measure commit contention (LakeOpProbe's concurrent-
+    * writer ledger does). */
+  val occRetries = new java.util.concurrent.atomic.LongAdder()
   /** Split `s` on `sep` at paren-depth 0 outside single-quoted strings —
     * the minimal scanner [[LakeCatalog.execute]]'s UPDATE head needs
     * (commas inside function calls and string literals must not split). */

@@ -54,12 +54,24 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
   private val stagedDirs = mutable.ArrayBuffer.empty[Path]
   private var ddlCount = 0
 
-  private def change(kind: String, table: String): Unit =
-    changes.getOrElseUpdate(kind, mutable.LinkedHashSet.empty) += table
+  // ---- rebase bookkeeping (see LakeCatalog.transaction) --------------
+  // Every table this txn READ or WROTE (its conflict set), and whether it
+  // performed anything that is not table-scoped (view/tag DDL, stream
+  // tags, vacuum) — those make a rebase unsafe and force a body re-run.
+  private val touchedNames = mutable.LinkedHashSet.empty[String]
+  private var rebaseUnsafe = false
 
-  private def state(table: String): TableState =
+  private def change(kind: String, table: String): Unit = {
+    if (kind.startsWith("tables_")) touchedNames += table
+    else rebaseUnsafe = true
+    changes.getOrElseUpdate(kind, mutable.LinkedHashSet.empty) += table
+  }
+
+  private def state(table: String): TableState = {
+    touchedNames += table
     tables.getOrElse(table,
       throw new NoSuchElementException(s"table not found: $table"))
+  }
 
   /** Read a table as staged inside this transaction. */
   def read(table: String): DataFrame = cat.readState(state(table))
@@ -277,6 +289,12 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     tables(to) = st
     ddlCount += 1
     change("tables_renamed", to)
+    // the SOURCE name too: a change stream over `from` must see its
+    // identity end here — without this a rename-away is invisible to the
+    // feed's offset/guard kinds, and a later re-create under `from` with
+    // byte-identical ColumnDefs (ids restart deterministically) would
+    // silently splice two tables' histories as a full replace
+    change("tables_renamed_from", from)
   }
 
   /** `TRUNCATE TABLE` — drop every live file and inlined row, keep the
@@ -429,8 +447,12 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
 
   /** Has a stream batch tag already been committed in the base history?
     * O(1) metadata — headers ride in every snapshot document. */
-  def streamBatchApplied(tag: String): Boolean =
+  def streamBatchApplied(tag: String): Boolean = {
+    // reads the GLOBAL tag history — a rebase would skip re-validating it
+    // against commits that landed meanwhile, so force the re-run path
+    rebaseUnsafe = true
     base.history.exists(_.changes.getOrElse("stream_batches", Nil).contains(tag))
+  }
 
   /** Record a stream batch tag in this commit's change summary — the
     * idempotence marker for exactly-once streaming ingestion. */
@@ -1434,5 +1456,44 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
       views = views.toMap,
       history = base.history :+ SnapHeader(id, ts, sv, ch),
       refs = tagRefs.toMap)
+  }
+
+  // ------------------------------------------------------ commit rebase
+
+  /** Whether this transaction may be REBASED onto a newer head without
+    * re-running its body (see [[LakeCatalog.transaction]]): pure DML
+    * whose effects and reads are all table-scoped. DDL is excluded
+    * because schema versions ride a catalog-global counter; view/tag/
+    * stream-tag/vacuum work reads or writes catalog-global state. */
+  private[lake] def isRebaseSafe: Boolean = !rebaseUnsafe && ddlCount == 0
+
+  /** The tables this transaction read or wrote — its conflict set. */
+  private[lake] def conflictNames: Set[String] = touchedNames.toSet
+
+  /** Rebuild the commit document on top of `nb` (a head that advanced
+    * past our base) by overlaying ONLY this txn's table diffs — the
+    * staged data files are untouched and no Spark job re-runs. Callers
+    * must have validated disjointness (isRebaseSafe + every concurrent
+    * commit table-scoped and disjoint from conflictNames). */
+  private[lake] def buildSnapshotOn(nb: Snapshot, id: Long): Snapshot = {
+    val ts = System.currentTimeMillis()
+    val sv = nb.schemaVersion + ddlCount
+    val ch = changes.map { case (k, v) => k -> v.toSeq }.toMap
+    val overlaid = touchedNames.foldLeft(nb.tables) { (acc, n) =>
+      (tables.get(n), base.tables.get(n)) match {
+        case (Some(st), b) if !b.contains(st) => acc + (n -> st)
+        case (None, Some(_)) => acc - n
+        case _ => acc // read-only touch
+      }
+    }
+    Snapshot(
+      snapshotId = id,
+      timestampMs = ts,
+      schemaVersion = sv,
+      changes = ch,
+      tables = overlaid,
+      views = nb.views,
+      history = nb.history :+ SnapHeader(id, ts, sv, ch),
+      refs = nb.refs)
   }
 }

@@ -76,7 +76,17 @@ object ChangeFeed {
     * the same catalog (the l50/CDC shape) would chase its own sink
     * commits forever. */
   private[streaming] val OffsetKinds = DataKinds ++ Set(
-    "tables_replaced", "tables_renamed", "tables_dropped")
+    "tables_replaced", "tables_renamed", "tables_renamed_from",
+    "tables_dropped")
+
+  /** Commit kinds that END the streamed table's column identity: a
+    * replace restarts column ids; a rename-AWAY (`tables_renamed_from`)
+    * or a rename-over of this name means the name no longer denotes the
+    * anchored table; a drop ends the feed outright. Id-anchored alignment
+    * across any of these would be silent garbage, so getBatch refuses. */
+  private[streaming] val IdentityBreakKinds = Seq(
+    "tables_replaced", "tables_renamed", "tables_renamed_from",
+    "tables_dropped")
 
   /** Feed schema = the table's columns + change_type + commit version.
     * The source itself anchors at its construction-time version; this
@@ -100,13 +110,15 @@ object ChangeFeed {
     * table's creation commit streams as inserts). */
   def readChanges(spark: SparkSession, root: String, table: String,
       keys: Seq[String] = Nil, startingVersion: Long = 0L,
-      anchorVersion: Option[Long] = None): DataFrame = {
+      anchorVersion: Option[Long] = None,
+      maxWindowsPerBatch: Int = 32): DataFrame = {
     val r = spark.readStream
       .format(classOf[ChangeFeedProvider].getName)
       .option("root", root)
       .option("table", table)
       .option("keys", keys.mkString(","))
       .option("startingVersion", startingVersion.toString)
+      .option("maxWindowsPerBatch", maxWindowsPerBatch.toString)
     anchorVersion.foreach(v => r.option("anchorVersion", v.toString))
     r.load()
   }
@@ -121,7 +133,7 @@ object ChangeFeed {
   def applyPass(cat: LakeCatalog, src: String, dst: String,
       keys: Seq[String], checkpointDir: String,
       observe: (DataFrame, Long) => Unit = (_, _) => (),
-      anchorVersion: Option[Long] = None): Long = {
+      anchorVersion: Option[Long] = None, streamId: String = ""): Long = {
     val applied = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = readChanges(cat.spark, cat.root, src, keys,
         anchorVersion = anchorVersion)
@@ -131,7 +143,7 @@ object ChangeFeed {
       .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], id: Long) =>
         val df = b.toDF().persist()
         try {
-          if (cat.applyChangesStreamBatch(dst, df, keys, id)) {
+          if (cat.applyChangesStreamBatch(dst, df, keys, id, streamId)) {
             applied.incrementAndGet()
             observe(df, id)
           }
@@ -167,6 +179,13 @@ class ChangeFeedSource(spark: SparkSession, parameters: Map[String, String])
     .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
   private val startV =
     parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
+  /** Per-batch plan-size bound: at most this many union legs (per-commit
+    * windows); a deeper backlog folds its oldest commits into one coarse
+    * exact diff. 32 legs is comfortably under Spark's plan-size pain
+    * threshold while keeping per-commit tagging for any realistic lag. */
+  private val maxWindows =
+    parameters.get("maxWindowsPerBatch").map(_.toInt).getOrElse(32)
+  require(maxWindows >= 1, "maxWindowsPerBatch must be >= 1")
   private val cat = new LakeCatalog(spark, root)
 
   /** The stream's schema ANCHOR: every window projects through the table
@@ -188,12 +207,25 @@ class ChangeFeedSource(spark: SparkSession, parameters: Map[String, String])
       StructField(VersionCol, LongType, nullable = false))
   private val valueCols = schema.fields.dropRight(2).map(_.name).toSeq
 
-  /** One manifest-head read + an in-memory header scan; no Spark jobs. */
+  /** One manifest-head read + an in-memory header scan; no Spark jobs.
+    * The raw offset is the last version TOUCHING the table; if vacuum has
+    * since expired that exact version (quiescent table, later commits all
+    * elsewhere), it is clamped UP to the next live version — the diff
+    * between live snapshots carries the same net rows, and without the
+    * clamp every stream over the table (including a brand-new checkpoint)
+    * would hit getBatch's expiry check forever on a fully-readable
+    * table. */
   override def getOffset: Option[Offset] = {
-    val v = cat.current.history.reverseIterator
+    val head = cat.current
+    val last = head.history.reverseIterator
       .find(h => h.changes.exists { case (k, ts) =>
         OffsetKinds.contains(k) && ts.contains(table) })
       .map(_.snapshotId).getOrElse(0L)
+    val expired = head.expiredVersions
+    val v = if (last == 0L || !expired.contains(last)) last
+      else head.history.iterator.map(_.snapshotId)
+        .find(s => s >= last && !expired.contains(s))
+        .getOrElse(head.snapshotId)
     if (v <= startV) None
     else Some(org.apache.spark.sql.execution.streaming.runtime.LongOffset(v))
   }
@@ -221,26 +253,58 @@ class ChangeFeedSource(spark: SparkSession, parameters: Map[String, String])
     val head = cat.snapshot(toV)
     val window = head.history.iterator
       .filter(h => h.snapshotId > fromV && h.snapshotId <= toV).toSeq
-    // a REPLACE (or another table renamed over this name) restarts column
-    // ids — id-anchored alignment across it would be meaningless; a DROP
-    // ends the feed even if nothing re-creates the name
-    window.find(h => Seq("tables_replaced", "tables_renamed",
-      "tables_dropped").exists(k =>
-      h.changes.getOrElse(k, Nil).contains(table))).foreach { h =>
+    // a REPLACE (or a rename in EITHER direction: this table renamed
+    // away, or another renamed over this name) restarts column identity —
+    // id-anchored alignment across it would be meaningless; a DROP ends
+    // the feed even if nothing re-creates the name
+    val breaks = window.filter(h => IdentityBreakKinds.exists(k =>
+      h.changes.getOrElse(k, Nil).contains(table)))
+    breaks.headOption.foreach { h =>
+      // a FRESH stream (no checkpointed start) that trips this guard did
+      // exactly what "start a fresh stream" asks — the actual remedy is a
+      // startingVersion past the LAST identity break, so say so
+      val remedy = if (start.isEmpty)
+        s"; to stream the name's current incarnation, pass " +
+          s"startingVersion = ${breaks.map(_.snapshotId).max}"
+      else "; start a fresh change stream"
       throw new IllegalStateException(
-        s"table '$table' was dropped, replaced or renamed over at " +
-          s"v${h.snapshotId} — its column identity ended there; start a " +
-          "fresh change stream")
+        s"table '$table' was dropped, replaced or renamed at " +
+          s"v${h.snapshotId} — its column identity ended there" + remedy)
     }
     // commits in (fromV, toV] whose changes touched this table's DATA;
     // expired interior versions merge into the next live window (their
     // net effect is still exact — the diff is between live snapshots)
-    val dataVs = window.iterator
+    val liveDataVs = window.iterator
       .filterNot(h => expired.contains(h.snapshotId))
       .filter(h => h.changes.exists { case (k, ts) =>
         DataKinds.contains(k) && ts.contains(table) })
       .map(_.snapshotId).toSeq
-    val windows = (fromV +: dataVs).zip(dataVs).map {
+    // TRAILING expired data commits (after the last live data commit)
+    // have no later live data commit to merge into — close the batch
+    // with one extra live-to-live window up to toV so their net rows
+    // still flow (toV itself is live: getOffset clamps past expiry and
+    // the check above already rejected an expired endpoint)
+    val hasTrailingExpired = window.iterator
+      .filter(h => expired.contains(h.snapshotId))
+      .filter(h => h.changes.exists { case (k, ts) =>
+        DataKinds.contains(k) && ts.contains(table) })
+      .exists(h => h.snapshotId > liveDataVs.lastOption.getOrElse(fromV))
+    val dataVs0 =
+      if (hasTrailingExpired && liveDataVs.lastOption.forall(_ < toV))
+        liveDataVs :+ toV
+      else liveDataVs
+    // FAN-OUT CAP: a consumer resuming after a long backlog would plan
+    // one union leg per consumed commit; beyond `maxWindows` commits the
+    // oldest are folded into ONE coarse (fromV, foldTo] diff — the merged
+    // diff is exact (net effect per key over the span), only the
+    // per-commit `_commit_version` tagging coarsens: the folded rows all
+    // carry the fold point's version. The plan is then <= maxWindows
+    // union legs regardless of backlog depth.
+    val endpoints =
+      if (dataVs0.size <= maxWindows) dataVs0
+      else dataVs0(dataVs0.size - maxWindows) +:
+        dataVs0.drop(dataVs0.size - maxWindows + 1)
+    val windows = (fromV +: endpoints).zip(endpoints).map {
       case (a, b) => changesAt(a, b)
     }
     val batch =

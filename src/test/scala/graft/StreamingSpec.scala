@@ -400,10 +400,11 @@ class StreamingSpec extends SparkSpec {
       ChangeFeed.applyPass(cat2, "t", "r", Seq("id"), ckpt3)
     }
     assert(ex2.getCause.getMessage.contains("replaced"))
-    // rename-AWAY + recreate under the old name: the rename header only
-    // carries the new name, but the recreated table's restarted schema
-    // history conflicts with the anchor's — the merge must refuse rather
-    // than silently mis-align column ids
+    // rename-AWAY + recreate under the old name: tables_renamed_from
+    // marks the identity break at the rename commit itself, so the
+    // stream refuses promptly — even when the recreated table's
+    // ColumnDefs are BYTE-IDENTICAL (ids restart deterministically),
+    // the case the schema-history merge alone cannot catch
     val cat3 = new graft.lake.LakeCatalog(spark, tmpDir("cdcrename"))
     cat3.createTable("t", src.schema, primaryKey = Seq("id"))
     cat3.createTable("r", src.schema)
@@ -411,17 +412,133 @@ class StreamingSpec extends SparkSpec {
     cat3.insert("t", src.filter(col("id") <= 10))
     assert(ChangeFeed.applyPass(cat3, "t", "r", Seq("id"), ckpt4) === 1L)
     cat3.transaction(_.renameTable("t", "t_old"))
-    cat3.createTable("t", org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("label",
-        org.apache.spark.sql.types.StringType))))
-    cat3.insert("t", src.filter(col("id") > 50)
-      .selectExpr("id", "cast(v AS string) AS label"))
+    cat3.createTable("t", src.schema, primaryKey = Seq("id")) // identical defs
+    cat3.insert("t", src.filter(col("id") > 50))
     val ex3 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       ChangeFeed.applyPass(cat3, "t", "r", Seq("id"), ckpt4)
     }
-    assert(ex3.getCause.getMessage.contains("replaced or recreated"))
+    assert(ex3.getCause.getMessage.contains("renamed"))
+    // a FRESH stream over the recreated name trips the same guard but
+    // the message must hand the caller the actual remedy: the
+    // startingVersion past the identity break ("start a fresh stream"
+    // is exactly what they just did)
+    val ex4 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      ChangeFeed.applyPass(cat3, "t", "r", Seq("id"), tmpDir("cdcrename_f"))
+    }
+    assert(ex4.getCause.getMessage.contains("startingVersion ="))
+    // ...and following that remedy works: streaming from past the break
+    // replicates only the current incarnation
+    val breakV = ex4.getCause.getMessage.split("startingVersion = ").last
+      .takeWhile(_.isDigit).toLong
+    cat3.truncateTable("r")
+    val applied = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = ChangeFeed.readChanges(spark, cat3.root, "t", Seq("id"),
+        startingVersion = breakV)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("cdcrename_f2"))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        // a NEW logical stream into the same replica: distinct streamId,
+        // else batch 0 would dedupe against the first stream's batch 0
+        if (cat3.applyChangesStreamBatch("r", b.toDF(), Seq("id"), id,
+            streamId = "incarnation2"))
+          applied.incrementAndGet()
+        ()
+      }.start()
+    q.awaitTermination()
+    assert(applied.get() === 1L)
+    assert(cat3.read("r").count() === 10L) // ids 51..60, the new incarnation
+  }
+
+  test("change-feed: quiescent table whose last commit was vacuumed still streams (offset clamps to live)") {
+    import graft.streaming.ChangeFeed
+    val cat = new graft.lake.LakeCatalog(spark, tmpDir("cdcclamp"))
+    val src = spark.range(1, 41).selectExpr("id", "id * 10 AS v")
+    cat.createTable("a", src.schema, primaryKey = Seq("id"))
+    cat.createTable("b", src.schema, primaryKey = Seq("id"))
+    cat.createTable("ra", src.schema)
+    // a's last data commit, then a long tail of commits touching only b,
+    // then a vacuum that expires a's last-touching version
+    cat.insert("a", src.filter(col("id") <= 20))
+    (1 to 10).foreach(i => cat.insert("b", src.filter(col("id") === i.toLong)))
+    cat.vacuum(keepLast = 3, orphanGraceMs = 0L)
+    assert(cat.current.expiredVersions.nonEmpty)
+    // a BRAND-NEW checkpoint over the fully-readable quiescent table must
+    // not die on the expiry check: the offset clamps up to a live version
+    // and the live-to-live diff carries the same net rows
+    val n = ChangeFeed.applyPass(cat, "a", "ra", Seq("id"), tmpDir("cdcclamp_ck"))
+    assert(n === 1L)
+    assert(cat.read("ra").exceptAll(cat.read("a"))
+      .union(cat.read("a").exceptAll(cat.read("ra"))).isEmpty)
+  }
+
+  test("change-feed: 100-commit backlog resumes with a bounded plan and exact state") {
+    import graft.streaming.ChangeFeed
+    val cat = new graft.lake.LakeCatalog(spark, tmpDir("cdcfold"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    cat.createTable("t", schema, primaryKey = Seq("id"))
+    cat.createTable("r", schema)
+    // 100 commits: inserts + periodic updates so the fold must net
+    // cross-commit churn correctly, not just concatenate inserts
+    (1 to 100).foreach { i =>
+      if (i % 10 == 0)
+        cat.update("t", col("id") <= i.toLong / 10,
+          Map("v" -> (col("v") + 1000L)))
+      else cat.insert("t",
+        spark.range(i.toLong, i.toLong + 1).selectExpr("id", "id * 10 AS v"))
+    }
+    var batches = 0L
+    var maxLegs = 0L
+    val q = ChangeFeed.readChanges(spark, cat.root, "t", Seq("id"),
+        maxWindowsPerBatch = 8)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("cdcfold_ck"))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        val df = b.toDF().persist()
+        // <= maxWindows distinct commit versions = <= maxWindows union legs
+        val legs = df.select("_commit_version").distinct().count()
+        batches += 1; maxLegs = math.max(maxLegs, legs)
+        cat.applyChangesStreamBatch("r", df, Seq("id"), id)
+        df.unpersist(blocking = false)
+        ()
+      }.start()
+    q.awaitTermination()
+    assert(batches >= 1L)
+    assert(maxLegs <= 8L,
+      s"backlog must fold to <= maxWindowsPerBatch union legs, saw $maxLegs")
+    assert(cat.read("r").exceptAll(cat.read("t"))
+      .union(cat.read("t").exceptAll(cat.read("r"))).isEmpty,
+      "folded windows must apply the identical net state")
+  }
+
+  test("CDC apply refuses non-row-identifying keys instead of collapsing multiset data") {
+    import spark.implicits._
+    val cat = new graft.lake.LakeCatalog(spark, tmpDir("cdcdup"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    cat.createTable("r", schema)
+    // two distinct rows share k=1 within one commit: by-key net-effect
+    // apply would nondeterministically keep one — must refuse
+    val batch = Seq((1L, 10L, "insert", 3L), (1L, 20L, "insert", 3L),
+      (2L, 30L, "insert", 3L))
+      .toDF("k", "v", "change_type", "_commit_version")
+    val ex = intercept[IllegalArgumentException] {
+      cat.applyChangesStreamBatch("r", batch, Seq("k"), 0L)
+    }
+    assert(ex.getMessage.contains("not unique"))
+    // distinct keys pass
+    val ok = Seq((1L, 10L, "insert", 3L), (2L, 30L, "insert", 3L))
+      .toDF("k", "v", "change_type", "_commit_version")
+    assert(cat.applyChangesStreamBatch("r", ok, Seq("k"), 0L))
+    assert(cat.read("r").count() === 2L)
   }
 
   test("streaming dedup collapses a duplicated stream back to the batch profile") {
@@ -437,5 +554,112 @@ class StreamingSpec extends SparkSpec {
           .cast("double").as("sum_value"))
       .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(streamed === batch)
+  }
+
+  test("catalog sync: a multi-table source txn is never observable torn across replicas") {
+    import graft.streaming.{CatalogSync, ChangeFeed, TableSync}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import spark.implicits._
+    val cat = new graft.lake.LakeCatalog(spark, tmpDir("catsync"))
+    val invS = StructType(Seq(StructField("product_id", LongType),
+      StructField("qty", LongType)))
+    val ordS = StructType(Seq(StructField("order_id", LongType),
+      StructField("product_id", LongType), StructField("q", LongType)))
+    cat.createTable("inv", invS, primaryKey = Seq("product_id"))
+    cat.createTable("ord", ordS, primaryKey = Seq("order_id"))
+    cat.createTable("r_inv", invS)
+    cat.createTable("r_ord", ordS)
+    cat.insert("inv",
+      (1L to 5L).map(i => (i, 100L)).toDF("product_id", "qty"))
+    // demo-1's shape: order insert + inventory decrement, ONE commit —
+    // unit conservation inv.qty + ord.q = 500 holds at every src version
+    def order(id: Long, p: Long, q: Long): Unit = cat.transaction { tx =>
+      tx.insert("ord", Seq((id, p, q)).toDF("order_id", "product_id", "q"))
+      tx.update("inv", col("product_id") === p, Map("qty" -> (col("qty") - q)))
+    }
+    order(1, 1, 10); order(2, 2, 5)
+    val maps = Seq(TableSync("inv", "r_inv", Seq("product_id")),
+      TableSync("ord", "r_ord", Seq("order_id")))
+    assert(CatalogSync.pass(cat, cat, maps, "s1") >= 1L)
+    def eqTo(src: String, dst: String): Boolean =
+      cat.read(dst).exceptAll(cat.read(src))
+        .union(cat.read(src).exceptAll(cat.read(dst))).isEmpty
+    assert(eqTo("inv", "r_inv") && eqTo("ord", "r_ord"))
+    // phase 2: more multi-table txns; then audit EVERY destination
+    // version the sync created — the conservation invariant must hold at
+    // each one (a torn half-applied pair would break it)
+    val syncStart = cat.currentVersion
+    order(3, 3, 20); order(4, 4, 1); order(5, 5, 7)
+    assert(CatalogSync.pass(cat, cat, maps, "s1") >= 1L)
+    var audited = 0
+    for (v <- (syncStart + 1) to cat.currentVersion
+         if cat.snapshot(v).changes.getOrElse("stream_batches", Nil)
+           .exists(_.startsWith("catsync:s1:"))) {
+      val inv = cat.readAt("r_inv", v).agg(sum("qty")).head().getLong(0)
+      val ord = cat.readAt("r_ord", v)
+        .agg(coalesce(sum("q"), lit(0L))).head().getLong(0)
+      assert(inv + ord === 500L,
+        s"replica pair torn at destination v$v: inv=$inv ord=$ord")
+      audited += 1
+    }
+    assert(audited >= 1, "audit must cover the sync's commits")
+    assert(eqTo("inv", "r_inv") && eqTo("ord", "r_ord"))
+    // idempotent: nothing new -> zero transactions
+    assert(CatalogSync.pass(cat, cat, maps, "s1") === 0L)
+    // NON-VACUOUS: the same history consumed by INDEPENDENT per-table
+    // feeds IS observable torn — apply only ord's feed and the pair
+    // breaks conservation (this is exactly what CatalogSync prevents)
+    cat.createTable("t_inv", invS)
+    cat.createTable("t_ord", ordS)
+    ChangeFeed.applyPass(cat, "ord", "t_ord", Seq("order_id"),
+      tmpDir("catsync_torn"))
+    val tornInv = cat.read("t_inv").agg(coalesce(sum("qty"), lit(0L)))
+      .head().getLong(0)
+    val tornOrd = cat.read("t_ord").agg(coalesce(sum("q"), lit(0L)))
+      .head().getLong(0)
+    assert(tornInv + tornOrd !== 500L,
+      "per-table feeds must exhibit the torn state the sync prevents")
+  }
+
+  test("catalog sync: deep backlog folds to bounded transactions; resume is exactly-once") {
+    import graft.streaming.{CatalogSync, TableSync}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import spark.implicits._
+    val cat = new graft.lake.LakeCatalog(spark, tmpDir("catsync_fold"))
+    val aS = StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType)))
+    cat.createTable("a", aS, primaryKey = Seq("id"))
+    cat.createTable("b", aS, primaryKey = Seq("id"))
+    cat.createTable("ra", aS)
+    cat.createTable("rb", aS)
+    // 30 commits across two tables incl. updates and a joint txn
+    (1 to 30).foreach { i =>
+      if (i % 7 == 0) cat.transaction { tx =>
+        tx.insert("a", Seq((1000L + i, i.toLong)).toDF("id", "v"))
+        tx.insert("b", Seq((1000L + i, i.toLong)).toDF("id", "v"))
+      }
+      else if (i % 5 == 0)
+        cat.update("a", col("id") <= i.toLong, Map("v" -> (col("v") + 100L)))
+      else cat.insert(if (i % 2 == 0) "a" else "b",
+        Seq((i.toLong, i.toLong * 10)).toDF("id", "v"))
+    }
+    val maps = Seq(TableSync("a", "ra", Seq("id")),
+      TableSync("b", "rb", Seq("id")))
+    val n = CatalogSync.pass(cat, cat, maps, "f1", maxTxnsPerPass = 5)
+    assert(n >= 1L && n <= 5L,
+      s"backlog must fold to <= maxTxnsPerPass transactions, saw $n")
+    def eqTo(src: String, dst: String): Boolean =
+      cat.read(dst).exceptAll(cat.read(src))
+        .union(cat.read(src).exceptAll(cat.read(dst))).isEmpty
+    assert(eqTo("a", "ra") && eqTo("b", "rb"),
+      "folded sync must land the identical net state")
+    assert(CatalogSync.pass(cat, cat, maps, "f1", maxTxnsPerPass = 5) === 0L)
+    // an independent stream id starts from scratch without colliding
+    cat.createTable("ra2", aS)
+    cat.createTable("rb2", aS)
+    val maps2 = Seq(TableSync("a", "ra2", Seq("id")),
+      TableSync("b", "rb2", Seq("id")))
+    assert(CatalogSync.pass(cat, cat, maps2, "f2", maxTxnsPerPass = 3) >= 1L)
+    assert(eqTo("a", "ra2") && eqTo("b", "rb2"))
   }
 }
