@@ -49,6 +49,7 @@ object Mv {
   private val PBase = "mv.base"
   private val PKeys = "mv.keys"
   private val PSums = "mv.sums"
+  private val PAvgs = "mv.avgs"
   private val PMins = "mv.mins"
   private val PMaxs = "mv.maxs"
   private val PVersion = "mv.version"
@@ -71,11 +72,23 @@ object Mv {
   // min/max keep SQL semantics (NULLs skipped; all-NULL group → NULL),
   // which least/greatest in the fast path match (both skip NULLs).
   private def aggExprs(sums: Seq[String], mins: Seq[String] = Nil,
-      maxs: Seq[String] = Nil): Seq[Column] =
+      maxs: Seq[String] = Nil, avgs: Seq[String] = Nil): Seq[Column] =
     count(lit(1)).as("n_rows") +:
       (sums.map(c => coalesce(sum(col(c)), lit(0L)).as(s"sum_$c")) ++
+        avgs.map(c => count(col(c)).as(s"cnt_$c")) ++
         mins.map(c => min(col(c)).as(s"min_$c")) ++
         maxs.map(c => max(col(c)).as(s"max_$c")))
+
+  /** AVG is derived, never independently maintained: `avg_<c>` is
+    * materialized as `sum_<c> / cnt_<c>` (NULL when the group has no
+    * non-NULL values — SQL AVG semantics; `cnt_` counts non-NULLs, so
+    * NULL-bearing groups divide correctly where sum/n_rows would not).
+    * Every write path (create, incremental merge, exact recompute, full
+    * reload) re-derives it from the two maintained columns. */
+  private def withAvgs(df: DataFrame, avgs: Seq[String]): DataFrame =
+    avgs.foldLeft(df)((d, c) => d.withColumn(s"avg_$c",
+      when(col(s"cnt_$c") > 0L,
+        col(s"sum_$c").cast("double") / col(s"cnt_$c"))))
 
   private def joinFrames(f: DataFrame, dm: DataFrame,
       fk: String, pk: String): DataFrame =
@@ -97,18 +110,24 @@ object Mv {
     * atomically with its spec + watermark properties. */
   def create(cat: LakeCatalog, mv: String, base: String,
       keys: Seq[String], sums: Seq[String],
-      mins: Seq[String] = Nil, maxs: Seq[String] = Nil): Unit = {
+      mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
+      avgs: Seq[String] = Nil): Unit = {
     requireNoOpenTx(cat, "Mv.create")
     cat.transaction { tx =>
       require(keys.nonEmpty, "mv needs at least one group key")
-      val aggs = aggExprs(sums, mins, maxs)
-      val df = tx.read(base).groupBy(keys.map(col): _*)
-        .agg(aggs.head, aggs.tail: _*)
+      // an AVG rides on sum+count: its sum_ column joins the maintained
+      // sums (shared when the user also asked for the SUM), its cnt_
+      // column is maintained alongside, and avg_ is derived at write
+      val sumsAll = (sums ++ avgs).distinct
+      val aggs = aggExprs(sumsAll, mins, maxs, avgs)
+      val df = withAvgs(tx.read(base).groupBy(keys.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*), avgs)
       tx.createTable(mv, df.schema, primaryKey = keys)
       tx.insert(mv, df)
       tx.setProperty(mv, PBase, base)
       tx.setProperty(mv, PKeys, keys.mkString(","))
-      tx.setProperty(mv, PSums, sums.mkString(","))
+      tx.setProperty(mv, PSums, sumsAll.mkString(","))
+      if (avgs.nonEmpty) tx.setProperty(mv, PAvgs, avgs.mkString(","))
       if (mins.nonEmpty) tx.setProperty(mv, PMins, mins.mkString(","))
       if (maxs.nonEmpty) tx.setProperty(mv, PMaxs, maxs.mkString(","))
       tx.setProperty(mv, PVersion, tx.commitVersion.toString)
@@ -135,21 +154,24 @@ object Mv {
   def createJoin(cat: LakeCatalog, mv: String, base: String, dim: String,
       fk: String, pk: String, filter: Option[String],
       keys: Seq[String], sums: Seq[String],
-      mins: Seq[String] = Nil, maxs: Seq[String] = Nil): Unit = {
+      mins: Seq[String] = Nil, maxs: Seq[String] = Nil,
+      avgs: Seq[String] = Nil): Unit = {
     requireNoOpenTx(cat, "Mv.createJoin")
     cat.transaction { tx =>
     require(keys.nonEmpty, "mv needs at least one group key")
+    val sumsAll = (sums ++ avgs).distinct
     val f0 = tx.read(base)
     val f = filter.map(f0.filter).getOrElse(f0)
-    val aggs = aggExprs(sums, mins, maxs)
-    val df = joinFrames(f, tx.read(dim), fk, pk)
+    val aggs = aggExprs(sumsAll, mins, maxs, avgs)
+    val df = withAvgs(joinFrames(f, tx.read(dim), fk, pk)
       .groupBy(keys.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(aggs.head, aggs.tail: _*), avgs)
     tx.createTable(mv, df.schema, primaryKey = keys)
     tx.insert(mv, df)
     tx.setProperty(mv, PBase, base)
     tx.setProperty(mv, PKeys, keys.mkString(","))
-    tx.setProperty(mv, PSums, sums.mkString(","))
+    tx.setProperty(mv, PSums, sumsAll.mkString(","))
+    if (avgs.nonEmpty) tx.setProperty(mv, PAvgs, avgs.mkString(","))
     if (mins.nonEmpty) tx.setProperty(mv, PMins, mins.mkString(","))
     if (maxs.nonEmpty) tx.setProperty(mv, PMaxs, maxs.mkString(","))
     tx.setProperty(mv, PDim, dim)
@@ -179,6 +201,7 @@ object Mv {
         throw new IllegalArgumentException(s"$mv is not a materialized view"))
       val keys = props(PKeys).split(",").toSeq.filter(_.nonEmpty)
       val sums = props(PSums).split(",").toSeq.filter(_.nonEmpty)
+      val avgs = props.get(PAvgs).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
       val mins = props.get(PMins).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
       val maxs = props.get(PMaxs).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
       val joinSpec = props.get(PDim).map(dim => (dim, props(PFk), props(PPk)))
@@ -242,9 +265,9 @@ object Mv {
           case Some((dim, fk, pk)) => joinFrames(f, tx.read(dim), fk, pk)
           case None => f
         }
-        val aggs = aggExprs(sums, mins, maxs)
-        tx.insert(mv, src.groupBy(keys.map(col): _*)
-          .agg(aggs.head, aggs.tail: _*))
+        val aggs = aggExprs(sums, mins, maxs, avgs)
+        tx.insert(mv, withAvgs(src.groupBy(keys.map(col): _*)
+          .agg(aggs.head, aggs.tail: _*), avgs))
       } else {
         mode = "incremental"
         val sign = when(
@@ -294,6 +317,9 @@ object Mv {
         // the only rows that can invalidate a running min/max
         val dAggs = (sum(col("__sgn")).as("__dn") +:
           sums.map(c => sum(col("__sgn") * col(c)).as(s"__d_$c"))) ++
+          // signed NON-NULL count — the avg denominators' delta
+          avgs.map(c => sum(col("__sgn") *
+            when(col(c).isNotNull, 1L).otherwise(0L)).as(s"__dc_$c")) ++
           mins.map(c => min(when(col("__sgn") > 0, col(c))).as(s"__dmin_$c")) ++
           maxs.map(c => max(when(col("__sgn") > 0, col(c))).as(s"__dmax_$c")) :+
           max(when(col("__sgn") < 0, lit(1)).otherwise(lit(0))).as("__hasneg")
@@ -327,17 +353,25 @@ object Mv {
         // clobber the existing group sum to NULL. Sums here follow the
         // COALESCE(SUM(x),0) convention (a group with only NULL values
         // reports 0), stated in the object scaladoc.
+        def newSum(c: String): Column = {
+          val t = cur.schema(s"sum_$c").dataType
+          coalesce(col(s"sum_$c"), lit(0L).cast(t)) +
+            coalesce(col(s"__d_$c"), lit(0L).cast(t))
+        }
+        def newCnt(c: String): Column =
+          coalesce(col(s"cnt_$c"), lit(0L)) +
+            coalesce(col(s"__dc_$c"), lit(0L))
         val updated = joined.select(
           (keys.map(col) ++
             Seq((coalesce(col("n_rows"), lit(0L)) + col("__dn")).as("n_rows")) ++
-            sums.map { c =>
-              val t = cur.schema(s"sum_$c").dataType
-              (coalesce(col(s"sum_$c"), lit(0L).cast(t)) +
-                coalesce(col(s"__d_$c"), lit(0L).cast(t))).as(s"sum_$c")
-            } ++
+            sums.map(c => newSum(c).as(s"sum_$c")) ++
+            avgs.map(c => newCnt(c).as(s"cnt_$c")) ++
             mins.map(c => least(col(s"min_$c"), col(s"__dmin_$c")).as(s"min_$c")) ++
             maxs.map(c =>
-              greatest(col(s"max_$c"), col(s"__dmax_$c")).as(s"max_$c"))): _*)
+              greatest(col(s"max_$c"), col(s"__dmax_$c")).as(s"max_$c")) ++
+            // avg re-derived from the merged sum+count (write-path rule)
+            avgs.map(c => when(newCnt(c) > 0L,
+              newSum(c).cast("double") / newCnt(c)).as(s"avg_$c"))): _*)
         tx.merge(mv, updated, keys)
         // a group can only hit zero if some group's row-delta is
         // negative — insert-only refreshes (the common case) skip the
@@ -357,15 +391,15 @@ object Mv {
           // O(changed groups' fact rows), the bound the scaladoc states
           val delKeys = deltaAgg.filter(col("__hasneg") === 1)
             .select(keys.map(col): _*)
-          val aggs = aggExprs(sums, mins, maxs)
+          val aggs = aggExprs(sums, mins, maxs, avgs)
           val src = joinSpec match {
             case Some((dim, fk, pk)) =>
               joinFrames(withFilter(tx.read(base)), tx.read(dim), fk, pk)
             case None => withFilter(tx.read(base))
           }
-          val recomputed = src
+          val recomputed = withAvgs(src
             .join(delKeys, keys, "left_semi")
-            .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+            .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*), avgs)
           // ONE copy-on-write pass applies the whole recompute: groups
           // that vanished from the source carry an n_rows = -1 sentinel
           // and DELETE; surviving groups UPDATE; a group born inside

@@ -1832,28 +1832,34 @@ object LakeScenarios {
         cat.execute("CREATE TABLE sales (k INTEGER, v INTEGER)")
         cat.execute("INSERT INTO sales SELECT * FROM VALUES " +
           "(1, 10), (1, 20), (2, 30) AS x(k, v)")
+        // AVG rides on maintained sum+count (cnt_ counts NON-NULLs, so
+        // the NULL row below must not dilute group 3's average)
         cat.execute("CREATE MATERIALIZED VIEW mv AS " +
-          "SELECT k, COUNT(*) AS n_rows, SUM(v) AS sum_v " +
-          "FROM sales GROUP BY k")
+          "SELECT k, COUNT(*) AS n_rows, SUM(v) AS sum_v, " +
+          "AVG(v) AS avg_v FROM sales GROUP BY k")
         cat.execute("INSERT INTO sales SELECT * FROM VALUES " +
-          "(2, 40), (3, 50) AS x(k, v)")
+          "(2, 40), (3, 50), (3, CAST(NULL AS INT)) AS x(k, v)")
         cat.execute("DELETE FROM sales WHERE v = 10")
         val path = cat.execute("REFRESH MATERIALIZED VIEW mv")
         cat.sql("SELECT CAST(k AS STRING) AS metric, " +
-            "CAST(n_rows AS BIGINT) AS n, CAST(sum_v AS BIGINT) AS v FROM mv")
+            "CAST(n_rows AS BIGINT) AS n, CAST(sum_v AS BIGINT) AS v, " +
+            "CAST(round(avg_v * 1000) AS BIGINT) AS a FROM mv")
           .unionByName(path.selectExpr("'refresh_path' AS metric",
             "CAST(1 AS BIGINT) AS n",
-            "CAST(IF(refresh_path = 'incremental', 1, 0) AS BIGINT) AS v"))
+            "CAST(IF(refresh_path = 'incremental', 1, 0) AS BIGINT) AS v",
+            "CAST(1 AS BIGINT) AS a"))
           .orderBy("metric")
       }, Some("""
         WITH s0 AS (SELECT * FROM (VALUES (1, 10), (1, 20), (2, 30),
-                                          (2, 40), (3, 50)) x(k, v)
-                    WHERE v <> 10)
+                                          (2, 40), (3, 50), (3, NULL)) x(k, v)
+                    WHERE v IS NULL OR v <> 10)
         SELECT CAST(k AS VARCHAR) AS metric,
-               CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS v
+               CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS v,
+               CAST(round(avg(v) * 1000) AS BIGINT) AS a
         FROM s0 GROUP BY k
         UNION ALL
-        SELECT 'refresh_path', CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        SELECT 'refresh_path', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+               CAST(1 AS BIGINT)
         ORDER BY metric""")),
 
     // L43 — AUTO-COMPACTION (the Delta autoOptimize.autoCompact analog):
@@ -2703,6 +2709,278 @@ object LakeScenarios {
             (SELECT CAST(sum(v) AS BIGINT) FROM final2)),
           ('18_replica_eq_anchored', CAST(1 AS BIGINT)),
           ('19_src_evolved', CAST(1 AS BIGINT)))
+          t(metric, value)
+        ORDER BY metric""")),
+
+    // MULTI-TABLE transactionally-consistent change streaming (ref
+    // README.md:22-31 — snapshots span tables; demos/01_transaction_rollback/
+    // demo.py:177-214 — order insert + inventory decrement as ONE commit).
+    // CatalogSync consumes N tables' change feeds aligned on catalog commit
+    // versions and applies each sync point to ALL replicas in one atomic
+    // destination transaction (offset tag inside the same commit, so apply
+    // and checkpoint advance are one atomic publish — the replica catalog
+    // IS the checkpoint). The judged ledger drives demo-1's shape through
+    // two passes (the second under a fold cap), then AUDITS every
+    // destination version the sync created: the unit-conservation invariant
+    // inv.quantity + ord.qty = const must hold at each — a per-table feed
+    // pair can (and provably does, see StreamingSpec's non-vacuous pin)
+    // expose a torn half-applied state the source never contained. Oracle:
+    // replica data outcomes replayed as CTEs over the identical part slice;
+    // transaction/audit counts are deterministic engine contracts as
+    // literals.
+    QDef("l51_catalog_sync",
+      (s, d) => {
+        import graft.streaming.{CatalogSync, TableSync}
+        val cat = freshLake(s)
+        val invS = StructType(Seq(
+          StructField("product_id", LongType),
+          StructField("quantity", LongType)))
+        val ordS = StructType(Seq(
+          StructField("order_id", LongType),
+          StructField("product_id", LongType),
+          StructField("qty", LongType)))
+        cat.createTable("inv", invS, primaryKey = Seq("product_id"))
+        cat.createTable("ord", ordS, primaryKey = Seq("order_id"))
+        cat.createTable("r_inv", invS)
+        cat.createTable("r_ord", ordS)
+        // SF-invariant seed: p_partkey 1..80 exists at every driver SF
+        cat.insert("inv", T.part(s, d).filter(col("p_partkey") <= 80)
+          .selectExpr("cast(p_partkey AS bigint) AS product_id",
+            "cast(p_size AS bigint) AS quantity"))
+        val s2 = s
+        import s2.implicits._
+        def order(id: Long, p: Long, q: Long): Unit = cat.transaction { tx =>
+          tx.insert("ord",
+            Seq((id, p, q)).toDF("order_id", "product_id", "qty"))
+          tx.update("inv", col("product_id") === p,
+            Map("quantity" -> (col("quantity") - q)))
+        }
+        val maps = Seq(TableSync("inv", "r_inv", Seq("product_id")),
+          TableSync("ord", "r_ord", Seq("order_id")))
+        // phase A: two joint txns + one single-table insert -> 4 data
+        // sync points (seed, o1, o2, insert), each one dst transaction
+        order(1, 10, 3); order(2, 20, 5)
+        cat.insert("inv", Seq((900L, 40L)).toDF("product_id", "quantity"))
+        val txns1 = CatalogSync.pass(cat, cat, maps, "l51")
+        def agg2(t: String): (Long, Long) = {
+          val r = cat.read(t).agg(count(lit(1)),
+            coalesce(sum(cat.read(t).columns.last), lit(0L))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val (invRows1, invSum1) = agg2("r_inv")
+        val (ordRows1, ordSum1) = agg2("r_ord")
+        def eqTo(src: String, dst: String): Long = {
+          val (a, b) = (cat.read(src), cat.read(dst))
+          if (b.exceptAll(a).union(a.exceptAll(b)).isEmpty) 1L else 0L
+        }
+        val eq1 = eqTo("inv", "r_inv") * eqTo("ord", "r_ord")
+        // phase B: three joint txns + one single-table update, synced
+        // under a FOLD CAP of 2 -> one coarse + one fine transaction
+        val auditFrom = cat.currentVersion
+        order(3, 30, 7); order(4, 40, 2)
+        cat.update("inv", col("product_id") === 900L,
+          Map("quantity" -> (col("quantity") + 10L)))
+        order(5, 50, 4)
+        val txns2 = CatalogSync.pass(cat, cat, maps, "l51",
+          maxTxnsPerPass = 2)
+        val (invRows2, invSum2) = agg2("r_inv")
+        val (ordRows2, ordSum2) = agg2("r_ord")
+        val eq2 = eqTo("inv", "r_inv") * eqTo("ord", "r_ord")
+        // torn audit over phase B's destination commits: at every version
+        // the sync created, the replica pair must equal the SOURCE pair at
+        // that sync point — checked via the conservation signature
+        // inv_sum + ord_sum (phase B moves no units in or out: +10 on
+        // inv at one sync point is visible as a signature STEP, so check
+        // membership in the two legal totals, never a half-applied mix)
+        val legalTotals = Set(invSum1 + ordSum1, invSum1 + ordSum1 + 10L)
+        var audited = 0L
+        var torn = 0L
+        for (v <- (auditFrom + 1) to cat.currentVersion
+             if cat.snapshot(v).changes.getOrElse("stream_batches", Nil)
+               .exists(_.startsWith("catsync:l51:"))) {
+          val iv = cat.readAt("r_inv", v).agg(coalesce(sum("quantity"),
+            lit(0L))).head().getLong(0)
+          val ov = cat.readAt("r_ord", v).agg(coalesce(sum("qty"),
+            lit(0L))).head().getLong(0)
+          audited += 1
+          if (!legalTotals.contains(iv + ov)) torn += 1
+        }
+        // phase C: nothing new -> zero transactions
+        val txns3 = CatalogSync.pass(cat, cat, maps, "l51")
+        Seq(
+          ("01_txns_p1", txns1),
+          ("02_r_inv_rows_p1", invRows1),
+          ("03_r_inv_sum_p1", invSum1),
+          ("04_r_ord_rows_p1", ordRows1),
+          ("05_r_ord_sum_p1", ordSum1),
+          ("06_replicas_eq_p1", eq1),
+          ("07_txns_p2", txns2),
+          ("08_r_inv_rows_p2", invRows2),
+          ("09_r_inv_sum_p2", invSum2),
+          ("10_r_ord_rows_p2", ordRows2),
+          ("11_r_ord_sum_p2", ordSum2),
+          ("12_replicas_eq_p2", eq2),
+          ("13_audited_commits", audited),
+          ("14_torn_commits", torn),
+          ("15_txns_p3", txns3))
+          .toDF("metric", "value").orderBy("metric")
+      }, Some("""
+        WITH seed AS (
+          SELECT CAST(sum(p_size) AS BIGINT) AS q,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM part WHERE p_partkey <= 80)
+        SELECT * FROM (VALUES
+          ('01_txns_p1', CAST(4 AS BIGINT)),
+          ('02_r_inv_rows_p1', (SELECT n + 1 FROM seed)),
+          ('03_r_inv_sum_p1', (SELECT q - 8 + 40 FROM seed)),
+          ('04_r_ord_rows_p1', CAST(2 AS BIGINT)),
+          ('05_r_ord_sum_p1', CAST(8 AS BIGINT)),
+          ('06_replicas_eq_p1', CAST(1 AS BIGINT)),
+          ('07_txns_p2', CAST(2 AS BIGINT)),
+          ('08_r_inv_rows_p2', (SELECT n + 1 FROM seed)),
+          ('09_r_inv_sum_p2', (SELECT q - 8 + 40 - 13 + 10 FROM seed)),
+          ('10_r_ord_rows_p2', CAST(5 AS BIGINT)),
+          ('11_r_ord_sum_p2', CAST(21 AS BIGINT)),
+          ('12_replicas_eq_p2', CAST(1 AS BIGINT)),
+          ('13_audited_commits', CAST(2 AS BIGINT)),
+          ('14_torn_commits', CAST(0 AS BIGINT)),
+          ('15_txns_p3', CAST(0 AS BIGINT)))
+          t(metric, value)
+        ORDER BY metric""")),
+
+    // CONCURRENT WRITERS through OCC (ref README.md:244 — "1000x more
+    // concurrent writers"; the reference's claim rests on the catalog
+    // being a transactional store with conditional-put version claiming).
+    // K racing writer threads × M commits each, all against one catalog:
+    // every transaction must eventually commit (publish-retry re-runs the
+    // body on the fresh base), history must be LINEAR (exactly K·M new
+    // versions — one per transaction, no overwrites), and the classic
+    // read-modify-write hazard must show no lost update: a shared counter
+    // each writer increments M times through a transaction lands at
+    // exactly K·M. Retry/wall numbers are measured by LakeOpProbe
+    // (FLOOR_ANALYSIS receipt) — the judged ledger holds the
+    // deterministic outcomes. Oracle: serializability contracts as
+    // literals; row landing replayed as a DuckDB cross-range sum.
+    QDef("l52_concurrent_writers",
+      (s, d) => {
+        val cat = freshLake(s)
+        val K = 6; val M = 5; val R = 3
+        cat.createTable("log", StructType(Seq(
+          StructField("writer", LongType), StructField("seq", LongType),
+          StructField("payload", LongType))),
+          primaryKey = Seq("writer", "seq"))
+        cat.createTable("counter", StructType(Seq(
+          StructField("id", LongType), StructField("n", LongType))))
+        val s2 = s
+        import s2.implicits._
+        cat.insert("counter", Seq((0L, 0L)).toDF("id", "n"))
+        val base = cat.currentVersion
+        val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val gate = new java.util.concurrent.CountDownLatch(1)
+        val writers = (0 until K).map { w =>
+          new Thread(() => {
+            try {
+              gate.await()
+              (0 until M).foreach { m =>
+                cat.transaction { tx =>
+                  tx.insert("log", (0 until R).map(j =>
+                    (w.toLong, (m * R + j).toLong,
+                      w.toLong * 100 + (m * R + j)))
+                    .toDF("writer", "seq", "payload"))
+                  tx.update("counter", col("id") === 0L,
+                    Map("n" -> (col("n") + 1L)))
+                }
+              }
+            } catch { case t: Throwable => errors.add(t) }
+          })
+        }
+        writers.foreach(_.start()); gate.countDown()
+        writers.foreach(_.join(600000))
+        val committed = cat.currentVersion - base
+        // LINEAR history: every version in (base, head] is exactly one
+        // writer transaction — one tables_inserted_into change on `log`
+        val headers = cat.current.history
+          .filter(h => h.snapshotId > base)
+        val linear =
+          if (headers.size == K * M && headers.forall(
+            _.changes.getOrElse("tables_inserted_into", Nil).contains("log")))
+            1L else 0L
+        val rows = cat.read("log").count()
+        val distinctKeys = cat.read("log")
+          .select("writer", "seq").distinct().count()
+        val paySum = cat.read("log")
+          .agg(coalesce(sum("payload"), lit(0L))).head().getLong(0)
+        val counterN = cat.read("counter")
+          .filter(col("id") === 0L).select("n").head().getLong(0)
+        // serializable snapshots all the way down: at every version the
+        // counter equals the number of writer txns already committed
+        var monotone = 1L
+        var prevN = -1L
+        for (v <- base to cat.currentVersion) {
+          val n = cat.readAt("counter", v).filter(col("id") === 0L)
+            .select("n").head().getLong(0)
+          if (n != prevN + 1 && prevN >= 0) monotone = 0L
+          prevN = n
+        }
+        // phase 2 — DISJOINT writers, the rebase fast path: K writers
+        // each append to their OWN table; write-conflict detection lets
+        // a loser republish on the new head without re-running its body,
+        // so the only serialization point is the conditional put
+        val dK = 4; val dM = 3
+        (0 until dK).foreach(w => cat.createTable(s"d$w", StructType(Seq(
+          StructField("seq", LongType), StructField("v", LongType)))))
+        val base2 = cat.currentVersion
+        val errors2 = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val gate2 = new java.util.concurrent.CountDownLatch(1)
+        val writers2 = (0 until dK).map { w =>
+          new Thread(() => {
+            try {
+              gate2.await()
+              (0 until dM).foreach { m =>
+                cat.transaction(_.insert(s"d$w",
+                  Seq((m.toLong, w.toLong * 10 + m)).toDF("seq", "v")))
+              }
+            } catch { case t: Throwable => errors2.add(t) }
+          })
+        }
+        writers2.foreach(_.start()); gate2.countDown()
+        writers2.foreach(_.join(600000))
+        val committed2 = cat.currentVersion - base2
+        val dRows = (0 until dK).map(w => cat.read(s"d$w").count()).sum
+        val dSum = (0 until dK).map(w => cat.read(s"d$w")
+          .agg(coalesce(sum("v"), lit(0L))).head().getLong(0)).sum
+        Seq(
+          ("01_writer_errors", errors.size.toLong),
+          ("02_committed_txns", committed),
+          ("03_history_linear", linear),
+          ("04_log_rows", rows),
+          ("05_distinct_keys", distinctKeys),
+          ("06_lost_inserts", rows - distinctKeys),
+          ("07_payload_sum", paySum),
+          ("08_counter", counterN),
+          ("09_counter_monotone", monotone),
+          ("10_disjoint_errors", errors2.size.toLong),
+          ("11_disjoint_txns", committed2),
+          ("12_disjoint_rows", dRows),
+          ("13_disjoint_sum", dSum))
+          .toDF("metric", "value").orderBy("metric")
+      }, Some("""
+        SELECT * FROM (VALUES
+          ('01_writer_errors', CAST(0 AS BIGINT)),
+          ('02_committed_txns', CAST(30 AS BIGINT)),
+          ('03_history_linear', CAST(1 AS BIGINT)),
+          ('04_log_rows', CAST(90 AS BIGINT)),
+          ('05_distinct_keys', CAST(90 AS BIGINT)),
+          ('06_lost_inserts', CAST(0 AS BIGINT)),
+          ('07_payload_sum', (SELECT CAST(sum(w * 100 + sq) AS BIGINT)
+             FROM range(6) t(w), range(15) u(sq))),
+          ('08_counter', CAST(30 AS BIGINT)),
+          ('09_counter_monotone', CAST(1 AS BIGINT)),
+          ('10_disjoint_errors', CAST(0 AS BIGINT)),
+          ('11_disjoint_txns', CAST(12 AS BIGINT)),
+          ('12_disjoint_rows', CAST(12 AS BIGINT)),
+          ('13_disjoint_sum', (SELECT CAST(sum(w * 10 + m) AS BIGINT)
+             FROM range(4) t(w), range(3) u(m))))
           t(metric, value)
         ORDER BY metric""")),
 

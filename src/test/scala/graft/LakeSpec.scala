@@ -2170,4 +2170,120 @@ class LakeSpec extends SparkSpec {
     assert(cat.read("acct").filter(col("id") === 20)
       .select("name").as[String].head() === "z2")
   }
+
+  test("materialized view AVG: sum+count maintenance matches recompute through churn") {
+    import graft.lake.Mv
+    val cat = newLake()
+    cat.createTable("b", StructType(Seq(
+      StructField("k", IntegerType), StructField("v", IntegerType))))
+    def ins(rows: (Int, Option[Int])*): Unit = cat.insert("b",
+      rows.map { case (k, v) => (k, v) }.toDF("k", "v"))
+    ins((1, Some(10)), (1, None), (2, Some(5)))
+    Mv.create(cat, "m", "b", Seq("k"), sums = Nil, avgs = Seq("v"))
+    assert(cat.read("m").columns.toSeq ===
+      Seq("k", "n_rows", "sum_v", "cnt_v", "avg_v"))
+    def avgOf(k: Int): Option[Double] = {
+      val r = cat.read("m").filter(col("k") === k).select("avg_v").head()
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    assert(avgOf(1) === Some(10.0), "NULL must not dilute the average")
+    assert(avgOf(2) === Some(5.0))
+    // churn: inserts (one all-NULL group), a group-killing delete, an
+    // update — then the incremental refresh must equal a recompute
+    ins((1, Some(30)), (3, None))
+    cat.delete("b", col("v") === 5)
+    cat.update("b", col("v") === 10, Map("v" -> lit(40)))
+    assert(Mv.refresh(cat, "m") === "incremental")
+    assert(avgOf(1) === Some(35.0)) // (40 + 30) / 2 non-NULLs
+    assert(avgOf(3) === None, "an all-NULL group has SQL AVG = NULL")
+    val expect = cat.read("b").groupBy("k")
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum("v"), lit(0L)).as("sum_v"),
+        count(col("v")).as("cnt_v"))
+      .withColumn("avg_v", when(col("cnt_v") > 0,
+        col("sum_v").cast("double") / col("cnt_v")))
+    assert(cat.read("m").exceptAll(expect)
+      .union(expect.exceptAll(cat.read("m"))).isEmpty,
+      "incremental AVG maintenance must equal the recompute")
+    // noop + second wave keeps agreeing
+    ins((2, Some(7)), (2, Some(9)))
+    assert(Mv.refresh(cat, "m") === "incremental")
+    assert(avgOf(2) === Some(8.0))
+    // the SQL surface: AVG with a shared SUM on a join MV
+    cat.createTable("dm", StructType(Seq(
+      StructField("k", IntegerType), StructField("grp", IntegerType))))
+    cat.insert("dm", Seq((1, 0), (2, 0), (3, 1)).toDF("k", "grp"))
+    cat.execute("CREATE MATERIALIZED VIEW m2 AS " +
+      "SELECT grp, COUNT(*) AS n_rows, SUM(v) AS sum_v, AVG(v) AS avg_v " +
+      "FROM b JOIN dm ON k = k GROUP BY grp")
+    ins((1, Some(100)))
+    cat.execute("REFRESH MATERIALIZED VIEW m2")
+    val g0 = cat.read("m2").filter(col("grp") === 0)
+      .select("sum_v", "avg_v").head()
+    // grp 0 = all of groups 1,2: values 40,30,100,7,9 -> sum 186, avg 37.2
+    assert(g0.getLong(0) === 186L)
+    assert(math.abs(g0.getDouble(1) - 37.2) < 1e-9)
+  }
+
+  test("OCC rebase: disjoint commits republish without re-running the body; conflicts re-run") {
+    val root = tmpDir("rebase")
+    val cat = new LakeCatalog(spark, root)
+    val cat2 = new LakeCatalog(spark, root) // an independent writer
+    val sch = StructType(Seq(StructField("id", IntegerType)))
+    cat.createTable("x", sch)
+    cat.createTable("y", sch)
+    def df(i: Int) = Seq(i).toDF("id")
+    // 1) DISJOINT: mid-body a concurrent commit lands on x; our txn only
+    // touches y -> the commit REBASES (no body re-run)
+    var runs = 0
+    cat.transaction { tx =>
+      runs += 1
+      if (runs == 1) cat2.insert("x", df(100))
+      tx.insert("y", df(1))
+    }
+    assert(runs === 1, "disjoint concurrent commit must rebase, not re-run")
+    assert(cat.read("x").count() === 1 && cat.read("y").count() === 1,
+      "both the concurrent and the rebased commit must survive")
+    // 2) READ-WRITE conflict: our txn READ x through the tx, then a
+    // concurrent write to x lands -> the body must re-run (its read is
+    // stale), and the re-run sees the new row
+    runs = 0
+    var seen = Seq.empty[Long]
+    cat.transaction { tx =>
+      runs += 1
+      seen = seen :+ tx.read("x").count()
+      if (runs == 1) cat2.insert("x", df(101))
+      tx.insert("y", df(2))
+    }
+    assert(runs === 2, "a read-write conflict must re-run the body")
+    assert(seen === Seq(1L, 2L), "the re-run must see the concurrent write")
+    // 3) WRITE-WRITE conflict on the same table: serialized via re-run
+    runs = 0
+    cat.transaction { tx =>
+      runs += 1
+      if (runs == 1) cat2.insert("y", df(200))
+      tx.insert("y", df(3))
+    }
+    assert(runs === 2, "a write-write conflict must re-run the body")
+    assert(cat.read("y").count() === 4)
+    // 4) DDL never rebases (schema versions ride a global counter)
+    runs = 0
+    cat.transaction { tx =>
+      runs += 1
+      if (runs == 1) cat2.insert("x", df(102))
+      tx.createTable(s"z$runs", sch)
+    }
+    assert(runs === 2, "DDL must take the re-run path")
+    assert(cat.current.tables.contains("z2") && !cat.current.tables.contains("z1"))
+    // 5) stream-tag work never rebases (tags are catalog-global)
+    runs = 0
+    cat.transaction { tx =>
+      runs += 1
+      if (runs == 1) cat2.insert("x", df(103))
+      tx.insert("y", df(4))
+      tx.markStreamBatch(s"rebase-test:$runs")
+    }
+    assert(runs === 2, "stream tags must take the re-run path")
+    assert(cat.current.history.last.changes("stream_batches") === Seq("rebase-test:2"))
+  }
 }
