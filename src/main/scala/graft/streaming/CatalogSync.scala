@@ -1,0 +1,203 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.lake.LakeCatalog
+
+/** One table's replication mapping in a multi-table sync: `src` in the
+  * source catalog streams into `dst` in the destination catalog; `keys`
+  * must uniquely identify rows (the same net-effect-apply precondition as
+  * [[LakeCatalog.applyChangesStreamBatch]]). */
+final case class TableSync(src: String, dst: String, keys: Seq[String])
+
+/** MULTI-TABLE transactionally-consistent change streaming — the catalog-
+  * level form of [[ChangeFeed]] (ref README.md:22-31: snapshots span
+  * tables; demos/01_transaction_rollback/demo.py:177-214 commits an order
+  * insert + inventory update as ONE snapshot).
+  *
+  * Why per-table feeds are not enough: two independent `ChangeFeed`
+  * streams over tables committed in the SAME source transaction apply to
+  * their replicas at independent offsets, so a downstream join can observe
+  * a torn state — order rows landed, inventory decrement not yet — that
+  * the source catalog never contained. The fix is alignment on the one
+  * thing the catalog already serializes: the snapshot version counter.
+  *
+  * [[CatalogSync.pass]] consumes the change feeds of N tables in ONE
+  * coordinated pass whose batches are SYNC POINTS — source snapshot
+  * versions at which any synced table's data changed. Each sync point
+  * applies every touched table's `(prev, v]` net diff to its replica in a
+  * single destination transaction, and the stream OFFSET (an idempotence
+  * tag naming `v`) commits inside that same transaction. Consequences,
+  * each pinned by StreamingSpec:
+  *  - never torn: a multi-table source txn is one sync point, so its
+  *    effects reach all replicas in one atomic destination commit —
+  *    between destination versions the replicas always equal the source
+  *    pair at some single source version;
+  *  - exactly-once without a side checkpoint: apply and offset advance
+  *    are one commit, so a crashed pass resumes at the last committed
+  *    sync point and a racing duplicate pass loses the tag check and
+  *    skips (the destination catalog IS the checkpoint);
+  *  - bounded plans: a deep backlog folds its oldest sync points into one
+  *    coarse live-to-live diff per table (exact net effect, same fold as
+  *    [[ChangeFeed]]'s `maxWindowsPerBatch`), so a pass is at most
+  *    `maxTxnsPerPass` destination transactions regardless of lag.
+  *
+  * Scale shape: sync-point discovery is one manifest-head read plus an
+  * in-memory header scan (zero jobs); each applied window is the same
+  * O(churn) [[LakeCatalog.tableChanges]] diff the per-table feed plans —
+  * executor-side scans/joins, nothing collected on the driver beyond the
+  * key-uniqueness guard's LIMIT 1. Replicating K tables costs the sum of
+  * their churn, never a function of table size.
+  */
+object CatalogSync {
+
+  /** Kinds that end a streamed table's column identity (see
+    * [[ChangeFeed.IdentityBreakKinds]]). */
+  private def identityBreaks(h: graft.lake.SnapHeader, table: String): Boolean =
+    ChangeFeed.IdentityBreakKinds.exists(k =>
+      h.changes.getOrElse(k, Nil).contains(table))
+
+  private def touchesData(h: graft.lake.SnapHeader, tables: Set[String]): Boolean =
+    h.changes.exists { case (k, ts) =>
+      ChangeFeed.DataKinds.contains(k) && ts.exists(tables.contains) }
+
+  /** The last committed sync point for `streamId`, read from the
+    * destination catalog's header history — O(versions) in-memory scan,
+    * zero jobs. 0 = never synced. */
+  def lastOffset(dstCat: LakeCatalog, streamId: String): Long = {
+    val prefix = s"catsync:$streamId:"
+    dstCat.current.history.iterator
+      .flatMap(_.changes.getOrElse("stream_batches", Nil))
+      .filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).toLong)
+      .foldLeft(0L)(math.max)
+  }
+
+  /** One incremental multi-table pass: replicate every `tables` mapping
+    * from `srcCat` into `dstCat`, aligned on source commit versions.
+    * Returns the number of destination transactions committed (0 when
+    * nothing new). `anchorVersions` optionally pins a per-SOURCE-table
+    * schema anchor (same contract as [[ChangeFeed]]'s `anchorVersion`);
+    * unpinned tables anchor at their first-pass source head. */
+  def pass(srcCat: LakeCatalog, dstCat: LakeCatalog, tables: Seq[TableSync],
+      streamId: String, maxTxnsPerPass: Int = 32,
+      anchorVersions: Map[String, Long] = Map.empty): Long = {
+    require(tables.nonEmpty, "nothing to sync")
+    require(tables.map(_.dst).distinct.size == tables.size,
+      "destination tables must be distinct")
+    require(maxTxnsPerPass >= 1, "maxTxnsPerPass must be >= 1")
+    val head = srcCat.current
+    val from = lastOffset(dstCat, streamId)
+    if (head.snapshotId <= from) return 0L
+    val srcNames = tables.map(_.src).toSet
+    val window = head.history.iterator
+      .filter(h => h.snapshotId > from && h.snapshotId <= head.snapshotId)
+      .toSeq
+    // identity-break guard, per table, same remedy story as ChangeFeed
+    for (t <- tables; h <- window.find(identityBreaks(_, t.src))) {
+      val remedy = if (from == 0L)
+        "; sync only the name's current incarnation by seeding the " +
+          "replica and offset past the break"
+      else "; re-seed the replica and start a fresh sync stream"
+      throw new IllegalStateException(
+        s"table '${t.src}' was dropped, replaced or renamed at " +
+          s"v${h.snapshotId} — its column identity ended there" + remedy)
+    }
+    val expired = head.expiredVersions
+    // sync points: live versions in (from, head] where ANY synced table's
+    // data changed; expired interiors merge into the next live point, a
+    // trailing expired run closes with one live-to-live window at head
+    val livePoints = window.iterator
+      .filterNot(h => expired.contains(h.snapshotId))
+      .filter(touchesData(_, srcNames))
+      .map(_.snapshotId).toSeq
+    val hasTrailingExpired = window.iterator
+      .filter(h => expired.contains(h.snapshotId))
+      .filter(touchesData(_, srcNames))
+      .exists(_.snapshotId > livePoints.lastOption.getOrElse(from))
+    val points0 =
+      if (hasTrailingExpired && livePoints.lastOption.forall(_ < head.snapshotId))
+        livePoints :+ head.snapshotId
+      else livePoints
+    // backlog fold: keep the last maxTxnsPerPass-1 points fine-grained,
+    // everything older becomes one coarse exact diff
+    val points =
+      if (points0.size <= maxTxnsPerPass) points0
+      else points0(points0.size - maxTxnsPerPass) +:
+        points0.drop(points0.size - maxTxnsPerPass + 1)
+    // per-table schema anchors: pinned, else this pass's head (stable
+    // across the pass so every window of one pass aligns identically)
+    val anchors = tables.map(t =>
+      t.src -> anchorVersions.getOrElse(t.src, head.snapshotId)).toMap
+    val headersByV = window.map(h => h.snapshotId -> h).toMap
+    var committed = 0L
+    var lastTagged = from
+    var prev = from
+    for (v <- points) {
+      // which synced tables changed in (prev, v]? A coarse fold spans
+      // many headers; expired interiors still count — their net effect
+      // rides this window's live-to-live diff.
+      val touched = tables.filter { t =>
+        ((prev + 1) to v).exists(i =>
+          headersByV.get(i).exists(touchesData(_, Set(t.src))))
+      }
+      val tag = s"catsync:$streamId:$v"
+      object AlreadyApplied extends Exception
+      val changes: Seq[(TableSync, DataFrame)] = touched.map { t =>
+        val chg = srcCat
+          .tableChanges(t.src, prev, v, t.keys,
+            schemaAtV = Some(anchors(t.src)))
+          .filter(col(ChangeFeed.TypeCol) =!= "update_preimage")
+          .persist()
+        (t, chg)
+      }
+      try {
+        // key-uniqueness guard per table (one LIMIT-1 action each over
+        // the persisted O(churn) window)
+        changes.foreach { case (t, chg) =>
+          val dup = chg.groupBy(t.keys.map(col): _*)
+            .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+            .limit(1).collect()
+          if (dup.nonEmpty)
+            throw new IllegalArgumentException(
+              s"catalog sync '${t.src}' -> '${t.dst}': key " +
+                s"(${t.keys.mkString(", ")}) is not unique within one " +
+                "sync window — net-effect apply requires row-identifying " +
+                "keys")
+        }
+        val nonEmpty = changes.filter { case (_, chg) => !chg.isEmpty }
+        if (nonEmpty.nonEmpty) {
+          try {
+            dstCat.transaction { tx =>
+              if (tx.streamBatchApplied(tag)) throw AlreadyApplied
+              nonEmpty.foreach { case (t, chg) =>
+                tx.delete(t.dst, chg.select(t.keys.map(col): _*), t.keys)
+                tx.insert(t.dst,
+                  chg.filter(col(ChangeFeed.TypeCol) =!= "delete")
+                    .drop(ChangeFeed.TypeCol))
+              }
+              tx.markStreamBatch(tag)
+            }
+            committed += 1
+          } catch { case AlreadyApplied => () }
+          lastTagged = v
+        }
+      } finally changes.foreach(_._2.unpersist(blocking = false))
+      prev = v
+    }
+    // every window since the last tag netted to zero rows (e.g. an UPDATE
+    // writing identical values): advance the offset with one metadata-only
+    // commit so future passes stop re-diffing the dead window. At most one
+    // such commit per pass, and only when something was consumed.
+    if (points.nonEmpty && lastTagged != points.last) {
+      val tag = s"catsync:$streamId:${points.last}"
+      object Done extends Exception
+      try dstCat.transaction { tx =>
+        if (tx.streamBatchApplied(tag)) throw Done // racing pass beat us
+        tx.markStreamBatch(tag)
+      } catch { case Done => () }
+    }
+    committed
+  }
+}
