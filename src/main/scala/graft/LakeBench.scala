@@ -144,6 +144,37 @@ object LakeBench {
     timed("import_insert_copy") {
       cat.insert("imp_copy", spark.read.parquet(extDir))
     }
+    // 13. concurrent-writer commit throughput vs K (README.md:244 claim):
+    // K threads x 4 single-row inserts each — conflicting = one shared
+    // table (every loser re-runs its body), disjoint = one table per
+    // writer (losers take the zero-job REBASE republish). The ops map
+    // carries wall seconds; throughput = K*4 / wall.
+    def writerWall(k: Int, shared: Boolean): Double = {
+      val tag = if (shared) "c" else "d"
+      (0 until k).foreach { w =>
+        val t = if (shared) s"w_${tag}_$k" else s"w_${tag}_${k}_$w"
+        if (!cat.current.tables.contains(t))
+          cat.createTable(t, StructType(Seq(StructField("id", LongType))))
+      }
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val ws = (0 until k).map { w =>
+        new Thread(() => {
+          gate.await()
+          (0 until 4).foreach { i =>
+            val t = if (shared) s"w_${tag}_$k" else s"w_${tag}_${k}_$w"
+            cat.transaction(_.insert(t,
+              spark.range(w * 100L + i, w * 100L + i + 1).toDF("id")))
+          }
+        })
+      }
+      val t0 = System.nanoTime()
+      ws.foreach(_.start()); gate.countDown(); ws.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq(1, 4, 8).foreach { k =>
+      results(s"writers_conflicting_k$k") = writerWall(k, shared = true)
+      results(s"writers_disjoint_k$k") = writerWall(k, shared = false)
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -113,6 +113,79 @@ object LakeOpProbe {
         op(s"feed read $tag")(
           cat.tableChanges(t, v0, cat.currentVersion, Seq("id")).count())
     }
+    // CONCURRENT-WRITER throughput ledger (the reference's "1000x more
+    // concurrent writers" claim, README.md:244): K racing writers x M
+    // single-row inserts each, (a) all into ONE table — every loser
+    // re-runs its body (true write-write conflict), (b) each into its
+    // OWN table — losers REBASE (republish on the new head, zero body
+    // re-runs). Prints commits/s and the OCC retry (= body re-run)
+    // count for each; the disjoint case's retries must be 0.
+    def writerLedger(tag: String, k: Int, m: Int)(tableOf: Int => String): Unit = {
+      (0 until k).foreach { w =>
+        val t = tableOf(w)
+        if (!cat.current.tables.contains(t))
+          cat.createTable(t, StructType(Seq(StructField("id", LongType))))
+      }
+      graft.lake.LakeCatalog.occRetries.reset()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val t0 = System.nanoTime()
+      val ws = (0 until k).map { w =>
+        new Thread(() => {
+          gate.await()
+          (0 until m).foreach { i =>
+            cat.transaction(_.insert(tableOf(w),
+              spark.range(w.toLong * 1000 + i, w.toLong * 1000 + i + 1).toDF("id")))
+          }
+        })
+      }
+      ws.foreach(_.start()); gate.countDown(); ws.foreach(_.join())
+      val sec = (System.nanoTime() - t0) / 1e9
+      val retries = graft.lake.LakeCatalog.occRetries.sum()
+      println(f"WRITERS $tag%-24s K=$k M=$m commits=${k * m} " +
+        f"wall=${sec}%6.2fs rate=${k * m / sec}%6.2f commits/s " +
+        f"bodyReruns=$retries")
+    }
+    Seq(1, 4, 8).foreach(k => writerLedger(s"conflicting(K=$k)", k, 4)(_ => "wc"))
+    Seq(1, 4, 8).foreach(k => writerLedger(s"disjoint(K=$k)", k, 4)(w => s"wd$w"))
+    // MANIFEST HEADER-HISTORY GROWTH: every snapshot document embeds the
+    // full O(versions) header history (Manifest.scala) — this measures
+    // the actual curve: document bytes, per-commit wall, and COLD
+    // snapshot-load time at increasing commit depths, then the same
+    // after vacuum (expiry trims snapshot DOCUMENTS but headers are the
+    // expiry/tag ledger and persist — the probe quantifies what that
+    // costs at depth). Uses inlined single-row inserts so the commit is
+    // all metadata, no parquet churn.
+    val groot = java.nio.file.Files.createTempDirectory("opprobe_growth").toString
+    val gcat = new graft.lake.LakeCatalog(spark, groot)
+    gcat.createTable("g", StructType(Seq(StructField("id", LongType))))
+    var done = 0
+    def docBytes(): Long = {
+      val dir = new java.io.File(groot, "_manifest")
+      dir.listFiles().filter(_.getName.endsWith(".json"))
+        .map(_.length()).max
+    }
+    def coldLoadMs(): Double = {
+      val t0 = System.nanoTime()
+      val c = new graft.lake.LakeCatalog(spark, groot)
+      c.current
+      (System.nanoTime() - t0) / 1e6
+    }
+    Seq(250, 1000, 4000).foreach { depth =>
+      val leg = depth - done
+      val t0 = System.nanoTime()
+      while (done < depth) {
+        gcat.transaction(_.insertInlined("g",
+          spark.range(done.toLong, done.toLong + 1).toDF("id")))
+        done += 1
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"GROWTH depth=$done%5d legMs=${sec * 1000}%9.1f " +
+        f"perCommitMs=${sec * 1000 / math.max(1, leg)}%7.2f " +
+        f"docKB=${docBytes() / 1024.0}%8.1f coldLoadMs=${coldLoadMs()}%8.1f")
+    }
+    gcat.vacuum(keepLast = 50, orphanGraceMs = 0L)
+    println(f"GROWTH after vacuum(keepLast=50): docKB=${docBytes() / 1024.0}%8.1f " +
+      f"coldLoadMs=${coldLoadMs()}%8.1f")
     spark.stop()
   }
 }
