@@ -1660,25 +1660,35 @@ object Pipeline {
     // stage tables shrink monotonically (filter → groupBy per stage), and
     // each stage joins the previous stage's per-user row — broadcastable
     // once the funnel narrows; no window over the raw event stream.
+    // Single-shuffle funnel: the textbook form — three join+aggregate
+    // stages chained on user_id — planned as 10-12 AQE stage-jobs whose
+    // per-job constants WERE the sf1 runtime (FLOOR_ANALYSIS rounds
+    // 13-14). All three stages key on the same user_id, so ONE groupBy
+    // collects each user's per-type event times and the stage windows
+    // resolve with array functions inside the same task: one exchange,
+    // two jobs, identical semantics. Per-user event lists are bounded by
+    // per-user activity (funnels assume human-scale event counts), so
+    // the collect_list is skew-safe at 100 TB where three fact-fact
+    // joins would re-shuffle the table three times.
     QDef("t10_funnel",
       (s, d) => {
         val ev = T.events(s, d).select("user_id", "ts", "event_type")
         val h24 = expr("INTERVAL 24 HOURS")
-        val s1 = ev.filter(col("event_type") === "signup")
-          .groupBy("user_id").agg(min("ts").as("t1"))
-        val s2 = ev.filter(col("event_type") === "click")
-          .join(s1, Seq("user_id"))
-          .filter(col("ts") > col("t1") && col("ts") <= col("t1") + h24)
-          .groupBy("user_id").agg(min("ts").as("t2"))
-        val s3 = ev.filter(col("event_type") === "purchase")
-          .join(s2, Seq("user_id"))
-          .filter(col("ts") > col("t2") && col("ts") <= col("t2") + h24)
-          .groupBy("user_id").agg(min("ts").as("t3"))
-        s1.agg(count(lit(1)).as("n_users")).select(lit("1_signup").as("stage"), col("n_users"))
-          .unionAll(s2.agg(count(lit(1)).as("n_users"))
-            .select(lit("2_click_24h").as("stage"), col("n_users")))
-          .unionAll(s3.agg(count(lit(1)).as("n_users"))
-            .select(lit("3_purchase_24h").as("stage"), col("n_users")))
+        ev.groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "signup", col("ts"))).as("t1"),
+            collect_list(when(col("event_type") === "click", col("ts")))
+              .as("clicks"),
+            collect_list(when(col("event_type") === "purchase", col("ts")))
+              .as("purchases"))
+          .withColumn("t2", array_min(filter(col("clicks"),
+            c => c > col("t1") && c <= col("t1") + h24)))
+          .withColumn("t3", array_min(filter(col("purchases"),
+            p => p > col("t2") && p <= col("t2") + h24)))
+          .agg(count(col("t1")).as("a"), count(col("t2")).as("b"),
+            count(col("t3")).as("c"))
+          .selectExpr("stack(3, '1_signup', a, '2_click_24h', b, " +
+            "'3_purchase_24h', c) AS (stage, n_users)")
           .orderBy("stage")
       },
       Some("""

@@ -589,13 +589,27 @@ object Relational {
 
     // U3/U4 INTERSECT/EXCEPT (distinct set semantics) — absent in the
     // reference; included for library completeness.
+    // U3/U4 — set INTERSECT/EXCEPT as ONE-SHUFFLE flag aggregations.
+    // Catalyst rewrites Intersect/Except to distinct + left-semi/anti
+    // join: two aggregate exchanges plus a join stage (~6 AQE jobs whose
+    // per-job constants dominated the wall at sf1 — FLOOR_ANALYSIS
+    // round 14 flagged both). The tag-union form — tag each leg, union
+    // (no exchange), one groupBy collecting per-side presence flags,
+    // filter — computes identical set semantics with a single shuffle
+    // and half the stages, and scales the same way at 100 TB (one
+    // hash-partition pass over both legs).
     QDef("u3_intersect",
       (s, d) => {
         val hot = T.orders(s, d).filter(col("o_totalprice") > 250000.0)
-          .select(col("o_custkey"))
+          .select(col("o_custkey")).withColumn("__leg", lit(1))
         val urgent = T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
-          .select(col("o_custkey"))
-        hot.intersect(urgent).orderBy("o_custkey")
+          .select(col("o_custkey")).withColumn("__leg", lit(2))
+        hot.unionByName(urgent)
+          .groupBy("o_custkey")
+          .agg(max(when(col("__leg") === 1, 1).otherwise(0)).as("__a"),
+            max(when(col("__leg") === 2, 1).otherwise(0)).as("__b"))
+          .filter(col("__a") === 1 && col("__b") === 1)
+          .select("o_custkey").orderBy("o_custkey")
       },
       Some("SELECT o_custkey FROM orders WHERE o_totalprice > 250000.0 " +
         "INTERSECT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' " +
@@ -604,10 +618,17 @@ object Relational {
     QDef("u4_except",
       (s, d) => {
         val all = T.customer(s, d).select(col("c_custkey"))
+          .withColumn("__leg", lit(1))
         val urgent = T.orders(s, d)
           .filter(col("o_orderpriority") === "1-URGENT")
           .select(col("o_custkey").as("c_custkey"))
-        all.except(urgent).orderBy("c_custkey")
+          .withColumn("__leg", lit(2))
+        all.unionByName(urgent)
+          .groupBy("c_custkey")
+          .agg(max(when(col("__leg") === 1, 1).otherwise(0)).as("__a"),
+            max(when(col("__leg") === 2, 1).otherwise(0)).as("__b"))
+          .filter(col("__a") === 1 && col("__b") === 0)
+          .select("c_custkey").orderBy("c_custkey")
       },
       Some("SELECT c_custkey FROM customer EXCEPT " +
         "SELECT o_custkey AS c_custkey FROM orders " +
