@@ -73,6 +73,17 @@ object Bench {
     val passes = 2; val burst = 2; val runs = passes * burst
     val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.startsWith("l"))
+    // dd*-family JIT pre-warm: the shingle-index pipelines (dd2 espec.)
+    // carried a 2.3x cross-SESSION drift bracket at identical code —
+    // whether C2 converged their generated loops depended on what
+    // compiled earlier in the session (FLOOR_ANALYSIS round 14). One
+    // untimed pass compiles those exact codegen classes before any
+    // timed run, so every session measures the converged code, not a
+    // compilation race. Errors surface in the timed loop, not here.
+    for ((name, fn) <- qlist if name.startsWith("dd")) {
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+    ops.Cached.release()
     val mins = scala.collection.mutable.LinkedHashMap[String, Double]()
     // a query that throws must surface as a named failure, not a fast
     // timing — a swallowed exception here is indistinguishable from a
