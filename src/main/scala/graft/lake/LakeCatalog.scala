@@ -344,11 +344,23 @@ class LakeCatalog(val spark: SparkSession, val root: String,
       throw new NoSuchElementException(s"no such tag: $tagName"))
 
   def versionAsOf(tsMs: Long): Long = {
-    // the current snapshot embeds every version's header — one read
-    val live = current.history.filter(_.timestampMs <= tsMs)
+    // the current snapshot embeds the retained headers — one read
+    val head = current
+    val live = head.history.filter(_.timestampMs <= tsMs)
     if (live.isEmpty)
       throw new NoSuchElementException(s"no snapshot at or before $tsMs")
-    live.map(_.snapshotId).max
+    val v = live.map(_.snapshotId).max
+    // header-tail compaction dropped EXPIRED headers above this floor —
+    // a timestamp resolving at or below it might really belong to a
+    // dropped version, so refuse (the expired target would have refused
+    // anyway; this keeps the refusal loud instead of silently resolving
+    // to an older live snapshot)
+    if (v < head.historyFloor)
+      throw new NoSuchElementException(
+        s"timestamp $tsMs resolves into vacuumed history (below " +
+          s"v${head.historyFloor}) — the snapshot it names has been " +
+          "expired; time-travel by VERSION to a live snapshot instead")
+    v
   }
 
   /** Ad-hoc SQL over the lake's current snapshot — the reference's

@@ -34,10 +34,16 @@ import java.util.concurrent.atomic.AtomicLong
   *  - When a table accumulates > [[Manifest.BlobMergeThreshold]] blobs they
   *    are folded into one, bounding per-read fan-out; older snapshots keep
   *    referencing the original blobs (immutability = time travel).
-  *  - Every snapshot document embeds the full HEADER history (id,
-  *    timestamp, schema version, change summary per version — O(1) bytes
-  *    each), so `snapshots()` / `versionAsOf` resolve from ONE document
-  *    read instead of loading every version.
+  *  - Every snapshot document embeds the HEADER history (id, timestamp,
+  *    schema version, change summary per version — O(1) bytes each), so
+  *    `snapshots()` / `versionAsOf` resolve from ONE document read
+  *    instead of loading every version. The tail is COMPACTED (round
+  *    15): headers of expired versions beyond [[Manifest.HeaderRetain]]
+  *    drop at commit build, their expiry/stream-tag facts carried by
+  *    eager O(current-state) aggregates on the snapshot — bounding
+  *    document size and per-commit metadata writes at O(live + retain)
+  *    instead of O(all versions ever) (measured unbounded at 154
+  *    ms/commit by 4k commits before the fix).
   *  - Blob contents are immutable → cached process-wide; `LakeCatalog`
   *    additionally caches whole snapshots by version.
   *
@@ -133,7 +139,20 @@ final case class TableState(
     inlined: Seq[InlineBatch] = Nil,
     blobs: Seq[String] = Nil,            // blob names backing `files` (bookkeeping)
     partitionBy: Seq[String] = Nil,      // declared partition (clustering) columns
-    props: Map[String, String] = Map.empty) { // table properties (Iceberg-style)
+    props: Map[String, String] = Map.empty, // table properties (Iceberg-style)
+    // Catalog version of the last commit that changed (or renamed over)
+    // THIS table's logical data — stamped at commit build. Lets the
+    // change feed compute its offset from table state alone (O(1), no
+    // history scan), which is what keeps streams correct after the
+    // header tail is compacted (see Snapshot.history). 0 = unknown
+    // (manifest written before this field existed -> consumers fall
+    // back to a header scan).
+    lastDataVersion: Long = 0L,
+    // Catalog version of the last NON-APPEND commit (CoW DML, layout
+    // rewrite, schema change) — the append-only streaming contract's
+    // state-level witness, immune to header compaction. 0 = never /
+    // unknown.
+    lastNonAppendVersion: Long = 0L) {
   def columns: Seq[ColumnDef] = schemas(schemaVersion.toString)
   def columnsAt(v: Int): Seq[ColumnDef] = schemas(v.toString)
   def inlinedRowCount: Long = inlined.map(_.rows.size.toLong).sum
@@ -153,19 +172,67 @@ final case class Snapshot(
     changes: Map[String, Seq[String]],    // e.g. tables_deleted_from -> [t]
     tables: Map[String, TableState],
     views: Map[String, String],           // view name -> SQL text
-    history: Seq[SnapHeader] = Nil,       // headers of v1..this, in order
-    refs: Map[String, Long] = Map.empty) { // tag name -> snapshot id
-  /** Expiry ledger: every version a committed vacuum has expired, read
-    * from the O(1)-per-version header history. This — not a live store
-    * listing — is what tag() validates against: expiry decisions ride
-    * the same OCC snapshot chain as tags, so the two serialize instead
-    * of racing (a tag either commits before the expiry snapshot, which
-    * then retries and sees the pin, or after, on a base whose ledger
-    * already names the expired target). */
-  def expiredVersions: Set[Long] =
-    history.iterator
+    history: Seq[SnapHeader] = Nil,       // headers; compacted tail, see below
+    refs: Map[String, Long] = Map.empty,  // tag name -> snapshot id
+    // ---- EAGER AGGREGATES (round 15) -------------------------------
+    // The header history used to be the only source of the expiry
+    // ledger and stream-batch idempotence tags, forcing every document
+    // to embed ALL O(versions) headers forever (measured: 154 ms/commit
+    // and 592 KB docs at 4k commits, growing without bound). These
+    // fields carry the same facts as O(current-state) aggregates,
+    // folded forward at every commit build, so headers become purely
+    // informational and the tail can be compacted: a header older than
+    // [[Manifest.HeaderRetain]] whose version is EXPIRED is dropped
+    // (live versions always keep theirs — snapshots()/time travel list
+    // only live versions). `aggV` versions the scheme: 0 = document
+    // written before the aggregates existed -> readers fold them from
+    // the (then-complete) history once at load.
+    aggV: Int = 0,
+    expiredAgg: Set[Long] = Set.empty,
+    // stream-tag high-water marks: tag prefix -> max numeric suffix.
+    // Stream batch ids are MONOTONE per (table, stream) — Structured
+    // Streaming's checkpoint contract, same as Delta's txn appId ->
+    // version map — so "applied" = suffix <= high-water. Non-numeric
+    // tags (rare, test-grade) keep exact-match semantics in the
+    // residual set.
+    txnSeen: Map[String, Long] = Map.empty,
+    tagsResidual: Set[String] = Set.empty,
+    // Highest header version ever DROPPED by tail compaction (0 =
+    // none): timestamp time travel refuses to resolve at or below it
+    // (the precise header is gone); version time travel is unaffected
+    // (expiry is checked by number).
+    historyFloor: Long = 0L) {
+
+  private lazy val legacyAggs: (Set[Long], Map[String, Long], Set[String]) = {
+    val tags = history.iterator
+      .flatMap(_.changes.getOrElse("stream_batches", Nil)).toSeq
+    val (seen, residual) = Manifest.foldTags(Map.empty, Set.empty, tags)
+    (history.iterator
       .flatMap(_.changes.getOrElse("snapshots_expired", Nil))
-      .map(_.toLong).toSet
+      .map(_.toLong).toSet, seen, residual)
+  }
+
+  /** Expiry ledger: every version a committed vacuum has expired. Rides
+    * the OCC snapshot chain (not a live store listing), so tag() and
+    * expiry serialize instead of racing. */
+  def expiredVersions: Set[Long] =
+    if (aggV >= 1) expiredAgg else legacyAggs._1
+
+  /** Has `tag` been committed? High-water semantics for numeric-suffix
+    * tags (see `txnSeen`), exact-match for the rest. */
+  def streamTagApplied(tag: String): Boolean = {
+    val (seen, residual) =
+      if (aggV >= 1) (txnSeen, tagsResidual)
+      else (legacyAggs._2, legacyAggs._3)
+    Manifest.splitTag(tag) match {
+      case Some((prefix, id)) => seen.get(prefix).exists(id <= _)
+      case None => residual.contains(tag)
+    }
+  }
+
+  private[lake] def aggsForBuild: (Set[Long], Map[String, Long], Set[String]) =
+    if (aggV >= 1) (expiredAgg, txnSeen, tagsResidual)
+    else legacyAggs
 }
 
 /** Typed comparisons over the string-encoded file stats. Only types whose
@@ -305,6 +372,60 @@ object Manifest {
     * read fan-out at O(threshold) blob fetches per table. */
   val BlobMergeThreshold = 32
 
+  /** Header-history tail length every snapshot document retains
+    * unconditionally. Beyond it, headers of EXPIRED versions are dropped
+    * at commit build (their expiry/stream-tag facts live in the eager
+    * aggregates; live versions always keep their header for
+    * snapshots()/time travel). Bounds document size and cold-load time
+    * at O(live versions + 256) instead of O(all versions ever). */
+  val HeaderRetain = 256
+
+  /** Commit kinds that change a table's LOGICAL rows (plus rename-over,
+    * which re-points the name): the change feed's offset-advancing set,
+    * stamped into TableState.lastDataVersion at commit build. */
+  val DataChangeKinds: Set[String] = Set(
+    "tables_created", "tables_inserted_into", "tables_updated",
+    "tables_deleted_from", "tables_merged", "tables_replaced",
+    "tables_restored", "tables_truncated", "tables_files_added",
+    "tables_cloned")
+  private[lake] val StampKinds: Set[String] =
+    DataChangeKinds + "tables_renamed"
+
+  /** Kinds that break the APPEND-ONLY streaming contract (CoW DML,
+    * layout rewrites, schema changes) — stamped into
+    * TableState.lastNonAppendVersion. */
+  val NonAppendKinds: Set[String] = Set(
+    "tables_updated", "tables_deleted_from", "tables_merged",
+    "tables_replaced", "tables_restored", "tables_compacted",
+    "tables_clustered", "tables_altered")
+
+  /** Tag -> (prefix, numeric suffix) when the tag ends in `:<digits>`
+    * (every engine-generated stream tag does); None keeps exact-match
+    * residual semantics. */
+  private[graft] def splitTag(tag: String): Option[(String, Long)] = {
+    val i = tag.lastIndexOf(':')
+    if (i <= 0 || i == tag.length - 1) None
+    else {
+      val suffix = tag.substring(i + 1)
+      if (suffix.forall(_.isDigit) && suffix.length <= 18)
+        Some((tag.substring(0, i), suffix.toLong))
+      else None
+    }
+  }
+
+  private[graft] def foldTags(seen0: Map[String, Long], residual0: Set[String],
+      tags: Seq[String]): (Map[String, Long], Set[String]) = {
+    var seen = seen0; var residual = residual0
+    tags.foreach { t =>
+      splitTag(t) match {
+        case Some((p, id)) =>
+          if (seen.get(p).forall(_ < id)) seen = seen.updated(p, id)
+        case None => residual = residual + t
+      }
+    }
+    (seen, residual)
+  }
+
   val empty: Snapshot = Snapshot(0L, 0L, 0L, Map.empty, Map.empty, Map.empty)
 
   /** Stored snapshot document: TableState minus `files` (those live in
@@ -318,7 +439,9 @@ object Manifest {
       inlined: Seq[InlineBatch],
       blobs: Seq[String],
       partitionBy: Seq[String] = Nil,
-      props: Map[String, String] = Map.empty)
+      props: Map[String, String] = Map.empty,
+      lastDataVersion: Long = 0L,
+      lastNonAppendVersion: Long = 0L)
   private[lake] final case class SnapshotDoc(
       snapshotId: Long,
       timestampMs: Long,
@@ -327,7 +450,12 @@ object Manifest {
       tables: Map[String, TableDoc],
       views: Map[String, String],
       history: Seq[SnapHeader],
-      refs: Map[String, Long] = Map.empty)
+      refs: Map[String, Long] = Map.empty,
+      aggV: Int = 0,
+      expiredAgg: Seq[Long] = Nil,
+      txnSeen: Map[String, Long] = Map.empty,
+      tagsResidual: Seq[String] = Nil,
+      historyFloor: Long = 0L)
 
   /** Immutable blob contents, cached process-wide; keys are namespaced by
     * store location. Entries are dropped when vacuum deletes the blob. */
@@ -396,10 +524,13 @@ trait ManifestStore {
     val tables = doc.tables.map { case (name, td) =>
       name -> TableState(td.schemaVersion, td.schemas,
         td.blobs.flatMap(loadBlob), td.primaryKey, td.notNull,
-        td.nextColId, td.inlined, td.blobs, td.partitionBy, td.props)
+        td.nextColId, td.inlined, td.blobs, td.partitionBy, td.props,
+        td.lastDataVersion, td.lastNonAppendVersion)
     }
     Snapshot(doc.snapshotId, doc.timestampMs, doc.schemaVersion, doc.changes,
-      tables, doc.views, doc.history, doc.refs)
+      tables, doc.views, doc.history, doc.refs, doc.aggV,
+      doc.expiredAgg.toSet, doc.txnSeen, doc.tagsResidual.toSet,
+      doc.historyFloor)
   }
 
   /** Atomically publish `s` as version `v`, deltaing each table's file
@@ -436,8 +567,10 @@ trait ManifestStore {
       storedTables.map { case (n, st) =>
         n -> TableDoc(st.schemaVersion, st.schemas, st.primaryKey,
           st.notNull, st.nextColId, st.inlined, st.blobs, st.partitionBy,
-          st.props)
-      }, stored.views, stored.history, stored.refs)
+          st.props, st.lastDataVersion, st.lastNonAppendVersion)
+      }, stored.views, stored.history, stored.refs, stored.aggV,
+      stored.expiredAgg.toSeq.sorted, stored.txnSeen,
+      stored.tagsResidual.toSeq.sorted, stored.historyFloor)
     if (writeDocExclusive(v, Serialization.write(doc))) Some(stored)
     else {
       written.foreach(dropBlob)

@@ -448,10 +448,10 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
   /** Has a stream batch tag already been committed in the base history?
     * O(1) metadata — headers ride in every snapshot document. */
   def streamBatchApplied(tag: String): Boolean = {
-    // reads the GLOBAL tag history — a rebase would skip re-validating it
+    // reads the GLOBAL tag ledger — a rebase would skip re-validating it
     // against commits that landed meanwhile, so force the re-run path
     rebaseUnsafe = true
-    base.history.exists(_.changes.getOrElse("stream_batches", Nil).contains(tag))
+    base.streamTagApplied(tag)
   }
 
   /** Record a stream batch tag in this commit's change summary — the
@@ -1443,19 +1443,66 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
   private[lake] def cleanupStaged(): Unit =
     stagedDirs.foreach(d => try cat.fs.delete(d, true) catch { case _: Exception => })
 
+  /** Stamp per-table last-change versions for this commit's change set
+    * (see TableState.lastDataVersion / lastNonAppendVersion). */
+  private def stampVersions(ts: Map[String, TableState], id: Long): Map[String, TableState] = {
+    val dataNames = changes.iterator.collect {
+      case (k, ns) if Manifest.StampKinds.contains(k) => ns }.flatten.toSet
+    val naNames = changes.iterator.collect {
+      case (k, ns) if Manifest.NonAppendKinds.contains(k) => ns }.flatten.toSet
+    if (dataNames.isEmpty && naNames.isEmpty) ts
+    else ts.map { case (n, st) =>
+      var s2 = st
+      if (dataNames(n)) s2 = s2.copy(lastDataVersion = id)
+      if (naNames(n)) s2 = s2.copy(lastNonAppendVersion = id)
+      n -> s2
+    }
+  }
+
+  /** Fold this commit's expiry/stream-tag changes into the prior
+    * aggregates, and compact the header tail: beyond
+    * [[Manifest.HeaderRetain]] headers, EXPIRED versions' headers drop
+    * (their facts live in the aggregates; live versions keep theirs).
+    * Returns (expired, txnSeen, residual, history, historyFloor). */
+  private def foldAggs(prior: Snapshot, header: SnapHeader):
+      (Set[Long], Map[String, Long], Set[String], Seq[SnapHeader], Long) = {
+    val (e0, s0, r0) = prior.aggsForBuild
+    val expired = e0 ++ changes.getOrElse("snapshots_expired", Nil)
+      .iterator.map(_.toLong)
+    val (seen, residual) = Manifest.foldTags(s0, r0,
+      changes.getOrElse("stream_batches", Nil).toSeq)
+    val hist0 = prior.history :+ header
+    val (hist, floor) =
+      if (hist0.size <= Manifest.HeaderRetain) (hist0, prior.historyFloor)
+      else {
+        val (old, tail) = hist0.splitAt(hist0.size - Manifest.HeaderRetain)
+        val dropped = old.filter(h => expired.contains(h.snapshotId))
+        (old.filterNot(h => expired.contains(h.snapshotId)) ++ tail,
+          dropped.foldLeft(prior.historyFloor)((f, h) => math.max(f, h.snapshotId)))
+      }
+    (expired, seen, residual, hist, floor)
+  }
+
   private[lake] def buildSnapshot(id: Long): Snapshot = {
     val ts = System.currentTimeMillis()
     val sv = base.schemaVersion + ddlCount
     val ch = changes.map { case (k, v) => k -> v.toSeq }.toMap
+    val header = SnapHeader(id, ts, sv, ch)
+    val (expired, seen, residual, hist, floor) = foldAggs(base, header)
     Snapshot(
       snapshotId = id,
       timestampMs = ts,
       schemaVersion = sv,
       changes = ch,
-      tables = tables.toMap,
+      tables = stampVersions(tables.toMap, id),
       views = views.toMap,
-      history = base.history :+ SnapHeader(id, ts, sv, ch),
-      refs = tagRefs.toMap)
+      history = hist,
+      refs = tagRefs.toMap,
+      aggV = 1,
+      expiredAgg = expired,
+      txnSeen = seen,
+      tagsResidual = residual,
+      historyFloor = floor)
   }
 
   // ------------------------------------------------------ commit rebase
@@ -1486,14 +1533,23 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
         case _ => acc // read-only touch
       }
     }
+    val header = SnapHeader(id, ts, sv, ch)
+    // rebase-safe txns carry no expiry/tag changes (rebaseUnsafe would
+    // have forced the re-run path), so folding against nb is exact
+    val (expired, seen, residual, hist, floor) = foldAggs(nb, header)
     Snapshot(
       snapshotId = id,
       timestampMs = ts,
       schemaVersion = sv,
       changes = ch,
-      tables = overlaid,
+      tables = stampVersions(overlaid, id),
       views = nb.views,
-      history = nb.history :+ SnapHeader(id, ts, sv, ch),
-      refs = nb.refs)
+      history = hist,
+      refs = nb.refs,
+      aggV = 1,
+      expiredAgg = expired,
+      txnSeen = seen,
+      tagsResidual = residual,
+      historyFloor = floor)
   }
 }

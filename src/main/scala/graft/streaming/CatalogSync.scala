@@ -63,15 +63,21 @@ object CatalogSync {
       ChangeFeed.DataKinds.contains(k) && ts.exists(tables.contains) }
 
   /** The last committed sync point for `streamId`, read from the
-    * destination catalog's header history — O(versions) in-memory scan,
-    * zero jobs. 0 = never synced. */
+    * destination catalog's stream-tag high-water marks (O(1), immune to
+    * header-tail compaction; falls back to the legacy header fold for
+    * pre-aggregate manifests inside streamTagApplied's machinery).
+    * 0 = never synced. */
   def lastOffset(dstCat: LakeCatalog, streamId: String): Long = {
-    val prefix = s"catsync:$streamId:"
-    dstCat.current.history.iterator
-      .flatMap(_.changes.getOrElse("stream_batches", Nil))
-      .filter(_.startsWith(prefix))
-      .map(_.stripPrefix(prefix).toLong)
-      .foldLeft(0L)(math.max)
+    val head = dstCat.current
+    val prefix = s"catsync:$streamId"
+    val seen =
+      if (head.aggV >= 1) head.txnSeen
+      else { // legacy manifest: fold retained headers once
+        val tags = head.history.iterator
+          .flatMap(_.changes.getOrElse("stream_batches", Nil)).toSeq
+        graft.lake.Manifest.foldTags(Map.empty, Set.empty, tags)._1
+      }
+    seen.getOrElse(prefix, 0L)
   }
 
   /** One incremental multi-table pass: replicate every `tables` mapping
@@ -107,15 +113,23 @@ object CatalogSync {
     val expired = head.expiredVersions
     // sync points: live versions in (from, head] where ANY synced table's
     // data changed; expired interiors merge into the next live point, a
-    // trailing expired run closes with one live-to-live window at head
+    // trailing expired run closes with one live-to-live window at head.
+    // Trailing detection uses lastDataVersion stamps (exact even when
+    // expired headers were compacted away) plus the retained headers.
     val livePoints = window.iterator
       .filterNot(h => expired.contains(h.snapshotId))
       .filter(touchesData(_, srcNames))
       .map(_.snapshotId).toSeq
-    val hasTrailingExpired = window.iterator
-      .filter(h => expired.contains(h.snapshotId))
-      .filter(touchesData(_, srcNames))
-      .exists(_.snapshotId > livePoints.lastOption.getOrElse(from))
+    val lastDataMax = tables.iterator
+      .flatMap(t => head.tables.get(t.src)).map(_.lastDataVersion)
+      .foldLeft(0L)(math.max)
+    val hasTrailingExpired =
+      (lastDataMax > livePoints.lastOption.getOrElse(from) &&
+        lastDataMax <= head.snapshotId) ||
+      window.iterator
+        .filter(h => expired.contains(h.snapshotId))
+        .filter(touchesData(_, srcNames))
+        .exists(_.snapshotId > livePoints.lastOption.getOrElse(from))
     val points0 =
       if (hasTrailingExpired && livePoints.lastOption.forall(_ < head.snapshotId))
         livePoints :+ head.snapshotId
@@ -137,10 +151,13 @@ object CatalogSync {
     for (v <- points) {
       // which synced tables changed in (prev, v]? A coarse fold spans
       // many headers; expired interiors still count — their net effect
-      // rides this window's live-to-live diff.
+      // rides this window's live-to-live diff. The lastDataVersion
+      // stamp backstops headers that tail compaction dropped.
       val touched = tables.filter { t =>
         ((prev + 1) to v).exists(i =>
-          headersByV.get(i).exists(touchesData(_, Set(t.src))))
+          headersByV.get(i).exists(touchesData(_, Set(t.src)))) ||
+        srcCat.snapshot(v).tables.get(t.src)
+          .exists(st => st.lastDataVersion > prev && st.lastDataVersion <= v)
       }
       val tag = s"catsync:$streamId:$v"
       object AlreadyApplied extends Exception

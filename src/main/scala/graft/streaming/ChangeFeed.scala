@@ -62,11 +62,10 @@ object ChangeFeed {
     * (compaction/clustering rewrite bytes, not rows; an add/drop/rename
     * doesn't change what existing rows read as through the anchor
     * schema), so reading them would be paying O(rewritten bytes) to emit
-    * nothing. */
-  private[streaming] val DataKinds = Set(
-    "tables_created", "tables_inserted_into", "tables_updated",
-    "tables_deleted_from", "tables_merged", "tables_replaced",
-    "tables_restored", "tables_truncated", "tables_files_added")
+    * nothing. (Defined in the lake layer — the same set drives the
+    * per-table lastDataVersion stamp the offset reads.) */
+  private[streaming] val DataKinds: Set[String] =
+    graft.lake.Manifest.DataChangeKinds
 
   /** Kinds that advance the stream's OFFSET: the data kinds plus the
     * identity-breaking ones the guard must surface promptly. The offset
@@ -207,20 +206,29 @@ class ChangeFeedSource(spark: SparkSession, parameters: Map[String, String])
       StructField(VersionCol, LongType, nullable = false))
   private val valueCols = schema.fields.dropRight(2).map(_.name).toSeq
 
-  /** One manifest-head read + an in-memory header scan; no Spark jobs.
-    * The raw offset is the last version TOUCHING the table; if vacuum has
-    * since expired that exact version (quiescent table, later commits all
-    * elsewhere), it is clamped UP to the next live version — the diff
-    * between live snapshots carries the same net rows, and without the
-    * clamp every stream over the table (including a brand-new checkpoint)
-    * would hit getBatch's expiry check forever on a fully-readable
-    * table. */
+  /** One manifest-head read; no Spark jobs and no O(versions) scan: the
+    * raw offset is the table's `lastDataVersion` stamp (written at every
+    * data/rename-over commit build — immune to header-tail compaction; a
+    * pre-stamp manifest falls back to the retained-header scan). A table
+    * that is GONE at head (dropped or renamed away) forces one batch at
+    * the head version so getBatch refuses loudly instead of idling. If
+    * vacuum has expired the stamped version itself (quiescent table,
+    * later commits all elsewhere), it is clamped UP to the next live
+    * version — the diff between live snapshots carries the same net
+    * rows, and without the clamp every stream over the table (including
+    * a brand-new checkpoint) would hit getBatch's expiry check forever
+    * on a fully-readable table. */
   override def getOffset: Option[Offset] = {
     val head = cat.current
-    val last = head.history.reverseIterator
-      .find(h => h.changes.exists { case (k, ts) =>
-        OffsetKinds.contains(k) && ts.contains(table) })
-      .map(_.snapshotId).getOrElse(0L)
+    val last = head.tables.get(table) match {
+      case None => head.snapshotId // gone: force a loud refusal
+      case Some(st) if st.lastDataVersion > 0L => st.lastDataVersion
+      case Some(_) => // manifest predates the stamp: header scan
+        head.history.reverseIterator
+          .find(h => h.changes.exists { case (k, ts) =>
+            OffsetKinds.contains(k) && ts.contains(table) })
+          .map(_.snapshotId).getOrElse(0L)
+    }
     val expired = head.expiredVersions
     val v = if (last == 0L || !expired.contains(last)) last
       else head.history.iterator.map(_.snapshotId)
@@ -283,12 +291,18 @@ class ChangeFeedSource(spark: SparkSession, parameters: Map[String, String])
     // have no later live data commit to merge into — close the batch
     // with one extra live-to-live window up to toV so their net rows
     // still flow (toV itself is live: getOffset clamps past expiry and
-    // the check above already rejected an expired endpoint)
-    val hasTrailingExpired = window.iterator
-      .filter(h => expired.contains(h.snapshotId))
-      .filter(h => h.changes.exists { case (k, ts) =>
-        DataKinds.contains(k) && ts.contains(table) })
-      .exists(h => h.snapshotId > liveDataVs.lastOption.getOrElse(fromV))
+    // the check above already rejected an expired endpoint). Detected
+    // from the lastDataVersion stamp (exact even when the expired
+    // headers were compacted away) OR the retained headers (pre-stamp
+    // manifests).
+    val lastData = head.tables.get(table).map(_.lastDataVersion).getOrElse(0L)
+    val hasTrailingExpired =
+      (lastData > liveDataVs.lastOption.getOrElse(fromV) && lastData <= toV) ||
+      window.iterator
+        .filter(h => expired.contains(h.snapshotId))
+        .filter(h => h.changes.exists { case (k, ts) =>
+          DataKinds.contains(k) && ts.contains(table) })
+        .exists(h => h.snapshotId > liveDataVs.lastOption.getOrElse(fromV))
     val dataVs0 =
       if (hasTrailingExpired && liveDataVs.lastOption.forall(_ < toV))
         liveDataVs :+ toV

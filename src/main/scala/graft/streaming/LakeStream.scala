@@ -44,19 +44,24 @@ object LakeStream {
     * would replay them), MoR deletes leave tombstoned rows the raw file
     * source cannot subtract, and schema changes make the capture schema
     * wrong for files written before the change. */
-  private val NonAppendKinds = Seq("tables_updated", "tables_deleted_from",
-    "tables_merged", "tables_replaced", "tables_restored",
-    "tables_compacted", "tables_clustered", "tables_altered")
+  private val NonAppendKinds: Set[String] =
+    graft.lake.Manifest.NonAppendKinds
 
   def replicate(cat: LakeCatalog, src: String, dst: String,
       transform: DataFrame => DataFrame, checkpointDir: String): Unit = {
     val spark = cat.spark
-    // enforce the contract instead of silently double-counting: one
-    // O(versions) driver-side scan of the header history (no file I/O)
-    val violations = cat.current.history.flatMap { h =>
+    // enforce the contract instead of silently double-counting: the
+    // state-level lastNonAppendVersion stamp (immune to header-tail
+    // compaction) names the most recent violation; the retained headers
+    // add per-kind detail when available
+    val head = cat.current
+    val stamped = head.tables.get(src).map(_.lastNonAppendVersion)
+      .filter(_ > 0L)
+    val violations = head.history.flatMap { h =>
       NonAppendKinds.filter(k => h.changes.getOrElse(k, Nil).contains(src))
         .map(k => s"v${h.snapshotId}:$k")
-    }
+    } ++ stamped.filterNot(v =>
+      head.history.exists(_.snapshotId == v)).map(v => s"v$v:<compacted>")
     require(violations.isEmpty,
       s"table '$src' is not append-only — streaming reads would replay " +
         s"rewritten rows or misread evolved files (${violations.mkString(", ")})")

@@ -186,6 +186,17 @@ object LakeOpProbe {
     gcat.vacuum(keepLast = 50, orphanGraceMs = 0L)
     println(f"GROWTH after vacuum(keepLast=50): docKB=${docBytes() / 1024.0}%8.1f " +
       f"coldLoadMs=${coldLoadMs()}%8.1f")
+    // post-vacuum steady state: 50 more commits on the compacted tail —
+    // per-commit wall and doc size must be FLAT now (O(retained tail)),
+    // the receipt that header compaction closed the unbounded curve
+    val t1 = System.nanoTime()
+    (0 until 50).foreach { i =>
+      gcat.transaction(_.insertInlined("g",
+        spark.range(10000L + i, 10001L + i).toDF("id")))
+    }
+    val sec1 = (System.nanoTime() - t1) / 1e9
+    println(f"GROWTH post-compact 50 commits: perCommitMs=${sec1 * 20}%7.2f " +
+      f"docKB=${docBytes() / 1024.0}%8.1f coldLoadMs=${coldLoadMs()}%8.1f")
     spark.stop()
   }
 }

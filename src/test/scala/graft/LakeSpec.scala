@@ -2225,6 +2225,58 @@ class LakeSpec extends SparkSpec {
     assert(math.abs(g0.getDouble(1) - 37.2) < 1e-9)
   }
 
+  test("manifest header compaction: bounded history, exact ledgers, loud timestamp refusal") {
+    import graft.lake.Manifest
+    val cat = newLake()
+    cat.createTable("g", StructType(Seq(StructField("id", LongType))))
+    // an early exactly-once stream batch — its tag must survive compaction
+    assert(cat.insertStreamBatch("g", spark.range(0, 1).toDF("id"), 0L))
+    var tsEarly = 0L
+    var tagV = 0L
+    (1 to 300).foreach { i =>
+      cat.transaction(_.insertInlined("g",
+        spark.range(i.toLong, i.toLong + 1).toDF("id")))
+      if (i == 5) {
+        Thread.sleep(5); tsEarly = System.currentTimeMillis(); Thread.sleep(5)
+        tagV = cat.currentVersion
+        cat.tag("early", tagV) // pin: stays live through the vacuum
+      }
+    }
+    val headBefore = cat.current
+    assert(headBefore.history.size > Manifest.HeaderRetain,
+      "fixture must exceed the retained tail")
+    cat.vacuum(keepLast = 10, orphanGraceMs = 0L)
+    val head = cat.current
+    // tail bounded: expired headers beyond the retain window dropped,
+    // live versions (the pinned tag, the kept tail) keep theirs
+    assert(head.history.size <= Manifest.HeaderRetain + 16,
+      s"history must be bounded, got ${head.history.size}")
+    assert(head.history.exists(_.snapshotId == tagV),
+      "a live (tag-pinned) version keeps its header")
+    assert(head.historyFloor > tagV, "compaction recorded its floor")
+    // the expiry ledger is COMPLETE despite dropped headers
+    assert(head.expiredVersions.size > 250)
+    assert(head.expiredVersions.contains(tagV - 1))
+    // exactly-once dedup survives: a replay of the early batch is a no-op
+    assert(!cat.insertStreamBatch("g", spark.range(0, 1).toDF("id"), 0L))
+    // timestamp time travel into the dropped range refuses LOUDLY
+    // (resolves to the pinned early version, below the floor)
+    val ex = intercept[NoSuchElementException] { cat.versionAsOf(tsEarly) }
+    assert(ex.getMessage.contains("vacuumed"))
+    // version time travel to live versions still exact
+    assert(cat.readAt("g", tagV).count() === 6L) // batch 0 + inlined 1..5
+    assert(cat.read("g").count() === 301L)
+    // the change feed still streams the (mostly-expired-history) table:
+    // offset comes from the lastDataVersion stamp, not the dropped headers
+    cat.createTable("rg", StructType(Seq(StructField("id", LongType))))
+    val n = graft.streaming.ChangeFeed.applyPass(
+      cat, "g", "rg", Seq("id"), tmpDir("hdrcompact_ck"))
+    assert(n === 1L)
+    assert(cat.read("rg").exceptAll(cat.read("g"))
+      .union(cat.read("g").exceptAll(cat.read("rg"))).isEmpty)
+    assert(cat.current.tables("g").lastDataVersion > 0L)
+  }
+
   test("OCC rebase: disjoint commits republish without re-running the body; conflicts re-run") {
     val root = tmpDir("rebase")
     val cat = new LakeCatalog(spark, root)
