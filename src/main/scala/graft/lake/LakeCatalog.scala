@@ -958,8 +958,7 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     // physically deleted versions are already hidden). Membership, not a
     // min bound: tag retention leaves holes in the sequence.
     val head = current
-    val expired = head.expiredVersions
-    head.history.filterNot(h => expired.contains(h.snapshotId)).map { h =>
+    head.history.filterNot(h => head.versionExpired(h.snapshotId)).map { h =>
       (h.snapshotId, new java.sql.Timestamp(h.timestampMs), h.schemaVersion,
         h.changes.map { case (k, vs) => k -> vs.mkString(",") })
     }.toDF("snapshot_id", "snapshot_time", "schema_version", "changes")
@@ -1710,8 +1709,7 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     } catch { case NothingToExpire => () }
     // phase 2: physical GC, driven by the committed ledger
     val head = current
-    val expired = head.expiredVersions
-    val toDelete = store.availableVersions().filter(expired.contains).sorted
+    val toDelete = store.availableVersions().filter(head.versionExpired).sorted
     // capture the dead snapshots' file sets before their manifests go:
     // those files are KNOWN garbage (committed, then expired) and are
     // deleted regardless of age; grace only protects never-referenced

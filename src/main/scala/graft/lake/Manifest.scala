@@ -188,7 +188,12 @@ final case class Snapshot(
     // written before the aggregates existed -> readers fold them from
     // the (then-complete) history once at load.
     aggV: Int = 0,
-    expiredAgg: Set[Long] = Set.empty,
+    // Expiry ledger in BOUNDED form: vacuum expires contiguous prefixes
+    // (1 until cutoff, minus tag pins), so the ledger is a FLOOR plus
+    // the live exceptions below it — O(pinned tags), not O(expired
+    // versions). expired(v) = v <= expiredFloor && v not in liveBelow.
+    expiredFloor: Long = 0L,
+    liveBelow: Set[Long] = Set.empty,
     // stream-tag high-water marks: tag prefix -> max numeric suffix.
     // Stream batch ids are MONOTONE per (table, stream) — Structured
     // Streaming's checkpoint contract, same as Delta's txn appId ->
@@ -203,35 +208,52 @@ final case class Snapshot(
     // (expiry is checked by number).
     historyFloor: Long = 0L) {
 
-  private lazy val legacyAggs: (Set[Long], Map[String, Long], Set[String]) = {
+  // (floor, liveBelow, txnSeen, tagsResidual) derived once for legacy
+  // (pre-aggregate) documents from their complete header history
+  private lazy val legacyAggs: (Long, Set[Long], Map[String, Long], Set[String]) = {
     val tags = history.iterator
       .flatMap(_.changes.getOrElse("stream_batches", Nil)).toSeq
     val (seen, residual) = Manifest.foldTags(Map.empty, Set.empty, tags)
-    (history.iterator
+    val expired = history.iterator
       .flatMap(_.changes.getOrElse("snapshots_expired", Nil))
-      .map(_.toLong).toSet, seen, residual)
+      .map(_.toLong).toSet
+    val floor = if (expired.isEmpty) 0L else expired.max
+    ((floor, (1L to floor).filterNot(expired).toSet, seen, residual))
   }
 
-  /** Expiry ledger: every version a committed vacuum has expired. Rides
-    * the OCC snapshot chain (not a live store listing), so tag() and
-    * expiry serialize instead of racing. */
-  def expiredVersions: Set[Long] =
-    if (aggV >= 1) expiredAgg else legacyAggs._1
+  /** Is `v` expired (vacuumed)? The ledger rides the OCC snapshot chain
+    * (not a live store listing), so tag() and expiry serialize instead
+    * of racing. O(1). */
+  def versionExpired(v: Long): Boolean = {
+    val (floor, live) =
+      if (aggV >= 1) (expiredFloor, liveBelow)
+      else (legacyAggs._1, legacyAggs._2)
+    v >= 1L && v <= floor && !live.contains(v)
+  }
+
+  /** Materialized expiry ledger — O(floor); prefer [[versionExpired]]
+    * in engine paths. */
+  def expiredVersions: Set[Long] = {
+    val (floor, live) =
+      if (aggV >= 1) (expiredFloor, liveBelow)
+      else (legacyAggs._1, legacyAggs._2)
+    (1L to floor).filterNot(live.contains).toSet
+  }
 
   /** Has `tag` been committed? High-water semantics for numeric-suffix
     * tags (see `txnSeen`), exact-match for the rest. */
   def streamTagApplied(tag: String): Boolean = {
     val (seen, residual) =
       if (aggV >= 1) (txnSeen, tagsResidual)
-      else (legacyAggs._2, legacyAggs._3)
+      else (legacyAggs._3, legacyAggs._4)
     Manifest.splitTag(tag) match {
       case Some((prefix, id)) => seen.get(prefix).exists(id <= _)
       case None => residual.contains(tag)
     }
   }
 
-  private[lake] def aggsForBuild: (Set[Long], Map[String, Long], Set[String]) =
-    if (aggV >= 1) (expiredAgg, txnSeen, tagsResidual)
+  private[lake] def aggsForBuild: (Long, Set[Long], Map[String, Long], Set[String]) =
+    if (aggV >= 1) (expiredFloor, liveBelow, txnSeen, tagsResidual)
     else legacyAggs
 }
 
@@ -452,7 +474,8 @@ object Manifest {
       history: Seq[SnapHeader],
       refs: Map[String, Long] = Map.empty,
       aggV: Int = 0,
-      expiredAgg: Seq[Long] = Nil,
+      expiredFloor: Long = 0L,
+      liveBelow: Seq[Long] = Nil,
       txnSeen: Map[String, Long] = Map.empty,
       tagsResidual: Seq[String] = Nil,
       historyFloor: Long = 0L)
@@ -529,8 +552,8 @@ trait ManifestStore {
     }
     Snapshot(doc.snapshotId, doc.timestampMs, doc.schemaVersion, doc.changes,
       tables, doc.views, doc.history, doc.refs, doc.aggV,
-      doc.expiredAgg.toSet, doc.txnSeen, doc.tagsResidual.toSet,
-      doc.historyFloor)
+      doc.expiredFloor, doc.liveBelow.toSet, doc.txnSeen,
+      doc.tagsResidual.toSet, doc.historyFloor)
   }
 
   /** Atomically publish `s` as version `v`, deltaing each table's file
@@ -569,7 +592,7 @@ trait ManifestStore {
           st.notNull, st.nextColId, st.inlined, st.blobs, st.partitionBy,
           st.props, st.lastDataVersion, st.lastNonAppendVersion)
       }, stored.views, stored.history, stored.refs, stored.aggV,
-      stored.expiredAgg.toSeq.sorted, stored.txnSeen,
+      stored.expiredFloor, stored.liveBelow.toSeq.sorted, stored.txnSeen,
       stored.tagsResidual.toSeq.sorted, stored.historyFloor)
     if (writeDocExclusive(v, Serialization.write(doc))) Some(stored)
     else {

@@ -365,7 +365,7 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
 
   /** Has `v` been expired by a committed vacuum, as of this
     * transaction's base? (Pure ledger read — no store listing.) */
-  def versionExpired(v: Long): Boolean = base.expiredVersions.contains(v)
+  def versionExpired(v: Long): Boolean = base.versionExpired(v)
 
   /** Set/overwrite a table property (Iceberg-style key/value metadata
     * riding the snapshot — machine-readable, versioned, transactional). */
@@ -414,7 +414,7 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
   private def tagTarget(name: String, version: Long): Unit = {
     require(version >= 1 && version <= base.snapshotId,
       s"tag target $version outside committed range [1, ${base.snapshotId}]")
-    require(!base.expiredVersions.contains(version),
+    require(!base.versionExpired(version),
       s"tag target $version already expired")
     tagRefs(name) = version
   }
@@ -1463,24 +1463,37 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     * aggregates, and compact the header tail: beyond
     * [[Manifest.HeaderRetain]] headers, EXPIRED versions' headers drop
     * (their facts live in the aggregates; live versions keep theirs).
-    * Returns (expired, txnSeen, residual, history, historyFloor). */
+    * The expiry ledger stays in BOUNDED floor+exceptions form — the
+    * fold costs O(this vacuum's range), the stored state O(pins).
+    * Returns (expiredFloor, liveBelow, txnSeen, residual, history,
+    * historyFloor). */
   private def foldAggs(prior: Snapshot, header: SnapHeader):
-      (Set[Long], Map[String, Long], Set[String], Seq[SnapHeader], Long) = {
-    val (e0, s0, r0) = prior.aggsForBuild
-    val expired = e0 ++ changes.getOrElse("snapshots_expired", Nil)
-      .iterator.map(_.toLong)
+      (Long, Set[Long], Map[String, Long], Set[String], Seq[SnapHeader], Long) = {
+    val (f0, live0, s0, r0) = prior.aggsForBuild
+    val vs = changes.getOrElse("snapshots_expired", Nil)
+      .iterator.map(_.toLong).toSet
+    val (floor, live) =
+      if (vs.isEmpty) (f0, live0)
+      else {
+        val nf = math.max(f0, vs.max)
+        // versions newly under the floor that this vacuum did NOT
+        // expire (tag pins, and anything already expired is <= f0)
+        val newLive = ((f0 + 1) to nf).filterNot(vs.contains)
+        (nf, (live0 ++ newLive) -- vs)
+      }
+    def expired(v: Long): Boolean = v >= 1L && v <= floor && !live.contains(v)
     val (seen, residual) = Manifest.foldTags(s0, r0,
       changes.getOrElse("stream_batches", Nil).toSeq)
     val hist0 = prior.history :+ header
-    val (hist, floor) =
+    val (hist, hFloor) =
       if (hist0.size <= Manifest.HeaderRetain) (hist0, prior.historyFloor)
       else {
         val (old, tail) = hist0.splitAt(hist0.size - Manifest.HeaderRetain)
-        val dropped = old.filter(h => expired.contains(h.snapshotId))
-        (old.filterNot(h => expired.contains(h.snapshotId)) ++ tail,
+        val dropped = old.filter(h => expired(h.snapshotId))
+        (old.filterNot(h => expired(h.snapshotId)) ++ tail,
           dropped.foldLeft(prior.historyFloor)((f, h) => math.max(f, h.snapshotId)))
       }
-    (expired, seen, residual, hist, floor)
+    (floor, live, seen, residual, hist, hFloor)
   }
 
   private[lake] def buildSnapshot(id: Long): Snapshot = {
@@ -1488,7 +1501,7 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     val sv = base.schemaVersion + ddlCount
     val ch = changes.map { case (k, v) => k -> v.toSeq }.toMap
     val header = SnapHeader(id, ts, sv, ch)
-    val (expired, seen, residual, hist, floor) = foldAggs(base, header)
+    val (ef, live, seen, residual, hist, floor) = foldAggs(base, header)
     Snapshot(
       snapshotId = id,
       timestampMs = ts,
@@ -1499,7 +1512,8 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
       history = hist,
       refs = tagRefs.toMap,
       aggV = 1,
-      expiredAgg = expired,
+      expiredFloor = ef,
+      liveBelow = live,
       txnSeen = seen,
       tagsResidual = residual,
       historyFloor = floor)
@@ -1536,7 +1550,7 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     val header = SnapHeader(id, ts, sv, ch)
     // rebase-safe txns carry no expiry/tag changes (rebaseUnsafe would
     // have forced the re-run path), so folding against nb is exact
-    val (expired, seen, residual, hist, floor) = foldAggs(nb, header)
+    val (ef, live, seen, residual, hist, floor) = foldAggs(nb, header)
     Snapshot(
       snapshotId = id,
       timestampMs = ts,
@@ -1547,7 +1561,8 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
       history = hist,
       refs = nb.refs,
       aggV = 1,
-      expiredAgg = expired,
+      expiredFloor = ef,
+      liveBelow = live,
       txnSeen = seen,
       tagsResidual = residual,
       historyFloor = floor)

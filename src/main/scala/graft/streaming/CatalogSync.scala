@@ -110,14 +110,13 @@ object CatalogSync {
         s"table '${t.src}' was dropped, replaced or renamed at " +
           s"v${h.snapshotId} — its column identity ended there" + remedy)
     }
-    val expired = head.expiredVersions
     // sync points: live versions in (from, head] where ANY synced table's
     // data changed; expired interiors merge into the next live point, a
     // trailing expired run closes with one live-to-live window at head.
     // Trailing detection uses lastDataVersion stamps (exact even when
     // expired headers were compacted away) plus the retained headers.
     val livePoints = window.iterator
-      .filterNot(h => expired.contains(h.snapshotId))
+      .filterNot(h => head.versionExpired(h.snapshotId))
       .filter(touchesData(_, srcNames))
       .map(_.snapshotId).toSeq
     val lastDataMax = tables.iterator
@@ -127,7 +126,7 @@ object CatalogSync {
       (lastDataMax > livePoints.lastOption.getOrElse(from) &&
         lastDataMax <= head.snapshotId) ||
       window.iterator
-        .filter(h => expired.contains(h.snapshotId))
+        .filter(h => head.versionExpired(h.snapshotId))
         .filter(touchesData(_, srcNames))
         .exists(_.snapshotId > livePoints.lastOption.getOrElse(from))
     val points0 =

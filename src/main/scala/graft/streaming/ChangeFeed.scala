@@ -196,7 +196,7 @@ class ChangeFeedSource(spark: SparkSession, parameters: Map[String, String])
     * since. */
   private val anchorV: Long = parameters.get("anchorVersion")
     .map(_.toLong).getOrElse(cat.currentVersion)
-  require(anchorV == 0L || !cat.current.expiredVersions.contains(anchorV),
+  require(anchorV == 0L || !cat.current.versionExpired(anchorV),
     s"anchorVersion v$anchorV of '$table' has been vacuumed — anchor at " +
       "a live version")
 
@@ -229,10 +229,9 @@ class ChangeFeedSource(spark: SparkSession, parameters: Map[String, String])
             OffsetKinds.contains(k) && ts.contains(table) })
           .map(_.snapshotId).getOrElse(0L)
     }
-    val expired = head.expiredVersions
-    val v = if (last == 0L || !expired.contains(last)) last
+    val v = if (last == 0L || !head.versionExpired(last)) last
       else head.history.iterator.map(_.snapshotId)
-        .find(s => s >= last && !expired.contains(s))
+        .find(s => s >= last && !head.versionExpired(s))
         .getOrElse(head.snapshotId)
     if (v <= startV) None
     else Some(org.apache.spark.sql.execution.streaming.runtime.LongOffset(v))
@@ -251,8 +250,8 @@ class ChangeFeedSource(spark: SparkSession, parameters: Map[String, String])
     // restart recovery replays getBatch over checkpointed offsets, and an
     // expired one must fail with the retention message, not a raw
     // missing-manifest read.
-    val expired = cat.current.expiredVersions
-    Seq(fromV, toV).filter(_ != 0L).find(expired.contains).foreach { v =>
+    val headNow = cat.current
+    Seq(fromV, toV).filter(_ != 0L).find(headNow.versionExpired).foreach { v =>
       throw new IllegalArgumentException(
         s"change-feed offset v$v of '$table' has been vacuumed — the " +
           "feed at it is gone; retention must outlive the stream's lag " +
@@ -283,7 +282,7 @@ class ChangeFeedSource(spark: SparkSession, parameters: Map[String, String])
     // expired interior versions merge into the next live window (their
     // net effect is still exact — the diff is between live snapshots)
     val liveDataVs = window.iterator
-      .filterNot(h => expired.contains(h.snapshotId))
+      .filterNot(h => headNow.versionExpired(h.snapshotId))
       .filter(h => h.changes.exists { case (k, ts) =>
         DataKinds.contains(k) && ts.contains(table) })
       .map(_.snapshotId).toSeq
@@ -299,7 +298,7 @@ class ChangeFeedSource(spark: SparkSession, parameters: Map[String, String])
     val hasTrailingExpired =
       (lastData > liveDataVs.lastOption.getOrElse(fromV) && lastData <= toV) ||
       window.iterator
-        .filter(h => expired.contains(h.snapshotId))
+        .filter(h => headNow.versionExpired(h.snapshotId))
         .filter(h => h.changes.exists { case (k, ts) =>
           DataKinds.contains(k) && ts.contains(table) })
         .exists(h => h.snapshotId > liveDataVs.lastOption.getOrElse(fromV))

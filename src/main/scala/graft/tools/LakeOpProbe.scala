@@ -159,11 +159,10 @@ object LakeOpProbe {
     val gcat = new graft.lake.LakeCatalog(spark, groot)
     gcat.createTable("g", StructType(Seq(StructField("id", LongType))))
     var done = 0
-    def docBytes(): Long = {
-      val dir = new java.io.File(groot, "_manifest")
-      dir.listFiles().filter(_.getName.endsWith(".json"))
-        .map(_.length()).max
-    }
+    // HEAD document bytes (v{N}.json) — the per-commit metadata write
+    def docBytes(): Long =
+      new java.io.File(new java.io.File(groot, "_manifest"),
+        s"v${gcat.currentVersion}.json").length()
     def coldLoadMs(): Double = {
       val t0 = System.nanoTime()
       val c = new graft.lake.LakeCatalog(spark, groot)
@@ -185,6 +184,12 @@ object LakeOpProbe {
     }
     gcat.vacuum(keepLast = 50, orphanGraceMs = 0L)
     println(f"GROWTH after vacuum(keepLast=50): docKB=${docBytes() / 1024.0}%8.1f " +
+      f"coldLoadMs=${coldLoadMs()}%8.1f")
+    // flush the fixture's inlined rows to parquet (compaction) so the
+    // remaining doc bytes measure METADATA, not the 4k inlined rows the
+    // fixture accumulated (inlining is a data-placement choice)
+    gcat.compact("g")
+    println(f"GROWTH after inline flush: docKB=${docBytes() / 1024.0}%8.1f " +
       f"coldLoadMs=${coldLoadMs()}%8.1f")
     // post-vacuum steady state: 50 more commits on the compacted tail —
     // per-commit wall and doc size must be FLAT now (O(retained tail)),
