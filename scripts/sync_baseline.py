@@ -9,8 +9,9 @@ Usage:
 
 The generated blocks sit between AUTOGEN markers; everything outside
 them (narrative, attribution, LakeBench rows) stays hand-written.
-Sources: bench/BENCH_LATEST.json (sf0.1) and bench/BENCH_SF1.json (sf1,
-optional)."""
+Sources: bench/BENCH_PAIR.json (the COMMITTED sf0.1 pair of record;
+falls back to bench/BENCH_LATEST.json, which is gitignored scratch a
+driver re-run may overwrite) and bench/BENCH_SF1.json (sf1, optional)."""
 import json
 import os
 import sys
@@ -55,8 +56,11 @@ def main_table(d):
             d["batch"]["n"], d["batch"]["spark_s"], d["batch"]["ratio"],
             d["batch"]["duckdb_s"]),
         "| — heavy subset (%d batch queries ≥ 0.25 s) | %.1f s → "
-        "**%.2f×** | %.1f s |" % (
+        "**%.2f×**%s | %.1f s |" % (
             d["heavy"]["n"], d["heavy"]["spark_s"], d["heavy"]["ratio"],
+            (" (ideal32 %.1f s — the load-invariant task-time anchor; "
+             "claims move only when IT moves)" % d["heavy"]["ideal32_s"])
+            if d["heavy"].get("ideal32_s") else "",
             d["heavy"]["duckdb_s"]),
         "| — floor subset (%d batch queries < 0.25 s) | %.1f s → %.2f× "
         "(scheduling floor) | %.1f s |" % (
@@ -78,7 +82,10 @@ def main_table(d):
     for label, q in RATIO_ROWS:
         r = d["ratios"].get(q)
         if r is not None:
-            rows.append("| %s | **%.2f×** | — |" % (label, r))
+            ideal = d.get("ideal32", {}).get(q)
+            extra = " (wall %.2f s, ideal32 %.2f s)" % (
+                d["queries"][q], ideal) if ideal is not None else ""
+            rows.append("| %s | **%.2f×**%s | — |" % (label, r, extra))
     return "\n".join(rows)
 
 
@@ -116,8 +123,10 @@ def main():
     for marker in (MAIN_BEGIN, MAIN_END, SF1_BEGIN, SF1_END):
         if marker not in text:
             sys.exit(f"marker missing from BASELINE.md: {marker}")
-    out = splice(text, MAIN_BEGIN, MAIN_END,
-                 main_table(load("bench/BENCH_LATEST.json")))
+    main_src = ("bench/BENCH_PAIR.json"
+                if os.path.exists(os.path.join(ROOT, "bench/BENCH_PAIR.json"))
+                else "bench/BENCH_LATEST.json")
+    out = splice(text, MAIN_BEGIN, MAIN_END, main_table(load(main_src)))
     sf1_path = os.path.join(ROOT, "bench/BENCH_SF1.json")
     if os.path.exists(sf1_path):
         out = splice(out, SF1_BEGIN, SF1_END,

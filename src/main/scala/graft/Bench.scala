@@ -37,10 +37,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_CBO=0 re-runs the A/B (plan-stats estimation off)
+    val cboOn = (!sys.env.get("SPARK_GRAFT_CBO").contains("0")).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // cost-based optimization: lake-table scans carry exact manifest
+      // statistics (rowCount/size/min-max/NDV via RelationStats), so the
+      // INITIAL plan picks broadcast sides and join order from stats
+      // instead of relying on AQE runtime repair; plain parquet reads
+      // (no catalog stats) keep their default size-only estimates
+      .config("spark.sql.cbo.enabled", cboOn)
+      .config("spark.sql.cbo.planStats.enabled", cboOn)
+      .config("spark.sql.cbo.joinReorder.enabled", cboOn)
       // Adaptive execution stays at its default (ON): the A/B in
       // bench/FLOOR_ANALYSIS.md measured AQE-off as a net LOSS here
       // (heavy leg +2 s from losing runtime coalescing; floor leg flat
@@ -73,6 +83,25 @@ object Bench {
     val passes = 2; val burst = 2; val runs = passes * burst
     val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.startsWith("l"))
+    // Per-query TASK time alongside wall time: `ideal32` = executor task
+    // ms / CPUs for the run that achieved the min wall. Wall time on a
+    // shared host moves ±25-40% with machine load at identical code
+    // (FLOOR_ANALYSIS round 14/15 drift brackets); summed task time is
+    // load-invariant, so round-over-round performance claims anchor on
+    // it — a claim changes only when ideal32 moves. Events post async,
+    // so every read is preceded by a listener-bus drain (see
+    // ListenerDrain) to keep attribution per-query exact.
+    val taskMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) taskMs.addAndGet(m.executorRunTime)
+      }
+    })
+    def taskMsNow(): Long = {
+      org.apache.spark.graftshim.ListenerDrain.drain(spark.sparkContext)
+      taskMs.get()
+    }
     // dd*-family JIT pre-warm: the shingle-index pipelines (dd2 espec.)
     // carried a 2.3x cross-SESSION drift bracket at identical code —
     // whether C2 converged their generated loops depended on what
@@ -85,17 +114,24 @@ object Bench {
     }
     ops.Cached.release()
     val mins = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // ideal32 of the run that achieved the min wall (task s / cpus)
+    val ideals = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val nCpus = cpus.toDouble
     // a query that throws must surface as a named failure, not a fast
     // timing — a swallowed exception here is indistinguishable from a
     // sub-second query in the round artifact
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
     for (_ <- 1 to passes; (name, fn) <- qlist) {
       for (_ <- 1 to burst) {
+        val tm0 = taskMsNow()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
           val sec = (System.nanoTime() - t0) / 1e9
-          mins(name) = math.min(mins.getOrElse(name, Double.MaxValue), sec)
+          if (sec < mins.getOrElse(name, Double.MaxValue)) {
+            mins(name) = sec
+            ideals(name) = (taskMsNow() - tm0) / 1e3 / nCpus
+          }
         } catch { case e: Throwable =>
           failed(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
           System.err.println(s"[bench] $name FAILED: ${failed(name)}")
@@ -190,7 +226,8 @@ object Bench {
     val (floor, heavy) = batch.partition(_._2 < FloorSec)
     def leg(xs: Seq[(String, Double)]): String = {
       val s = xs.map(_._2).sum; val d = xs.map(x => duck(x._1)).sum
-      s"""{"n":${xs.size},"spark_s":${j(s)},"duckdb_s":${j(d)},"ratio":${j(if (d > 0) s / d else 0)}}"""
+      val ideal = xs.flatMap(x => ideals.get(x._1)).sum
+      s"""{"n":${xs.size},"spark_s":${j(s)},"ideal32_s":${j(ideal)},"duckdb_s":${j(d)},"ratio":${j(if (d > 0) s / d else 0)}}"""
     }
     val sparkOracle = oracled.map(_._2).sum
     val duckOracle = oracled.map(x => duck(x._1)).sum
@@ -203,17 +240,25 @@ object Bench {
     // the driver archives only a size-bounded stdout tail, and a line that
     // outgrows that budget is recorded unparsed. The stdout line carries
     // the summary + per-query seconds and stays well under the budget.
-    val detail = new java.io.File("bench/BENCH_LATEST.json")
-    detail.getParentFile.mkdirs()
+    // SPARK_GRAFT_BENCH_OUT redirects the detail artifact (e.g. a
+    // scratch path for exploratory runs); the committed pair of record
+    // lives at bench/BENCH_PAIR.json (copied there deliberately), so a
+    // driver-triggered re-run overwriting the default path never dirties
+    // the tree's artifact of record.
+    val detail = new java.io.File(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_OUT", "bench/BENCH_LATEST.json"))
+    Option(detail.getParentFile).foreach(_.mkdirs())
     val lakeJson = lakeTimes.toSeq.map { case (k, v) => s"\"$k\":${j(v)}" }
       .mkString("{", ",", "}")
     val lakeHead =
       s""""lake":{"n":${lakeTimes.size},"total_s":${j(lakeTimes.values.sum)},"runs":1}"""
+    val idealJson = results.flatMap { case (k, _) =>
+      ideals.get(k).map(v => s"\"$k\":${j(v)}") }.mkString("{", ",", "}")
     val fullLine =
-      s"""{$head,$lakeHead,"ratios":$ratios,"queries":$qs,"lake_s":$lakeJson,"sf":"$sfDir"}"""
+      s"""{$head,$lakeHead,"ratios":$ratios,"queries":$qs,"ideal32":$idealJson,"lake_s":$lakeJson,"sf":"$sfDir"}"""
     val w = new java.io.PrintWriter(detail, "UTF-8")
     try w.println(fullLine) finally w.close()
-    println(s"""{$head,$lakeHead,"queries":$qs,"detail":"bench/BENCH_LATEST.json","sf":"$sfDir"}""")
+    println(s"""{$head,$lakeHead,"queries":$qs,"detail":"${detail.getPath}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

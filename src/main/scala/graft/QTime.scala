@@ -8,6 +8,8 @@ object QTime {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_CBO=0 re-runs the A/B (plan-stats estimation off)
+    val cboOn = (!sys.env.get("SPARK_GRAFT_CBO").contains("0")).toString
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // QTIME_SHUF=n: A/B the per-task scheduling cost of shuffle width
@@ -15,6 +17,14 @@ object QTime {
         sys.env.getOrElse("QTIME_SHUF", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // cost-based optimization: lake-table scans carry exact manifest
+      // statistics (rowCount/size/min-max/NDV via RelationStats), so the
+      // INITIAL plan picks broadcast sides and join order from stats
+      // instead of relying on AQE runtime repair; plain parquet reads
+      // (no catalog stats) keep their default size-only estimates
+      .config("spark.sql.cbo.enabled", cboOn)
+      .config("spark.sql.cbo.planStats.enabled", cboOn)
+      .config("spark.sql.cbo.joinReorder.enabled", cboOn)
       // QTIME_NOAQE=1: A/B the adaptive-execution overhead on tiny queries
       .config("spark.sql.adaptive.enabled",
         (!sys.env.contains("QTIME_NOAQE")).toString)

@@ -10,11 +10,21 @@ import org.apache.spark.sql.SparkSession
 object StBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // SPARK_GRAFT_CBO=0 re-runs the A/B (plan-stats estimation off)
+    val cboOn = (!sys.env.get("SPARK_GRAFT_CBO").contains("0")).toString
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // cost-based optimization: lake-table scans carry exact manifest
+      // statistics (rowCount/size/min-max/NDV via RelationStats), so the
+      // INITIAL plan picks broadcast sides and join order from stats
+      // instead of relying on AQE runtime repair; plain parquet reads
+      // (no catalog stats) keep their default size-only estimates
+      .config("spark.sql.cbo.enabled", cboOn)
+      .config("spark.sql.cbo.planStats.enabled", cboOn)
+      .config("spark.sql.cbo.joinReorder.enabled", cboOn)
       .config("spark.graft.streaming.statePartitions", sys.env.getOrElse("SP", "4"))
       // PROVIDER=rocksdb: A/B the state-store backend (the default
       // HDFSBackedStateStore clones the whole version map per batch)

@@ -81,6 +81,89 @@ class LakeCatalog(val spark: SparkSession, val root: String,
   private[lake] def readStateTagged(st: TableState, fileCol: String): DataFrame =
     readStateInternal(st, spark, Some(fileCol))
 
+  /** Catalyst statistics for one schema-version file group, built from
+    * manifest metadata already in memory (zero file reads, zero jobs):
+    * exact row count and byte size, per-column min/max for numeric
+    * columns covered by EVERY file's footer stats (a partial range could
+    * zero-out a filter estimate wrongly — all-or-nothing keeps the
+    * estimate conservative), and NDV folded driver-side from the opt-in
+    * per-file HLL sketches. With `spark.sql.cbo.enabled` +
+    * `spark.sql.cbo.planStats.enabled` these flow into FilterEstimation/
+    * JoinEstimation, so broadcast choice and join ordering on lake
+    * tables are decided in the INITIAL plan instead of waiting for AQE
+    * to repair them after the first (possibly huge) shuffle
+    * materializes. */
+  private def manifestCatalogStats(st: TableState, v: Int,
+      entries: Seq[FileEntry]):
+      org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog._
+    val cols = st.columnsAt(v)
+    def numeric(c: ColumnDef): Boolean = c.typeJson match {
+      case "\"integer\"" | "\"long\"" | "\"short\"" | "\"byte\"" |
+           "\"double\"" | "\"float\"" => true
+      case _ => false
+    }
+    val totalRows = entries.map(_.rowCount).sum
+    def integral(c: ColumnDef): Boolean = c.typeJson match {
+      case "\"integer\"" | "\"long\"" | "\"short\"" | "\"byte\"" => true
+      case _ => false
+    }
+    val colStats = cols.iterator.flatMap { c =>
+      val ranges = entries.map(_.stats.get(c.name))
+      val covered = entries.nonEmpty && ranges.forall(_.isDefined)
+      val minMax =
+        if (numeric(c) && covered) {
+          val mins = ranges.flatten.map(s => BigDecimal(s.min))
+          val maxs = ranges.flatten.map(s => BigDecimal(s.max))
+          (Some(mins.min.toString), Some(maxs.max.toString))
+        } else (None, None)
+      // exact null count only when EVERY file's harvest proved one —
+      // a partial sum would misestimate IS NULL filters
+      val nulls =
+        if (covered && ranges.flatten.forall(_.nulls.isDefined))
+          Some(BigInt(ranges.flatten.flatMap(_.nulls).sum))
+        else None
+      val ndvExact =
+        if (entries.nonEmpty && entries.forall(_.ndv.contains(c.name))) {
+          // driver-side sketch union: O(files) tiny deserializations,
+          // no Spark job — the sketches are mergeable by design
+          val u = new org.apache.datasketches.hll.Union(12)
+          entries.foreach { e =>
+            u.update(org.apache.datasketches.hll.HllSketch.heapify(
+              java.util.Base64.getDecoder.decode(e.ndv(c.name))))
+          }
+          Some(BigInt(math.max(1L, u.getEstimate.toLong)))
+        } else None
+      // FilterEstimation requires distinctCount+nullCount alongside
+      // min/max. Without a sketch, an INTEGRAL column gets the provable
+      // upper bound min(rows, value span) — exact for dense key ranges,
+      // an overestimate otherwise, which only makes equality estimates
+      // conservative-small in the safe direction for CBO (estimates
+      // shape plans, never answers). Non-integral columns without a
+      // sketch get no NDV (and hence no estimate) rather than a guess.
+      val ndv = ndvExact.orElse {
+        if (integral(c) && minMax._1.isDefined && nulls.isDefined) {
+          val span = BigDecimal(minMax._2.get) - BigDecimal(minMax._1.get) + 1
+          Some(BigInt(totalRows).min(span.toBigInt).max(BigInt(1)))
+        } else None
+      }
+      if (minMax._1.isEmpty && ndv.isEmpty) None
+      else Some(c.name -> CatalogColumnStat(distinctCount = ndv,
+        min = minMax._1, max = minMax._2, nullCount = nulls))
+    }.toMap
+    CatalogTable(
+      identifier = TableIdentifier("graft_lake_scan"), // display-only
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty,
+      schema = structOf(cols),
+      provider = Some("parquet"),
+      stats = Some(CatalogStatistics(
+        sizeInBytes = BigInt(math.max(1L, entries.map(_.sizeBytes).sum)),
+        rowCount = Some(BigInt(entries.map(_.rowCount).sum)),
+        colStats = colStats)))
+  }
+
   private def readStateInternal(st: TableState, sess: SparkSession,
       tagCol: Option[String]): DataFrame = {
     val cur = st.columns
@@ -105,8 +188,14 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     }
     val fileParts = st.files.groupBy(e => (e.schemaVersion, e.dv.isDefined))
       .toSeq.map { case ((v, hasDv), entries) =>
-        val raw0 = sess.read.schema(structOf(st.columnsAt(v)))
+        val rawScan = sess.read.schema(structOf(st.columnsAt(v)))
           .parquet(entries.map(e => absPath(e.path).toString): _*)
+        // graft the manifest's exact statistics onto the scan relation —
+        // zero-cost (metadata already in memory) and what lets Catalyst
+        // pick broadcast/ordering in the INITIAL plan (CBO), not via
+        // AQE repair after a wrong shuffle already materialized
+        val raw0 = org.apache.spark.sql.graftshim.RelationStats.attach(
+          rawScan, manifestCatalogStats(st, v, entries))
         val raw = tagCol match {
           case Some(t) => raw0.withColumn(t, col("_metadata.file_path"))
           case None => raw0
@@ -354,8 +443,15 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     // a timestamp resolving at or below it might really belong to a
     // dropped version, so refuse (the expired target would have refused
     // anyway; this keeps the refusal loud instead of silently resolving
-    // to an older live snapshot)
-    if (v < head.historyFloor)
+    // to an older live snapshot). EXCEPTION: when `tsMs` predates the
+    // earliest dropped header's timestamp, no dropped header can be the
+    // true target — the retained headers are complete for the range, so
+    // a resolution onto an old tag-PINNED live snapshot is exact and
+    // stays allowed (minDroppedTsMs == 0 with a non-zero floor means a
+    // pre-aggV2 engine dropped headers without recording timestamps —
+    // unknown, keep refusing).
+    if (v < head.historyFloor &&
+        !(head.minDroppedTsMs > 0L && tsMs < head.minDroppedTsMs))
       throw new NoSuchElementException(
         s"timestamp $tsMs resolves into vacuumed history (below " +
           s"v${head.historyFloor}) — the snapshot it names has been " +
@@ -1485,14 +1581,25 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     * reads and becomes a no-op. Returns false when the batch had already
     * landed. The check runs inside the transaction against its base
     * snapshot, so a concurrent duplicate loses the publish race, re-runs,
-    * and then sees the tag. */
-  def insertStreamBatch(table: String, df: DataFrame, batchId: Long): Boolean = {
-    val tag = s"$table:$batchId"
+    * and then sees the tag.
+    *
+    * `streamId` namespaces the idempotence key to (table, streamId,
+    * batchId): batch ids come from the CHECKPOINT, so a second logical
+    * stream (fresh checkpoint — ids restart at 0) inserting into the
+    * same table must pass a distinct id or its early batches would be
+    * skipped as "replays" of the first stream's. The streaming wrappers
+    * ([[graft.streaming.EventStream.sinkToLake]],
+    * [[graft.streaming.LakeStream.replicate]]) derive one from the
+    * checkpoint location automatically. */
+  def insertStreamBatch(table: String, df: DataFrame, batchId: Long,
+      streamId: String = ""): Boolean = {
+    val tag = if (streamId.isEmpty) s"$table:$batchId"
+      else s"$table:$streamId:$batchId"
     object AlreadyApplied extends Exception
     try transaction { tx =>
       if (tx.streamBatchApplied(tag)) throw AlreadyApplied // no empty snapshot
       tx.insert(table, df)
-      tx.markStreamBatch(tag)
+      tx.markStreamBatchMonotone(tag)
       true
     } catch { case AlreadyApplied => false }
   }
@@ -1519,16 +1626,22 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     * or a bespoke multiset apply.
     *
     * `streamId` extends the idempotence key to (table, streamId,
-    * batchId): batch ids come from the CHECKPOINT, so a different stream
-    * (fresh checkpoint — ids restart at 0) writing the same table would
-    * otherwise collide with the first stream's tags and silently skip
-    * its early batches as "replays". Distinct logical streams over one
-    * destination must pass distinct ids. */
+    * batchId) and is REQUIRED: batch ids come from the CHECKPOINT, so a
+    * different stream (fresh checkpoint — ids restart at 0) writing the
+    * same table would otherwise collide with the first stream's tags
+    * and silently skip its early batches as "replays". Distinct logical
+    * streams over one destination must pass distinct ids;
+    * [[graft.streaming.ChangeFeed.applyPass]] derives one from the
+    * checkpoint location when the caller doesn't name one. */
   def applyChangesStreamBatch(table: String, changes: DataFrame,
-      keyCols: Seq[String], batchId: Long, streamId: String = ""): Boolean = {
+      keyCols: Seq[String], batchId: Long, streamId: String): Boolean = {
     import graft.streaming.ChangeFeed.{TypeCol, VersionCol}
-    val tag = if (streamId.isEmpty) s"$table:cdc:$batchId"
-      else s"$table:cdc:$streamId:$batchId"
+    require(streamId.nonEmpty,
+      "applyChangesStreamBatch requires a streamId — batch ids restart " +
+        "at 0 with every fresh checkpoint, so without a per-stream " +
+        "namespace a second logical stream's early batches would be " +
+        "silently skipped as replays of the first's")
+    val tag = s"$table:cdc:$streamId:$batchId"
     object AlreadyApplied extends Exception
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*).orderBy(col(VersionCol).desc)
@@ -1565,7 +1678,7 @@ class LakeCatalog(val spark: SparkSession, val root: String,
         tx.delete(table, latest.select(keyCols.map(col): _*), keyCols)
         tx.insert(table, latest.filter(col(TypeCol) =!= "delete")
           .drop(TypeCol, VersionCol))
-        tx.markStreamBatch(tag)
+        tx.markStreamBatchMonotone(tag)
         true
       }
     } catch { case AlreadyApplied => false }

@@ -71,13 +71,20 @@ final case class ColumnDef(
     typeJson: String,        // Spark DataType JSON
     default: Option[String]) // SQL literal expr, for files predating the col
 
-/** Per-file min/max of a column (values as strings for JSON; parse with
+/** Per-file column statistics (values as strings for JSON; parse with
   * the column's declared type) — the `ducklake_table_stats` analog
   * (ref exploration/benchmark_ducklake.sh:164-168, README.md:202-209).
   * Used to prune file sets before scanning: a PK-uniqueness check against
   * a 100TB table only reads files whose key range overlaps the incoming
-  * batch. */
-final case class ColStat(min: String, max: String)
+  * batch. Footer min/max (string form, see [[Stats]])
+  * plus the exact NULL count when the harvest could prove it (parquet
+  * footers carry per-chunk null counts; the distributed harvest counts
+  * them in the same job). `nulls` is what lets the Catalyst cost model
+  * estimate filters — Spark's FilterEstimation requires nullCount — and
+  * None (older manifests, untrusted footers) degrades to no estimate,
+  * never to a wrong one. */
+final case class ColStat(min: String, max: String,
+    nulls: Option[Long] = None)
 
 final case class FileEntry(
     path: String,            // relative to lake root
@@ -195,30 +202,70 @@ final case class Snapshot(
     expiredFloor: Long = 0L,
     liveBelow: Set[Long] = Set.empty,
     // stream-tag high-water marks: tag prefix -> max numeric suffix.
-    // Stream batch ids are MONOTONE per (table, stream) — Structured
+    // ONLY the engine's monotone-id paths write here (Structured
     // Streaming's checkpoint contract, same as Delta's txn appId ->
-    // version map — so "applied" = suffix <= high-water. Non-numeric
-    // tags (rare, test-grade) keep exact-match semantics in the
-    // residual set.
+    // version map), so "applied" = suffix <= high-water is sound.
+    // User tags via Tx.markStreamBatch land in `tagsResidual` with
+    // exact-match semantics regardless of shape — a non-monotone user
+    // tag must never be swallowed as a "replay" by a high-water it
+    // didn't earn.
     txnSeen: Map[String, Long] = Map.empty,
     tagsResidual: Set[String] = Set.empty,
     // Highest header version ever DROPPED by tail compaction (0 =
     // none): timestamp time travel refuses to resolve at or below it
-    // (the precise header is gone); version time travel is unaffected
-    // (expiry is checked by number).
-    historyFloor: Long = 0L) {
+    // (the precise header is gone) UNLESS the requested timestamp
+    // predates `minDroppedTsMs` (then the retained headers are complete
+    // for the range and resolution is exact); version time travel is
+    // unaffected (expiry is checked by number).
+    historyFloor: Long = 0L,
+    // Earliest timestamp among ALL headers ever dropped by tail
+    // compaction. 0 with historyFloor == 0 means nothing was dropped;
+    // 0 with historyFloor > 0 means "unknown" (headers were dropped by
+    // a pre-aggV2 engine that didn't record timestamps) and timestamp
+    // resolution below the floor stays refused. Folded monotonically at
+    // commit build — O(1) state.
+    minDroppedTsMs: Long = 0L,
+    // Per-NAME last identity-break version: the catalog version of the
+    // most recent commit that REPLACED, RENAMED (either direction) or
+    // DROPPED each name (see [[Manifest.IdentityBreakKinds]]). Change
+    // feeds anchor column identity to a name; a break at v means
+    // id-aligned diffs across v are garbage, and this stamp keeps the
+    // guard exact even after the breaking commit's header is compacted
+    // away (TableState stamps can't carry it — a drop leaves no state).
+    // Bounded by distinct names ever broken, not by versions. Empty on
+    // documents written before aggV 2 — consumers keep their retained-
+    // header scan as the fallback signal.
+    identityBreaks: Map[String, Long] = Map.empty) {
 
   // (floor, liveBelow, txnSeen, tagsResidual) derived once for legacy
   // (pre-aggregate) documents from their complete header history
   private lazy val legacyAggs: (Long, Set[Long], Map[String, Long], Set[String]) = {
     val tags = history.iterator
       .flatMap(_.changes.getOrElse("stream_batches", Nil)).toSeq
-    val (seen, residual) = Manifest.foldTags(Map.empty, Set.empty, tags)
+    val exact = history.iterator
+      .flatMap(_.changes.getOrElse("stream_batches_exact", Nil))
+    val (seen, residual) = Manifest.foldTags(Map.empty, exact.toSet, tags)
     val expired = history.iterator
       .flatMap(_.changes.getOrElse("snapshots_expired", Nil))
       .map(_.toLong).toSet
     val floor = if (expired.isEmpty) 0L else expired.max
     ((floor, (1L to floor).filterNot(expired).toSet, seen, residual))
+  }
+
+  /** Last identity-break version per name, as knowable from this
+    * document: the aggV-2 stamp when present, merged with a fold over
+    * the retained headers (the only signal older documents carry). */
+  lazy val identityBreaksEff: Map[String, Long] = {
+    val fromHeaders = history.iterator.flatMap(h =>
+      Manifest.IdentityBreakKinds.iterator
+        .flatMap(k => h.changes.getOrElse(k, Nil))
+        .map(_ -> h.snapshotId))
+      .foldLeft(Map.empty[String, Long]) { case (m, (n, v)) =>
+        if (m.getOrElse(n, 0L) < v) m.updated(n, v) else m
+      }
+    fromHeaders.foldLeft(identityBreaks) { case (m, (n, v)) =>
+      if (m.getOrElse(n, 0L) < v) m.updated(n, v) else m
+    }
   }
 
   /** Is `v` expired (vacuumed)? The ledger rides the OCC snapshot chain
@@ -241,13 +288,16 @@ final case class Snapshot(
   }
 
   /** Has `tag` been committed? High-water semantics for numeric-suffix
-    * tags (see `txnSeen`), exact-match for the rest. */
+    * tags written by the engine's monotone paths (see `txnSeen`);
+    * exact-match for user tags (which land in the residual set whatever
+    * their shape — so a numeric-suffix tag is also looked up there). */
   def streamTagApplied(tag: String): Boolean = {
     val (seen, residual) =
       if (aggV >= 1) (txnSeen, tagsResidual)
       else (legacyAggs._3, legacyAggs._4)
     Manifest.splitTag(tag) match {
-      case Some((prefix, id)) => seen.get(prefix).exists(id <= _)
+      case Some((prefix, id)) =>
+        seen.get(prefix).exists(id <= _) || residual.contains(tag)
       case None => residual.contains(tag)
     }
   }
@@ -305,7 +355,7 @@ object Stats {
     * (legacy manifests, exotic probe dates) — must assume yes. */
   def overlaps(st: Option[ColStat], c: ColumnDef, lo: String, hi: String): Boolean =
     st match {
-      case Some(ColStat(mn, mx)) =>
+      case Some(ColStat(mn, mx, _)) =>
         if (!safeValue(c, mn) || !safeValue(c, mx) ||
           !safeValue(c, lo) || !safeValue(c, hi)) true
         else cmp(c, mn, hi) <= 0 && cmp(c, lo, mx) <= 0
@@ -364,25 +414,30 @@ object Stats {
     cols.flatMap { c =>
       var lo = Long.MaxValue; var hi = Long.MinValue
       var seen = false; var trusted = true
+      var nulls = 0L; var nullsKnown = true
+      def foldNulls(s: org.apache.parquet.column.statistics.Statistics[_]): Unit =
+        if (s.isNumNullsSet && s.getNumNulls >= 0) nulls += s.getNumNulls
+        else nullsKnown = false
       blocks.foreach { b =>
         b.getColumns.asScala.find(_.getPath.toDotString == c.name) match {
           case None => trusted = false
           case Some(cc) => cc.getStatistics match {
             case s: IntStatistics if s.hasNonNullValue =>
               lo = math.min(lo, s.getMin.toLong)
-              hi = math.max(hi, s.getMax.toLong); seen = true
+              hi = math.max(hi, s.getMax.toLong); seen = true; foldNulls(s)
             case s: LongStatistics if s.hasNonNullValue =>
               lo = math.min(lo, s.getMin)
-              hi = math.max(hi, s.getMax); seen = true
+              hi = math.max(hi, s.getMax); seen = true; foldNulls(s)
             case s if s != null && !s.hasNonNullValue && s.getNumNulls >= 0 =>
-              () // chunk holds no non-null values — contributes nothing
+              foldNulls(s) // chunk holds no non-null values — only nulls
             case _ => trusted = false // stats absent or unexpected shape
           }
         }
       }
       if (!trusted || !seen) None
       else for (mn <- renderFooterValue(c, lo); mx <- renderFooterValue(c, hi))
-        yield c.name -> ColStat(mn, mx)
+        yield c.name -> ColStat(mn, mx,
+          if (nullsKnown) Some(nulls) else None)
     }.toMap
   }
 }
@@ -420,6 +475,16 @@ object Manifest {
     "tables_updated", "tables_deleted_from", "tables_merged",
     "tables_replaced", "tables_restored", "tables_compacted",
     "tables_clustered", "tables_altered")
+
+  /** Commit kinds that END a name's column identity: a replace restarts
+    * column ids; a rename in either direction re-points what the name
+    * denotes; a drop ends it outright. Folded into
+    * [[Snapshot.identityBreaks]] at commit build so change-feed guards
+    * survive header-tail compaction (the streaming layer aliases this
+    * set — it is defined here because the stamp is lake state). */
+  val IdentityBreakKinds: Seq[String] = Seq(
+    "tables_replaced", "tables_renamed", "tables_renamed_from",
+    "tables_dropped")
 
   /** Tag -> (prefix, numeric suffix) when the tag ends in `:<digits>`
     * (every engine-generated stream tag does); None keeps exact-match
@@ -478,7 +543,9 @@ object Manifest {
       liveBelow: Seq[Long] = Nil,
       txnSeen: Map[String, Long] = Map.empty,
       tagsResidual: Seq[String] = Nil,
-      historyFloor: Long = 0L)
+      historyFloor: Long = 0L,
+      minDroppedTsMs: Long = 0L,
+      identityBreaks: Map[String, Long] = Map.empty)
 
   /** Immutable blob contents, cached process-wide; keys are namespaced by
     * store location. Entries are dropped when vacuum deletes the blob. */
@@ -553,7 +620,8 @@ trait ManifestStore {
     Snapshot(doc.snapshotId, doc.timestampMs, doc.schemaVersion, doc.changes,
       tables, doc.views, doc.history, doc.refs, doc.aggV,
       doc.expiredFloor, doc.liveBelow.toSet, doc.txnSeen,
-      doc.tagsResidual.toSet, doc.historyFloor)
+      doc.tagsResidual.toSet, doc.historyFloor, doc.minDroppedTsMs,
+      doc.identityBreaks)
   }
 
   /** Atomically publish `s` as version `v`, deltaing each table's file
@@ -593,7 +661,8 @@ trait ManifestStore {
           st.props, st.lastDataVersion, st.lastNonAppendVersion)
       }, stored.views, stored.history, stored.refs, stored.aggV,
       stored.expiredFloor, stored.liveBelow.toSeq.sorted, stored.txnSeen,
-      stored.tagsResidual.toSeq.sorted, stored.historyFloor)
+      stored.tagsResidual.toSeq.sorted, stored.historyFloor,
+      stored.minDroppedTsMs, stored.identityBreaks)
     if (writeDocExclusive(v, Serialization.write(doc))) Some(stored)
     else {
       written.foreach(dropBlob)
@@ -744,10 +813,65 @@ final class FileManifestStore(root: String, conf: Configuration)
   *     JDBC 4 service discovery, no `Class.forName`; dropping the
   *     Postgres/MySQL driver jar on the classpath is the only install
   *     step. */
+/** The dialect seam itself, selected from the DSN — every dialect-
+  * sensitive decision from the audit above lives HERE as code, so adding
+  * an engine is one case object and the Derby spec matrix exercises all
+  * shared logic. Postgres/MySQL stay unprovable wire-level in this
+  * zero-egress image (no server, no driver jar), but their dialect
+  * objects are unit-tested directly (SqlCatalogSpec) so the seam cannot
+  * silently rot. */
+private[graft] sealed trait SqlDialect {
+  def name: String
+  /** Large-text column type for manifest documents. */
+  def textType: String
+  /** Idempotent create-table prefix; paired with [[tableExists]] when
+    * the engine lacks IF NOT EXISTS. */
+  def createTable: String
+  /** Does this exception mean "table already exists" (schema-init
+    * race / rerun)? Only consulted when [[createTable]] is not
+    * conditional. */
+  def tableExists(e: java.sql.SQLException): Boolean
+}
+
+private[graft] object SqlDialect {
+  case object Derby extends SqlDialect {
+    val name = "derby"; val textType = "CLOB"
+    val createTable = "CREATE TABLE" // no IF NOT EXISTS on Derby
+    def tableExists(e: java.sql.SQLException): Boolean =
+      e.getSQLState == "X0Y32"
+  }
+  case object Postgres extends SqlDialect {
+    val name = "postgresql"; val textType = "TEXT"
+    val createTable = "CREATE TABLE IF NOT EXISTS"
+    def tableExists(e: java.sql.SQLException): Boolean =
+      e.getSQLState == "42P07" // belt for pre-9.1 servers
+  }
+  case object MySql extends SqlDialect {
+    val name = "mysql"; val textType = "LONGTEXT"
+    val createTable = "CREATE TABLE IF NOT EXISTS"
+    def tableExists(e: java.sql.SQLException): Boolean =
+      e.getErrorCode == 1050
+  }
+  /** JDBC DSNs name their driver in the subprotocol: `jdbc:<engine>:…`. */
+  def fromDsn(dsn: String): SqlDialect =
+    dsn.stripPrefix("jdbc:").takeWhile(_ != ':') match {
+      case "postgresql" => Postgres
+      case "mysql" | "mariadb" => MySql
+      case _ => Derby
+    }
+  /** Duplicate-PK loser detection for the conditional put — the full
+    * SQLState integrity class: 23505 on Derby/PostgreSQL, 23000 on
+    * MySQL (errno 1062). Dialect-invariant by taking the class. */
+  def duplicateKey(e: java.sql.SQLException): Boolean =
+    Option(e.getSQLState).exists(_.startsWith("23"))
+}
+
 final class JdbcManifestStore(dsn: String) extends ManifestStore {
   import java.sql.{Connection, DriverManager}
 
   protected def cacheNs: String = dsn.takeWhile(_ != ';')
+
+  private val dialect = SqlDialect.fromDsn(dsn)
 
   // keep Derby quiet (it writes derby.log into the cwd by default)
   System.setProperty("derby.stream.error.file",
@@ -758,13 +882,16 @@ final class JdbcManifestStore(dsn: String) extends ManifestStore {
     try f(c) finally c.close()
   }
 
-  // one-time schema init; Derby has no IF NOT EXISTS -> swallow "exists"
+  // one-time schema init; engines without IF NOT EXISTS swallow their
+  // own "exists" signal (the dialect knows which it is)
   withConn { c =>
     def tryDdl(sql: String): Unit =
       try { val st = c.createStatement(); try st.execute(sql) finally st.close() }
-      catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
-    tryDdl("CREATE TABLE graft_manifests (version BIGINT PRIMARY KEY, doc CLOB)")
-    tryDdl("CREATE TABLE graft_blobs (name VARCHAR(80) PRIMARY KEY, entries CLOB)")
+      catch { case e: java.sql.SQLException if dialect.tableExists(e) => () }
+    tryDdl(s"${dialect.createTable} graft_manifests " +
+      s"(version BIGINT PRIMARY KEY, doc ${dialect.textType})")
+    tryDdl(s"${dialect.createTable} graft_blobs " +
+      s"(name VARCHAR(80) PRIMARY KEY, entries ${dialect.textType})")
   }
 
   def currentVersion(): Long = withConn { c =>
@@ -843,10 +970,9 @@ final class JdbcManifestStore(dsn: String) extends ManifestStore {
   protected def writeDocExclusive(v: Long, json: String): Boolean = withConn { c =>
     val ps = c.prepareStatement("INSERT INTO graft_manifests VALUES (?, ?)")
     try { ps.setLong(1, v); ps.setString(2, json); ps.executeUpdate(); true }
-    // integrity-violation class: 23505 on Derby/PostgreSQL, 23000 on
-    // MySQL (errno 1062) — see the dialect audit in the class scaladoc
+    // integrity-violation class — see SqlDialect.duplicateKey
     catch { case e: java.sql.SQLException
-        if Option(e.getSQLState).exists(_.startsWith("23")) => false }
+        if SqlDialect.duplicateKey(e) => false }
     finally ps.close()
   }
 }

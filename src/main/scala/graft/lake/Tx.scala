@@ -360,8 +360,16 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
 
   /** The version this transaction will PUBLISH as (recomputed on every
     * OCC retry). A watermark recorded inside the transaction should use
-    * this: the commit's own snapshot reflects everything the body read. */
-  def commitVersion: Long = base.snapshotId + 1
+    * this: the commit's own snapshot reflects everything the body read.
+    * Reading it makes the transaction rebase-UNSAFE: a rebase publishes
+    * at a higher version without re-running the body, so anything the
+    * body recorded from this value (e.g. an MV's source-version
+    * watermark) would name a different transaction's snapshot — force
+    * the re-run path instead, mirroring [[streamBatchApplied]]. */
+  def commitVersion: Long = {
+    rebaseUnsafe = true
+    base.snapshotId + 1
+  }
 
   /** Has `v` been expired by a committed vacuum, as of this
     * transaction's base? (Pure ledger read — no store listing.) */
@@ -455,8 +463,22 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
   }
 
   /** Record a stream batch tag in this commit's change summary — the
-    * idempotence marker for exactly-once streaming ingestion. */
-  def markStreamBatch(tag: String): Unit = change("stream_batches", tag)
+    * idempotence marker for exactly-once streaming ingestion. USER tags
+    * get exact-match semantics whatever their shape: a non-monotone tag
+    * (or a second stream's restarted counter) is never swallowed as a
+    * "replay" by a high-water mark it didn't earn. Engine paths whose
+    * ids are monotone by construction use [[markStreamBatchMonotone]]
+    * so their ledger stays O(streams), not O(batches). */
+  def markStreamBatch(tag: String): Unit = change("stream_batches_exact", tag)
+
+  /** High-water variant for the engine's monotone-id paths ONLY
+    * (checkpointed batch ids, catalog-sync source versions): the tag's
+    * numeric suffix folds into a per-prefix high-water mark, so the
+    * stored ledger is bounded by the number of STREAMS. Callers must
+    * guarantee the suffix is monotone per prefix — that is exactly the
+    * Structured Streaming checkpoint contract. */
+  private[graft] def markStreamBatchMonotone(tag: String): Unit =
+    change("stream_batches", tag)
 
   // ------------------------------------------------------------------- DML
 
@@ -545,20 +567,23 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
       else {
         val aggs = statCols.flatMap { c =>
           Seq(min(col(c.name)).cast("string").as(s"min_${c.name}"),
-            max(col(c.name)).cast("string").as(s"max_${c.name}"))
+            max(col(c.name)).cast("string").as(s"max_${c.name}"),
+            count(col(c.name)).as(s"cnt_${c.name}"))
         } ++ pvalCols.map { c =>
           collect_set(col(c).cast("string")).as(s"pv_$c")
-        }
+        } :+ count(lit(1)).as("__rows")
         rows.groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
           .map { r =>
+            val fileRows = r.getAs[Long]("__rows")
             val stats = statCols.flatMap { c =>
               val mn = r.getAs[String](s"min_${c.name}")
               val mx = r.getAs[String](s"max_${c.name}")
               if (mn == null || mx == null ||
                 !Stats.safeValue(c, mn) || !Stats.safeValue(c, mx)) None
-              else Some(c.name -> ColStat(mn, mx))
+              else Some(c.name -> ColStat(mn, mx,
+                Some(fileRows - r.getAs[Long](s"cnt_${c.name}"))))
             }.toMap
             val pv = pvalCols.flatMap { c =>
               val vs = r.getAs[scala.collection.Seq[String]](s"pv_$c")
@@ -1335,21 +1360,24 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
       else {
         val aggs = statCols.flatMap { c =>
           Seq(min(col(c.name)).cast("string").as(s"min_${c.name}"),
-            max(col(c.name)).cast("string").as(s"max_${c.name}"))
+            max(col(c.name)).cast("string").as(s"max_${c.name}"),
+            count(col(c.name)).as(s"cnt_${c.name}"))
         } ++ pvalCols.map { c =>
           collect_set(col(c).cast("string")).as(s"pv_$c")
-        }
+        } :+ count(lit(1)).as("__rows")
         spark.read.parquet(abs.toString)
           .groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
           .map { r =>
+            val fileRows = r.getAs[Long]("__rows")
             val stats = statCols.flatMap { c =>
               val mn = r.getAs[String](s"min_${c.name}")
               val mx = r.getAs[String](s"max_${c.name}")
               if (mn == null || mx == null ||
                 !Stats.safeValue(c, mn) || !Stats.safeValue(c, mx)) None
-              else Some(c.name -> ColStat(mn, mx))
+              else Some(c.name -> ColStat(mn, mx,
+                Some(fileRows - r.getAs[Long](s"cnt_${c.name}"))))
             }.toMap
             val pv = pvalCols.flatMap { c =>
               val vs = r.getAs[scala.collection.Seq[String]](s"pv_$c")
@@ -1464,11 +1492,13 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     * [[Manifest.HeaderRetain]] headers, EXPIRED versions' headers drop
     * (their facts live in the aggregates; live versions keep theirs).
     * The expiry ledger stays in BOUNDED floor+exceptions form — the
-    * fold costs O(this vacuum's range), the stored state O(pins).
-    * Returns (expiredFloor, liveBelow, txnSeen, residual, history,
-    * historyFloor). */
-  private def foldAggs(prior: Snapshot, header: SnapHeader):
-      (Long, Set[Long], Map[String, Long], Set[String], Seq[SnapHeader], Long) = {
+    * fold costs O(this vacuum's range), the stored state O(pins). */
+  private case class Aggs(floor: Long, live: Set[Long],
+      seen: Map[String, Long], residual: Set[String],
+      hist: Seq[SnapHeader], hFloor: Long, minDroppedTs: Long,
+      breaks: Map[String, Long])
+
+  private def foldAggs(prior: Snapshot, header: SnapHeader): Aggs = {
     val (f0, live0, s0, r0) = prior.aggsForBuild
     val vs = changes.getOrElse("snapshots_expired", Nil)
       .iterator.map(_.toLong).toSet
@@ -1482,18 +1512,39 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
         (nf, (live0 ++ newLive) -- vs)
       }
     def expired(v: Long): Boolean = v >= 1L && v <= floor && !live.contains(v)
-    val (seen, residual) = Manifest.foldTags(s0, r0,
+    val (seen, residual0) = Manifest.foldTags(s0, r0,
       changes.getOrElse("stream_batches", Nil).toSeq)
+    // user tags keep exact-match semantics whatever their shape — they
+    // fold straight into the residual set, never the high-water map
+    val residual = residual0 ++ changes.getOrElse("stream_batches_exact", Nil)
     val hist0 = prior.history :+ header
-    val (hist, hFloor) =
-      if (hist0.size <= Manifest.HeaderRetain) (hist0, prior.historyFloor)
+    val (hist, hFloor, droppedTs) =
+      if (hist0.size <= Manifest.HeaderRetain)
+        (hist0, prior.historyFloor, 0L)
       else {
         val (old, tail) = hist0.splitAt(hist0.size - Manifest.HeaderRetain)
         val dropped = old.filter(h => expired(h.snapshotId))
         (old.filterNot(h => expired(h.snapshotId)) ++ tail,
-          dropped.foldLeft(prior.historyFloor)((f, h) => math.max(f, h.snapshotId)))
+          dropped.foldLeft(prior.historyFloor)((f, h) => math.max(f, h.snapshotId)),
+          if (dropped.isEmpty) 0L else dropped.map(_.timestampMs).min)
       }
-    (floor, live, seen, residual, hist, hFloor)
+    // earliest dropped-header timestamp, folded monotonically; sticky
+    // "unknown" (0) when a pre-aggV2 engine already dropped headers
+    // without recording timestamps — timestamp time travel below the
+    // floor then stays refused (conservative, never wrong)
+    val minDroppedTs =
+      if (prior.aggV < 2 && prior.historyFloor > 0L) 0L
+      else if (droppedTs == 0L) prior.minDroppedTsMs
+      else if (prior.minDroppedTsMs == 0L) droppedTs
+      else math.min(prior.minDroppedTsMs, droppedTs)
+    // per-name identity-break stamp; a pre-aggV2 prior seeds from its
+    // retained headers once (everything knowable at that point)
+    val breaks0 =
+      if (prior.aggV >= 2) prior.identityBreaks else prior.identityBreaksEff
+    val breaks = Manifest.IdentityBreakKinds.iterator
+      .flatMap(k => changes.getOrElse(k, Nil))
+      .foldLeft(breaks0)((m, n) => m.updated(n, header.snapshotId))
+    Aggs(floor, live, seen, residual, hist, hFloor, minDroppedTs, breaks)
   }
 
   private[lake] def buildSnapshot(id: Long): Snapshot = {
@@ -1501,7 +1552,7 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     val sv = base.schemaVersion + ddlCount
     val ch = changes.map { case (k, v) => k -> v.toSeq }.toMap
     val header = SnapHeader(id, ts, sv, ch)
-    val (ef, live, seen, residual, hist, floor) = foldAggs(base, header)
+    val a = foldAggs(base, header)
     Snapshot(
       snapshotId = id,
       timestampMs = ts,
@@ -1509,14 +1560,16 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
       changes = ch,
       tables = stampVersions(tables.toMap, id),
       views = views.toMap,
-      history = hist,
+      history = a.hist,
       refs = tagRefs.toMap,
-      aggV = 1,
-      expiredFloor = ef,
-      liveBelow = live,
-      txnSeen = seen,
-      tagsResidual = residual,
-      historyFloor = floor)
+      aggV = 2,
+      expiredFloor = a.floor,
+      liveBelow = a.live,
+      txnSeen = a.seen,
+      tagsResidual = a.residual,
+      historyFloor = a.hFloor,
+      minDroppedTsMs = a.minDroppedTs,
+      identityBreaks = a.breaks)
   }
 
   // ------------------------------------------------------ commit rebase
@@ -1550,7 +1603,7 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     val header = SnapHeader(id, ts, sv, ch)
     // rebase-safe txns carry no expiry/tag changes (rebaseUnsafe would
     // have forced the re-run path), so folding against nb is exact
-    val (ef, live, seen, residual, hist, floor) = foldAggs(nb, header)
+    val a = foldAggs(nb, header)
     Snapshot(
       snapshotId = id,
       timestampMs = ts,
@@ -1558,13 +1611,15 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
       changes = ch,
       tables = stampVersions(overlaid, id),
       views = nb.views,
-      history = hist,
+      history = a.hist,
       refs = nb.refs,
-      aggV = 1,
-      expiredFloor = ef,
-      liveBelow = live,
-      txnSeen = seen,
-      tagsResidual = residual,
-      historyFloor = floor)
+      aggV = 2,
+      expiredFloor = a.floor,
+      liveBelow = a.live,
+      txnSeen = a.seen,
+      tagsResidual = a.residual,
+      historyFloor = a.hFloor,
+      minDroppedTsMs = a.minDroppedTs,
+      identityBreaks = a.breaks)
   }
 }

@@ -157,7 +157,7 @@ object Pipeline {
   /** Embeddings as double vectors with precomputed L2 norm. `graft_dot`
     * is the codegen'd native dot product (graft.functions.DotProduct) —
     * bit-identical to the sequential-fold HOF it replaces. */
-  private def embNorm(s: SparkSession, d: String): DataFrame = {
+  private[graft] def embNorm(s: SparkSession, d: String): DataFrame = {
     graft.functions.DotProduct.register(s)
     T.embeddings(s, d).selectExpr(
       "vec_id",
@@ -172,7 +172,7 @@ object Pipeline {
 
   /** cosine(a.v, b.v) — sequential-order dot product, identical
     * association order on both engines so the doubles match bit-for-bit. */
-  private val cosSparkAB = "graft_dot(a.v, b.v) / (a.nrm * b.nrm)"
+  private[graft] val cosSparkAB = "graft_dot(a.v, b.v) / (a.nrm * b.nrm)"
   private val cosDuckAB =
     "list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm)"
 
@@ -181,7 +181,7 @@ object Pipeline {
     * under `alias`. ONE definition — a band-count or bit-width change
     * here keeps every query AND its oracle in lockstep with
     * [[signBandDuck]], its DuckDB twin. */
-  private def signBandExpr(alias: String): String =
+  private[graft] def signBandExpr(alias: String): String =
     "explode(transform(sequence(0, 3), b -> struct(b AS band, " +
       "aggregate(sequence(0, 7), 0L, (acc, j) -> acc + " +
       "IF(element_at(v, b * 16 + j + 1) >= cast(0 AS double), " +

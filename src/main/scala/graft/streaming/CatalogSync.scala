@@ -85,7 +85,11 @@ object CatalogSync {
     * Returns the number of destination transactions committed (0 when
     * nothing new). `anchorVersions` optionally pins a per-SOURCE-table
     * schema anchor (same contract as [[ChangeFeed]]'s `anchorVersion`);
-    * unpinned tables anchor at their first-pass source head. */
+    * unpinned tables anchor at their first-pass source head, and that
+    * anchor is PERSISTED as a destination-table property keyed by
+    * `streamId`, so later passes keep the same window alignment even
+    * across source schema changes (re-anchoring mid-stream would
+    * silently shift what the replicated columns mean). */
   def pass(srcCat: LakeCatalog, dstCat: LakeCatalog, tables: Seq[TableSync],
       streamId: String, maxTxnsPerPass: Int = 32,
       anchorVersions: Map[String, Long] = Map.empty): Long = {
@@ -100,15 +104,21 @@ object CatalogSync {
     val window = head.history.iterator
       .filter(h => h.snapshotId > from && h.snapshotId <= head.snapshotId)
       .toSeq
-    // identity-break guard, per table, same remedy story as ChangeFeed
-    for (t <- tables; h <- window.find(identityBreaks(_, t.src))) {
-      val remedy = if (from == 0L)
-        "; sync only the name's current incarnation by seeding the " +
-          "replica and offset past the break"
-      else "; re-seed the replica and start a fresh sync stream"
-      throw new IllegalStateException(
-        s"table '${t.src}' was dropped, replaced or renamed at " +
-          s"v${h.snapshotId} — its column identity ended there" + remedy)
+    // identity-break guard, per table, same remedy story as ChangeFeed:
+    // retained headers plus the per-name stamp (exact even after the
+    // breaking commit's header was compacted away)
+    for (t <- tables) {
+      val headerBreak = window.find(identityBreaks(_, t.src)).map(_.snapshotId)
+      val stamped = head.identityBreaks.get(t.src).filter(_ > from)
+      (headerBreak ++ stamped).headOption.foreach { bv =>
+        val remedy = if (from == 0L)
+          "; sync only the name's current incarnation by seeding the " +
+            "replica and offset past the break"
+        else "; re-seed the replica and start a fresh sync stream"
+        throw new IllegalStateException(
+          s"table '${t.src}' was dropped, replaced or renamed at " +
+            s"v$bv — its column identity ended there" + remedy)
+      }
     }
     // sync points: live versions in (from, head] where ANY synced table's
     // data changed; expired interiors merge into the next live point, a
@@ -139,10 +149,25 @@ object CatalogSync {
       if (points0.size <= maxTxnsPerPass) points0
       else points0(points0.size - maxTxnsPerPass) +:
         points0.drop(points0.size - maxTxnsPerPass + 1)
-    // per-table schema anchors: pinned, else this pass's head (stable
-    // across the pass so every window of one pass aligns identically)
-    val anchors = tables.map(t =>
-      t.src -> anchorVersions.getOrElse(t.src, head.snapshotId)).toMap
+    // per-table schema anchors: pinned wins; else the anchor PERSISTED
+    // on the replica at first pass; else this pass's head (first pass —
+    // persisted below inside the pass's first destination transaction,
+    // so the anchor never shifts once any window has been applied)
+    val anchorKey = s"catsync.$streamId.anchor"
+    val dstHead = dstCat.current
+    val anchors = tables.map { t =>
+      val stored = dstHead.tables.get(t.dst)
+        .flatMap(_.props.get(anchorKey)).map(_.toLong)
+      t.src -> anchorVersions.getOrElse(t.src,
+        stored.getOrElse(head.snapshotId))
+    }.toMap
+    // persist first-pass anchors for unpinned tables (no-op once stored;
+    // pinned tables stay caller-owned — an explicit pin is not sticky)
+    def persistAnchors(tx: graft.lake.Tx): Unit = tables.foreach { t =>
+      if (!anchorVersions.contains(t.src) &&
+          !tx.properties(t.dst).contains(anchorKey))
+        tx.setProperty(t.dst, anchorKey, anchors(t.src).toString)
+    }
     val headersByV = window.map(h => h.snapshotId -> h).toMap
     var committed = 0L
     var lastTagged = from
@@ -187,13 +212,16 @@ object CatalogSync {
           try {
             dstCat.transaction { tx =>
               if (tx.streamBatchApplied(tag)) throw AlreadyApplied
+              persistAnchors(tx)
               nonEmpty.foreach { case (t, chg) =>
                 tx.delete(t.dst, chg.select(t.keys.map(col): _*), t.keys)
                 tx.insert(t.dst,
                   chg.filter(col(ChangeFeed.TypeCol) =!= "delete")
                     .drop(ChangeFeed.TypeCol))
               }
-              tx.markStreamBatch(tag)
+              // catsync tags are monotone per streamId (source snapshot
+              // versions) — high-water ledger, O(streams) state
+              tx.markStreamBatchMonotone(tag)
             }
             committed += 1
           } catch { case AlreadyApplied => () }
@@ -211,7 +239,8 @@ object CatalogSync {
       object Done extends Exception
       try dstCat.transaction { tx =>
         if (tx.streamBatchApplied(tag)) throw Done // racing pass beat us
-        tx.markStreamBatch(tag)
+        persistAnchors(tx)
+        tx.markStreamBatchMonotone(tag)
       } catch { case Done => () }
     }
     committed

@@ -82,10 +82,24 @@ object ChangeFeed {
     * replace restarts column ids; a rename-AWAY (`tables_renamed_from`)
     * or a rename-over of this name means the name no longer denotes the
     * anchored table; a drop ends the feed outright. Id-anchored alignment
-    * across any of these would be silent garbage, so getBatch refuses. */
-  private[streaming] val IdentityBreakKinds = Seq(
-    "tables_replaced", "tables_renamed", "tables_renamed_from",
-    "tables_dropped")
+    * across any of these would be silent garbage, so getBatch refuses.
+    * Defined in the lake layer (the per-name break version is stamped
+    * into [[graft.lake.Snapshot.identityBreaks]] at commit build, so the
+    * guard survives header-tail compaction). */
+  private[streaming] val IdentityBreakKinds: Seq[String] =
+    graft.lake.Manifest.IdentityBreakKinds
+
+  /** Stable stream identity derived from a checkpoint location: batch
+    * ids are scoped to the checkpoint, so its (normalized) path is the
+    * natural namespace for idempotence tags. Hashed to keep tags short
+    * and free of path separators. */
+  private[graft] def checkpointStreamId(checkpointDir: String): String = {
+    val norm = new java.io.File(checkpointDir).getAbsolutePath
+      .stripSuffix("/")
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(norm.getBytes("UTF-8"))
+    "ckpt-" + d.take(6).map("%02x".format(_)).mkString
+  }
 
   /** Feed schema = the table's columns + change_type + commit version.
     * The source itself anchors at its construction-time version; this
@@ -128,11 +142,20 @@ object ChangeFeed {
     * atomic, batch-id-deduped, so a replay or sink retry is exactly-once
     * end to end). `observe` sees each APPLIED batch (already persisted).
     * Returns the number of batches applied this pass — 0 when nothing
-    * new was committed upstream. */
+    * new was committed upstream.
+    *
+    * When the caller doesn't name a `streamId`, one is derived from the
+    * checkpoint location: batch ids restart at 0 with every fresh
+    * checkpoint, so the checkpoint IS the stream's identity — two
+    * logical streams (distinct checkpoints) sharing a destination then
+    * namespace their idempotence tags apart instead of the second
+    * stream's early batches being skipped as replays of the first's. */
   def applyPass(cat: LakeCatalog, src: String, dst: String,
       keys: Seq[String], checkpointDir: String,
       observe: (DataFrame, Long) => Unit = (_, _) => (),
       anchorVersion: Option[Long] = None, streamId: String = ""): Long = {
+    val sid = if (streamId.nonEmpty) streamId
+      else checkpointStreamId(checkpointDir)
     val applied = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = readChanges(cat.spark, cat.root, src, keys,
         anchorVersion = anchorVersion)
@@ -142,7 +165,7 @@ object ChangeFeed {
       .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], id: Long) =>
         val df = b.toDF().persist()
         try {
-          if (cat.applyChangesStreamBatch(dst, df, keys, id, streamId)) {
+          if (cat.applyChangesStreamBatch(dst, df, keys, id, sid)) {
             applied.incrementAndGet()
             observe(df, id)
           }
@@ -264,19 +287,28 @@ class ChangeFeedSource(spark: SparkSession, parameters: Map[String, String])
     // away, or another renamed over this name) restarts column identity —
     // id-anchored alignment across it would be meaningless; a DROP ends
     // the feed even if nothing re-creates the name
-    val breaks = window.filter(h => IdentityBreakKinds.exists(k =>
-      h.changes.getOrElse(k, Nil).contains(table)))
-    breaks.headOption.foreach { h =>
+    // two signals, both consulted: the retained-header scan (complete
+    // for windows younger than tail compaction, and the only signal in
+    // pre-aggV2 manifests) and the per-name break stamp (exact even
+    // after the breaking commit's header was compacted away — a feed
+    // whose fromV is 0 or a tag-pinned pre-break version must refuse,
+    // not silently diff across restarted column ids)
+    val headerBreaks = window.filter(h => IdentityBreakKinds.exists(k =>
+      h.changes.getOrElse(k, Nil).contains(table))).map(_.snapshotId)
+    val stampedBreak = head.identityBreaks.get(table)
+      .filter(bv => bv > fromV && bv <= toV)
+    val breaks = (headerBreaks ++ stampedBreak).distinct.sorted
+    breaks.headOption.foreach { bv =>
       // a FRESH stream (no checkpointed start) that trips this guard did
       // exactly what "start a fresh stream" asks — the actual remedy is a
       // startingVersion past the LAST identity break, so say so
       val remedy = if (start.isEmpty)
         s"; to stream the name's current incarnation, pass " +
-          s"startingVersion = ${breaks.map(_.snapshotId).max}"
+          s"startingVersion = ${breaks.max}"
       else "; start a fresh change stream"
       throw new IllegalStateException(
         s"table '$table' was dropped, replaced or renamed at " +
-          s"v${h.snapshotId} — its column identity ended there" + remedy)
+          s"v$bv — its column identity ended there" + remedy)
     }
     // commits in (fromV, toV] whose changes touched this table's DATA;
     // expired interior versions merge into the next live window (their

@@ -192,13 +192,22 @@ object EventStream {
     * Spark-native closing of that loop: stream in, transactional lake out,
     * time travel over the ingested history. */
   def sinkToLake(stream: DataFrame, cat: graft.lake.LakeCatalog,
-      table: String, checkpointDir: String): Unit = {
+      table: String, checkpointDir: String, streamId: String = ""): Unit = {
     val q = stream.writeStream
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        cat.insertStreamBatch(table, batch.toDF(), id); ()
+        // append-sink dedup stays (table[, streamId], batchId) — NOT
+        // checkpoint-derived: a replay from a fresh checkpoint (same
+        // source, same batch ids) must stay a no-op (the Delta txnAppId
+        // model). The flip side: DISTINCT logical streams appending to
+        // one table must pass distinct streamIds or the second stream's
+        // early batches dedupe against the first's — the CDC path
+        // (ChangeFeed.applyPass) differs deliberately: its net-effect
+        // apply converges under re-delivery, so it derives the id from
+        // the checkpoint and never skips a distinct stream.
+        cat.insertStreamBatch(table, batch.toDF(), id, streamId); ()
       }
       .start()
     q.awaitTermination()

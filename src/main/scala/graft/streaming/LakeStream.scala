@@ -48,7 +48,8 @@ object LakeStream {
     graft.lake.Manifest.NonAppendKinds
 
   def replicate(cat: LakeCatalog, src: String, dst: String,
-      transform: DataFrame => DataFrame, checkpointDir: String): Unit = {
+      transform: DataFrame => DataFrame, checkpointDir: String,
+      streamId: String = ""): Unit = {
     val spark = cat.spark
     // enforce the contract instead of silently double-counting: the
     // state-level lastNonAppendVersion stamp (immune to header-tail
@@ -75,7 +76,9 @@ object LakeStream {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
-        cat.insertStreamBatch(dst, batch.toDF(), id); ()
+        // (dst[, streamId], batchId) dedup — see EventStream.sinkToLake
+        // for why append sinks do NOT derive the id from the checkpoint
+        cat.insertStreamBatch(dst, batch.toDF(), id, streamId); ()
       }
       .start()
     q.awaitTermination()

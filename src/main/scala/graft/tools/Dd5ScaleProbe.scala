@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Closes the last open scale question on dd5 (embedding near-dup) with
+  * DATA instead of argument. The judged dd5 runs at threshold 0.45, where
+  * the sf1/sf3 OUTPUT grows superlinearly — adjudicated a fixture
+  * property: the synthetic corpus plants no near-dups above 0.45, so the
+  * "pairs" are background correlations whose count grows as
+  * N² · P(cos ≥ t) (BASELINE.md). A PRODUCTION dedup runs at ~0.9
+  * against a corpus whose near-dups are real planted structure — this
+  * probe builds exactly that regime ON THE FLY (fixtures untouched, so
+  * bench baselines stay valid): every 50th vector gets one deterministic
+  * perturbed twin at cos ≈ 0.93, then the dd5 plan runs at 0.9.
+  *
+  * Measured (see BASELINE.md): planted twins are 1/50 of rows and
+  * background pairs at 0.9 are ZERO, so PAIR COUNT is linear in the
+  * corpus at every SF. The first probe run also measured the wall going
+  * SUPERLINEAR under the judged query's fixed 4×8-bit band key — 256
+  * buckets per band means occupancy (and so candidate pairs) grows
+  * quadratically once the corpus outgrows the bucket space. That is the
+  * textbook LSH sizing rule, not an engine defect: bucket count must
+  * scale with N. The probe therefore sizes the band key from the corpus
+  * (`bits ≈ log2(N / 24)`, clamped to [8, 13]; 8 bands over
+  * deterministically permuted sign dims to keep recall at the wider
+  * keys) and reports recall via the planted twins — wall returns to
+  * ~linear, recall holds, which is the 100-TB deployment recipe.
+  *
+  * Usage: `sbt "runMain graft.tools.Dd5ScaleProbe <sfDir> [<sfDir2> …]"`
+  * — prints one JSON line per directory (fixed-key and scaled-key legs).
+  */
+object Dd5ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: Dd5ScaleProbe <sfDir> [<sfDir2> ...]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect() // session warm-up
+    args.foreach { d =>
+      // base corpus + planted twins: id-deterministic component nudge,
+      // sized so cos(v, twin) ≈ 0.93 (alpha = 0.4 of the norm, spread
+      // over a sign pattern keyed by (vec_id, component))
+      val e = graft.ops.Pipeline.embNorm(spark, d)
+      val twins = e.filter(col("vec_id") % 50 === 0)
+        .selectExpr("vec_id + 10000000000 AS vec_id",
+          "transform(v, (x, i) -> x + nrm * 0.4 / sqrt(size(v)) * " +
+            "IF((vec_id + i) % 2 = 0, 1.0, -1.0)) AS v")
+        .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+      val all = e.unionByName(twins).persist()
+      val n = all.count() // materialize before timing the search itself
+      val plantedTotal = all.filter(col("vec_id") >= 10000000000L).count()
+      // corpus-sized band key: bucket count tracks N (the LSH sizing
+      // rule); 8 bands over permuted sign dims (offset 29·band, stride 5
+      // — both coprime with the 64-dim space, so each band reads `bits`
+      // DISTINCT dims in a band-specific order)
+      val dim = 64
+      val scaledBits = math.max(8, math.min(13,
+        math.ceil(math.log(n / 24.0) / math.log(2)).toInt))
+      def bandExpr(nBands: Int, bits: Int, perm: Boolean): String = {
+        val idx = if (perm) s"((b * 29 + j * 5) % $dim)" else "(b * 16 + j)"
+        s"explode(transform(sequence(0, ${nBands - 1}), b -> struct(b AS band, " +
+          s"aggregate(sequence(0, ${bits - 1}), 0L, (acc, j) -> acc + " +
+          s"IF(element_at(v, $idx + 1) >= cast(0 AS double), " +
+          "shiftleft(1L, j), 0L)) AS bv))) AS e"
+      }
+      def leg(name: String, nBands: Int, bits: Int, perm: Boolean): Unit = {
+        val bands = all.selectExpr("vec_id", "v", "nrm",
+          bandExpr(nBands, bits, perm))
+          .selectExpr("vec_id", "v", "nrm", "e.band AS band", "e.bv AS bv")
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
+          .distinct()
+        val pairsDf = cand
+          .join(all.as("a"), col("id1") === col("a.vec_id"))
+          .join(all.as("b"), col("id2") === col("b.vec_id"))
+          .selectExpr("id1", "id2",
+            s"round(${graft.ops.Pipeline.cosSparkAB}, 6) AS cos")
+          .filter(col("cos") >= 0.9)
+        // two timed runs, min: run 1 pays codegen/JIT
+        var pairs = 0L
+        val wall = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          pairs = pairsDf.count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        val planted = pairsDf
+          .filter(col("id2") >= 10000000000L &&
+            col("id2") - 10000000000L === col("id1"))
+          .count()
+        println(f"""{"probe":"dd5_at_0.9","leg":"$name","sf":"$d","rows":$n,"bands":$nBands,"bits":$bits,"pairs":$pairs,"planted_recovered":$planted,"planted_total":$plantedTotal,"sec":$wall%.3f}""")
+      }
+      leg("fixed_key", 4, 8, perm = false) // the judged dd5's band key
+      leg("scaled_key", 8, scaledBits, perm = true)
+      all.unpersist(blocking = false)
+    }
+    spark.stop()
+  }
+}

@@ -2336,6 +2336,143 @@ class LakeSpec extends SparkSpec {
       tx.markStreamBatch(s"rebase-test:$runs")
     }
     assert(runs === 2, "stream tags must take the re-run path")
-    assert(cat.current.history.last.changes("stream_batches") === Seq("rebase-test:2"))
+    assert(cat.current.history.last.changes("stream_batches_exact") === Seq("rebase-test:2"))
+    // 6) reading commitVersion never rebases: a rebase would publish at
+    // a HIGHER version than the body recorded, so anything stamped from
+    // it (an MV watermark) would name a different transaction's snapshot
+    runs = 0
+    var recorded = 0L
+    cat.transaction { tx =>
+      runs += 1
+      if (runs == 1) cat2.insert("x", df(104))
+      recorded = tx.commitVersion
+      tx.insert("y", df(5))
+    }
+    assert(runs === 2, "a commitVersion read must take the re-run path")
+    assert(recorded === cat.currentVersion,
+      "the recorded commit version must equal the published one")
+  }
+
+  test("stream-tag ledger: user tags are exact-match; engine paths keep the high-water") {
+    val cat = newLake()
+    cat.createTable("g", StructType(Seq(StructField("id", LongType))))
+    // a USER tag with a numeric suffix must not earn high-water
+    // semantics: committing user:5 says nothing about user:3 — a
+    // non-monotone user tag (or a second stream's restarted counter)
+    // must never be swallowed as a replay
+    cat.transaction { tx =>
+      tx.insert("g", spark.range(0, 1).toDF("id"))
+      tx.markStreamBatch("user:5")
+    }
+    assert(cat.current.streamTagApplied("user:5"))
+    assert(!cat.current.streamTagApplied("user:3"),
+      "a never-committed lower user tag must not read as applied")
+    assert(!cat.current.streamTagApplied("user:6"))
+    // lower user tags still commit (exact-match, not high-water)
+    cat.transaction { tx =>
+      tx.insert("g", spark.range(1, 2).toDF("id"))
+      tx.markStreamBatch("user:3")
+    }
+    assert(cat.current.streamTagApplied("user:3"))
+    // the ENGINE's monotone checkpoint path keeps high-water dedup:
+    // batch ids are monotone per (table, stream) by the Structured
+    // Streaming checkpoint contract, so id <= high-water IS a replay
+    assert(cat.insertStreamBatch("g", spark.range(2, 3).toDF("id"), 5L))
+    assert(!cat.insertStreamBatch("g", spark.range(2, 3).toDF("id"), 3L),
+      "engine batch ids below the high-water are replays by contract")
+    // distinct streamIds namespace the high-water apart: a fresh
+    // checkpoint's batch 0 lands instead of deduping against the first
+    // stream's counter
+    assert(cat.insertStreamBatch("g", spark.range(3, 4).toDF("id"), 0L,
+      streamId = "second"))
+  }
+
+  test("timestamp time travel below the history floor resolves when it predates every dropped header") {
+    val cat = newLake()
+    cat.createTable("g", StructType(Seq(StructField("id", LongType)))) // v1
+    cat.insert("g", spark.range(0, 3).toDF("id")) // v2
+    val pinnedV = cat.currentVersion
+    Thread.sleep(5)
+    val tsAtPin = System.currentTimeMillis() // strictly after v2 …
+    Thread.sleep(5) // … and strictly before v3
+    // pin EVERYTHING at or below the probe, so every header the vacuum
+    // drops is newer than it (the "old tagged corpus" shape: history
+    // before the pin is retained, churn after it is expired)
+    cat.tag("t1", 1L) // v3
+    cat.tag("t2", pinnedV) // v4
+    // pile up cheap metadata commits past the header-retain window
+    (1 to 300).foreach(i =>
+      cat.transaction(_.setProperty("g", "pad", i.toString)))
+    cat.vacuum(keepLast = 10, orphanGraceMs = 0L)
+    val head = cat.current
+    assert(head.historyFloor > pinnedV, "fixture must have compacted tails")
+    assert(head.minDroppedTsMs > tsAtPin,
+      "every dropped header is NEWER than the probe — resolution is exact")
+    // v2 is below the floor, but no dropped header can be the true
+    // target of tsAtPin, so the pinned-old resolution stays available
+    assert(cat.versionAsOf(tsAtPin) === pinnedV)
+    assert(cat.readAsOf("g", tsAtPin).count() === 3L)
+    // a timestamp INSIDE the dropped range still refuses loudly
+    val ex = intercept[NoSuchElementException] {
+      cat.versionAsOf(head.minDroppedTsMs + 1)
+    }
+    assert(ex.getMessage.contains("vacuumed"))
+  }
+
+  test("cross-PROCESS concurrent writers: the conditional put serializes across JVMs") {
+    // l52 races threads inside one JVM; this spawns two SEPARATE JVMs
+    // (own SparkSession, own catalog instance, own fs handles) racing
+    // this process on one lake root — the invariant set is l52's:
+    // linear history, no lost update, every commit exactly one txn.
+    val root = tmpDir("xjvm")
+    val cat = new LakeCatalog(spark, root)
+    cat.createTable("log", StructType(Seq(
+      StructField("writer", LongType), StructField("seq", LongType),
+      StructField("payload", LongType))), primaryKey = Seq("writer", "seq"))
+    val base = cat.currentVersion
+    val M = 3; val R = 2
+    def spawn(writer: Long): Process = {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(javaBin)
+      // inherit the forked test JVM's --add-opens / -D flags (Spark on
+      // JDK17 needs them) but not its memory setting
+      jvmArgs.forEach(a =>
+        if (a.startsWith("--add-opens") || a.startsWith("-Dspark"))
+          cmd.add(a))
+      cmd.add("-Xmx2g")
+      cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+      cmd.add("graft.tools.WriterProc")
+      Seq(root, "log", writer.toString, M.toString, R.toString)
+        .foreach(cmd.add)
+      new ProcessBuilder(cmd).redirectErrorStream(true)
+        .redirectOutput(new java.io.File(s"$root/writer$writer.log"))
+        .start()
+    }
+    val p1 = spawn(1L); val p2 = spawn(2L)
+    // this JVM races them with the same workload as writer 0
+    import spark.implicits._
+    (0 until M).foreach { i =>
+      cat.transaction(_.insert("log",
+        (0 until R).map(j => (0L, (i * R + j).toLong,
+          (i * R + j).toLong)).toDF("writer", "seq", "payload")))
+    }
+    assert(p1.waitFor(180, java.util.concurrent.TimeUnit.SECONDS) &&
+      p1.exitValue() == 0, s"writer 1 failed — see $root/writer1.log")
+    assert(p2.waitFor(180, java.util.concurrent.TimeUnit.SECONDS) &&
+      p2.exitValue() == 0, s"writer 2 failed — see $root/writer2.log")
+    // re-open from disk (this process's snapshot cache is stale)
+    val cat2 = new LakeCatalog(spark, root)
+    assert(cat2.currentVersion - base === 3L * M,
+      "every transaction across the three processes published exactly once")
+    val headers = cat2.current.history.filter(_.snapshotId > base)
+    assert(headers.size === 3 * M && headers.forall(
+      _.changes.getOrElse("tables_inserted_into", Nil).contains("log")),
+      "linear history: one writer transaction per version")
+    assert(cat2.read("log").count() === 3L * M * R)
+    assert(cat2.read("log").select("writer", "seq").distinct().count()
+      === 3L * M * R, "no lost updates across processes")
   }
 }

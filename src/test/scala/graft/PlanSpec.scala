@@ -555,4 +555,53 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("HashJoin") || s.contains("SortMergeJoin"),
       "keyword + vector legs must be hash/merge equi-joins\n" + s.take(2000))
   }
+
+  test("lake manifest stats drive the INITIAL plan: selective filter broadcasts statically") {
+    // the scale story this pins: at 100 TB a wrong initial join plan
+    // materializes a huge shuffle before AQE can repair it. The manifest
+    // carries exact rowCount/size/min-max, grafted onto the scan relation
+    // as catalog statistics — FilterEstimation must shrink the filtered
+    // fact side below the broadcast threshold in the STATIC plan
+    // (queryExecution.sparkPlan = pre-adaptive), no runtime feedback.
+    val cat = new graft.lake.LakeCatalog(spark, tmpDir("cbostats"))
+    // hashed second column keeps parquet from delta-encoding the file
+    // under the broadcast threshold
+    val rows = spark.range(0, 200000)
+      .selectExpr("id AS k", "id * 2654435761 % 1000000007 AS g")
+    cat.createTable("fact", rows.schema)
+    cat.insert("fact", rows)
+    cat.createTable("dim", rows.schema)
+    cat.insert("dim", rows)
+    val threshold = 256 * 1024
+    val fileBytes = cat.current.tables("fact").files.map(_.sizeBytes).sum
+    assert(fileBytes > threshold,
+      s"fixture: files ($fileBytes B) must exceed the threshold")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prior = spark.conf.get(key)
+    spark.conf.set(key, threshold.toString)
+    try {
+      // 0.1%-selective filter: est rows ~200 -> ~5 KB, WAY below the
+      // threshold — but only if the stats flow into FilterEstimation
+      val filtered = cat.read("fact").filter(col("k") < 200)
+      // the estimate itself: ~201 rows / ~5 KB from min-max + span-NDV +
+      // exact null counts, against a 4.6 MiB relation
+      val est = filtered.queryExecution.optimizedPlan.stats
+      assert(est.rowCount.exists(_ < BigInt(1000)),
+        s"filter estimate must shrink from manifest stats, got $est")
+      val j = filtered.join(cat.read("dim"), "k")
+      val initial = j.queryExecution.sparkPlan.toString()
+      assert(initial.contains("BroadcastHashJoin"),
+        "manifest stats must broadcast the filtered side in the initial " +
+          "plan\n" + initial.take(2000))
+      // negative control: unfiltered join — both sides' stats exceed the
+      // threshold, so the static plan must NOT broadcast (proves the
+      // positive leg is the filter ESTIMATE, not a blanket hint)
+      val j2 = cat.read("fact").join(cat.read("dim"), "k")
+      val initial2 = j2.queryExecution.sparkPlan.toString()
+      assert(!initial2.contains("BroadcastHashJoin"),
+        "unfiltered sides must not broadcast\n" + initial2.take(2000))
+      // and the result is right (stats shape plans, never answers)
+      assert(j.count() === 200L)
+    } finally spark.conf.set(key, prior)
+  }
 }

@@ -9,6 +9,8 @@ import org.scalatest.BeforeAndAfterAll
   * shuffle partitions. */
 object SparkSpec {
   lazy val spark: SparkSession = {
+    // SPARK_GRAFT_CBO=0 re-runs the A/B (plan-stats estimation off)
+    val cboOn = (!sys.env.get("SPARK_GRAFT_CBO").contains("0")).toString
     val cpus = math.max(4, Runtime.getRuntime.availableProcessors())
     SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,6 +18,14 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // cost-based optimization: lake-table scans carry exact manifest
+      // statistics (rowCount/size/min-max/NDV via RelationStats), so the
+      // INITIAL plan picks broadcast sides and join order from stats
+      // instead of relying on AQE runtime repair; plain parquet reads
+      // (no catalog stats) keep their default size-only estimates
+      .config("spark.sql.cbo.enabled", cboOn)
+      .config("spark.sql.cbo.planStats.enabled", cboOn)
+      .config("spark.sql.cbo.joinReorder.enabled", cboOn)
       .getOrCreate()
   }
 }

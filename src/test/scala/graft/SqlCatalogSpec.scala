@@ -114,4 +114,35 @@ class SqlCatalogSpec extends SparkSpec {
     assert(back.read("m").orderBy("id").as[(Int, Double)].collect()
       === Array((1, 1.5), (2, 2.5)))
   }
+
+  test("SQL dialect seam: DSN selection, exists/duplicate signals, DDL shapes") {
+    import graft.lake.SqlDialect
+    import java.sql.SQLException
+    // selection by JDBC subprotocol
+    assert(SqlDialect.fromDsn("jdbc:derby:memory:x;create=true")
+      === SqlDialect.Derby)
+    assert(SqlDialect.fromDsn("jdbc:postgresql://h/db") === SqlDialect.Postgres)
+    assert(SqlDialect.fromDsn("jdbc:mysql://h/db") === SqlDialect.MySql)
+    assert(SqlDialect.fromDsn("jdbc:mariadb://h/db") === SqlDialect.MySql)
+    // duplicate-key loser detection: the full 23xxx integrity class,
+    // so Derby/Postgres (23505) and MySQL (23000/1062) all serialize
+    // the conditional put; a non-integrity state never masks a failure
+    assert(SqlDialect.duplicateKey(new SQLException("dup", "23505")))
+    assert(SqlDialect.duplicateKey(new SQLException("dup", "23000", 1062)))
+    assert(!SqlDialect.duplicateKey(new SQLException("io", "08006")))
+    assert(!SqlDialect.duplicateKey(new SQLException("nostate", null: String)))
+    // table-exists signals per engine (schema-init rerun/race)
+    assert(SqlDialect.Derby.tableExists(new SQLException("e", "X0Y32")))
+    assert(SqlDialect.Postgres.tableExists(new SQLException("e", "42P07")))
+    assert(SqlDialect.MySql.tableExists(new SQLException("e", "42S01", 1050)))
+    assert(!SqlDialect.Derby.tableExists(new SQLException("e", "42P07")))
+    // DDL shapes: engines with IF NOT EXISTS use it; text types per
+    // engine (Derby CLOB / Postgres TEXT / MySQL LONGTEXT)
+    assert(SqlDialect.Derby.createTable === "CREATE TABLE")
+    assert(SqlDialect.Postgres.createTable.contains("IF NOT EXISTS"))
+    assert(SqlDialect.MySql.createTable.contains("IF NOT EXISTS"))
+    assert(Set("CLOB", "TEXT", "LONGTEXT").contains(SqlDialect.Derby.textType)
+      && SqlDialect.Postgres.textType === "TEXT"
+      && SqlDialect.MySql.textType === "LONGTEXT")
+  }
 }

@@ -258,7 +258,7 @@ class StreamingSpec extends SparkSpec {
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val results = Await.result(Future.sequence((1 to 2).map(_ => Future {
-      cat.applyChangesStreamBatch("replica", changes, Seq("id"), 0L)
+      cat.applyChangesStreamBatch("replica", changes, Seq("id"), 0L, "s0")
     })), Duration.Inf)
     assert(results.count(identity) === 1,
       s"exactly one of the racing applies must land, got $results")
@@ -266,7 +266,7 @@ class StreamingSpec extends SparkSpec {
     assert(cat.read("replica").exceptAll(cat.read("src")).isEmpty)
     // a later sequential replay of the same batch id is also a no-op
     val v = cat.currentVersion
-    assert(!cat.applyChangesStreamBatch("replica", changes, Seq("id"), 0L))
+    assert(!cat.applyChangesStreamBatch("replica", changes, Seq("id"), 0L, "s0"))
     assert(cat.currentVersion === v)
   }
 
@@ -341,7 +341,7 @@ class StreamingSpec extends SparkSpec {
       .foreachBatch {
         (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             id: Long) =>
-          cat.applyChangesStreamBatch("replica", b.toDF(), Seq("id"), id); ()
+          cat.applyChangesStreamBatch("replica", b.toDF(), Seq("id"), id, "s0"); ()
       }
       .start()
     try {
@@ -503,7 +503,7 @@ class StreamingSpec extends SparkSpec {
         // <= maxWindows distinct commit versions = <= maxWindows union legs
         val legs = df.select("_commit_version").distinct().count()
         batches += 1; maxLegs = math.max(maxLegs, legs)
-        cat.applyChangesStreamBatch("r", df, Seq("id"), id)
+        cat.applyChangesStreamBatch("r", df, Seq("id"), id, "fold")
         df.unpersist(blocking = false)
         ()
       }.start()
@@ -531,13 +531,13 @@ class StreamingSpec extends SparkSpec {
       (2L, 30L, "insert", 3L))
       .toDF("k", "v", "change_type", "_commit_version")
     val ex = intercept[IllegalArgumentException] {
-      cat.applyChangesStreamBatch("r", batch, Seq("k"), 0L)
+      cat.applyChangesStreamBatch("r", batch, Seq("k"), 0L, "dup")
     }
     assert(ex.getMessage.contains("not unique"))
     // distinct keys pass
     val ok = Seq((1L, 10L, "insert", 3L), (2L, 30L, "insert", 3L))
       .toDF("k", "v", "change_type", "_commit_version")
-    assert(cat.applyChangesStreamBatch("r", ok, Seq("k"), 0L))
+    assert(cat.applyChangesStreamBatch("r", ok, Seq("k"), 0L, "dup"))
     assert(cat.read("r").count() === 2L)
   }
 
@@ -661,5 +661,114 @@ class StreamingSpec extends SparkSpec {
       TableSync("b", "rb2", Seq("id")))
     assert(CatalogSync.pass(cat, cat, maps2, "f2", maxTxnsPerPass = 3) >= 1L)
     assert(eqTo("a", "ra2") && eqTo("b", "rb2"))
+  }
+
+  test("identity break stays visible after its header is compacted away (stamp, not header scan)") {
+    import graft.streaming.{CatalogSync, ChangeFeed, TableSync}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val cat = new graft.lake.LakeCatalog(spark, tmpDir("cdcbreakc"))
+    val src = spark.range(1, 11).selectExpr("id", "id * 10 AS v")
+    cat.createTable("t", src.schema, primaryKey = Seq("id"))
+    cat.createTable("r", src.schema)
+    cat.insert("t", src)
+    cat.dropTable("t")
+    val breakV = cat.currentVersion
+    cat.createTable("t", src.schema, primaryKey = Seq("id"))
+    cat.insert("t", src)
+    // churn past the header-retain window, then vacuum: the breaking
+    // commit's header drops from every later snapshot's history
+    cat.createTable("pad", StructType(Seq(StructField("id", LongType))))
+    (1 to 300).foreach(i =>
+      cat.transaction(_.setProperty("pad", "i", i.toString)))
+    cat.vacuum(keepLast = 10, orphanGraceMs = 0L)
+    cat.insert("t", src.selectExpr("id + 100 AS id", "v")) // post-vacuum data
+    val head = cat.current
+    assert(!head.history.exists(_.snapshotId == breakV),
+      "precondition: the breaking header must be compacted away")
+    assert(head.identityBreaks.get("t") === Some(breakV),
+      "the per-name stamp must carry the break")
+    // a fresh stream from 0 would diff across restarted column ids —
+    // the stamp must refuse it even though no retained header says why
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      ChangeFeed.applyPass(cat, "t", "r", Seq("id"), tmpDir("cdcbreakc_ck"))
+    }
+    assert(ex.getCause.getMessage.contains(s"v$breakV"))
+    // the catalog-level sync sees the same stamp
+    val ex2 = intercept[IllegalStateException] {
+      CatalogSync.pass(cat, cat, Seq(TableSync("t", "r", Seq("id"))), "bc")
+    }
+    assert(ex2.getMessage.contains(s"v$breakV"))
+    // the remedy works (break version itself was vacuumed, so the
+    // startingVersion form is gone too): SEED the replica at a live
+    // snapshot, then stream from there — only post-seed churn flows
+    cat.transaction(tx => tx.insert("r", cat.read("t")))
+    val seedV = cat.currentVersion
+    cat.insert("t", src.selectExpr("id + 200 AS id", "v"))
+    val applied = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = ChangeFeed.readChanges(spark, cat.root, "t", Seq("id"),
+        startingVersion = seedV)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("cdcbreakc_ck2"))
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        if (cat.applyChangesStreamBatch("r", b.toDF(), Seq("id"), id, "inc2"))
+          applied.incrementAndGet()
+        ()
+      }.start()
+    q.awaitTermination()
+    assert(applied.get() === 1L)
+    assert(cat.read("r").exceptAll(cat.read("t"))
+      .union(cat.read("t").exceptAll(cat.read("r"))).isEmpty)
+  }
+
+  test("a fresh checkpoint is a new logical stream: its batch 0 lands instead of deduping") {
+    import graft.streaming.ChangeFeed
+    val cat = new graft.lake.LakeCatalog(spark, tmpDir("cdcfreshck"))
+    val src = spark.range(1, 21).selectExpr("id", "id * 10 AS v")
+    cat.createTable("src", src.schema, primaryKey = Seq("id"))
+    cat.createTable("replica", src.schema)
+    cat.insert("src", src)
+    assert(ChangeFeed.applyPass(cat, "src", "replica", Seq("id"),
+      tmpDir("cdcfreshck_a")) === 1L)
+    assert(cat.read("replica").count() === 20L)
+    // a SECOND logical stream over the same destination: fresh
+    // checkpoint, so its batch ids restart at 0. The checkpoint-derived
+    // streamId namespaces its idempotence tags apart from the first
+    // stream's — without it this batch would be silently skipped as a
+    // "replay" of the first stream's batch 0
+    cat.truncateTable("replica")
+    assert(ChangeFeed.applyPass(cat, "src", "replica", Seq("id"),
+      tmpDir("cdcfreshck_b")) === 1L,
+      "a fresh checkpoint's batch 0 must land, not dedupe")
+    assert(cat.read("replica").exceptAll(cat.read("src"))
+      .union(cat.read("src").exceptAll(cat.read("replica"))).isEmpty)
+  }
+
+  test("catalog sync persists its first-pass anchor: alignment survives source schema changes") {
+    import graft.streaming.{CatalogSync, TableSync}
+    import spark.implicits._
+    val cat = new graft.lake.LakeCatalog(spark, tmpDir("catsyncanchor"))
+    val s = spark.range(1, 6).selectExpr("id", "id * 10 AS v")
+    cat.createTable("s", s.schema, primaryKey = Seq("id"))
+    cat.createTable("rs", s.schema)
+    cat.insert("s", s)
+    val maps = Seq(TableSync("s", "rs", Seq("id")))
+    assert(CatalogSync.pass(cat, cat, maps, "anc") >= 1L)
+    val anchor0 = cat.current.tables("rs").props
+      .getOrElse("catsync.anc.anchor",
+        fail("first pass must persist its anchor on the replica")).toLong
+    // evolve the SOURCE between passes, then commit more data
+    cat.execute("ALTER TABLE s ADD COLUMN w BIGINT DEFAULT 7")
+    cat.insert("s", spark.range(6, 9).selectExpr("id", "id * 10 AS v"))
+    assert(CatalogSync.pass(cat, cat, maps, "anc") >= 1L)
+    // the anchor did NOT silently re-point at the new head — window
+    // alignment keeps the first pass's projection
+    assert(cat.current.tables("rs").props("catsync.anc.anchor").toLong
+      === anchor0, "the persisted anchor must not shift mid-stream")
+    assert(!cat.read("rs").columns.contains("w"),
+      "replica stays aligned at the pre-evolution anchor schema")
+    assert(cat.read("rs").exceptAll(cat.read("s").select("id", "v"))
+      .union(cat.read("s").select("id", "v").exceptAll(cat.read("rs")))
+      .isEmpty)
   }
 }
