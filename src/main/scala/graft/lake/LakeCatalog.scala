@@ -119,10 +119,19 @@ class LakeCatalog(val spark: SparkSession, val root: String,
           (Some(mins.min.toString), Some(maxs.max.toString))
         } else (None, None)
       // exact null count only when EVERY file's harvest proved one —
-      // a partial sum would misestimate IS NULL filters
+      // a partial sum would misestimate IS NULL filters. NOT NULL
+      // columns (which include every PRIMARY KEY column — createTable
+      // folds the PK into notNull; setNotNull validates ALL existing
+      // rows and writes enforce it after) are provably zero even when
+      // the footers predate the null harvest. Matched by stable column
+      // ID, not name — a rename must not alias an old file column onto
+      // a different current column's constraint.
+      val notNullNow = st.columns
+        .find(_.id == c.id).exists(cur => st.notNull.contains(cur.name))
       val nulls =
         if (covered && ranges.flatten.forall(_.nulls.isDefined))
           Some(BigInt(ranges.flatten.flatMap(_.nulls).sum))
+        else if (notNullNow) Some(BigInt(0))
         else None
       val ndvExact =
         if (entries.nonEmpty && entries.forall(_.ndv.contains(c.name))) {
@@ -136,18 +145,40 @@ class LakeCatalog(val spark: SparkSession, val root: String,
           Some(BigInt(math.max(1L, u.getEstimate.toLong)))
         } else None
       // FilterEstimation requires distinctCount+nullCount alongside
-      // min/max. Without a sketch, an INTEGRAL column gets the provable
-      // upper bound min(rows, value span) — exact for dense key ranges,
-      // an overestimate otherwise, which only makes equality estimates
-      // conservative-small in the safe direction for CBO (estimates
-      // shape plans, never answers). Non-integral columns without a
-      // sketch get no NDV (and hence no estimate) rather than a guess.
-      val ndv = ndvExact.orElse {
-        if (integral(c) && minMax._1.isDefined && nulls.isDefined) {
-          val span = BigDecimal(minMax._2.get) - BigDecimal(minMax._1.get) + 1
-          Some(BigInt(totalRows).min(span.toBigInt).max(BigInt(1)))
-        } else None
-      }
+      // min/max. NDV sources in decreasing exactness: the HLL sketch;
+      // a single-column PRIMARY KEY (unique by constraint, so ndv =
+      // rows exactly); a partition column whose per-file VALUE SETS are
+      // all recorded (their union is the exact distinct set); an
+      // INTEGRAL column's provable upper bound min(rows, value span) —
+      // exact for dense key ranges, an overestimate otherwise, which
+      // only makes equality estimates conservative-small in the safe
+      // direction for CBO (estimates shape plans, never answers).
+      // Non-integral columns with none of these get no NDV (and hence
+      // no estimate) rather than a guess.
+      // current-schema identity of this file column (id-matched: renames
+      // must not alias constraints across different columns)
+      val curName = st.columns.find(_.id == c.id).map(_.name)
+      val ndv = ndvExact
+        .orElse {
+          if (curName.exists(n => st.primaryKey == Seq(n)))
+            Some(BigInt(totalRows)) // unique by constraint within the group
+          else None
+        }
+        .orElse {
+          // pvals are keyed by the name at WRITE time = this group's
+          // schema-version name (the group key is the schema version)
+          val sets = entries.map(_.pvals.get(c.name))
+          if (curName.exists(st.partitionBy.contains) && entries.nonEmpty &&
+              sets.forall(_.exists(_.nonEmpty)))
+            Some(BigInt(sets.flatten.flatten.toSet.size.max(1)))
+          else None
+        }
+        .orElse {
+          if (integral(c) && minMax._1.isDefined && nulls.isDefined) {
+            val span = BigDecimal(minMax._2.get) - BigDecimal(minMax._1.get) + 1
+            Some(BigInt(totalRows).min(span.toBigInt).max(BigInt(1)))
+          } else None
+        }
       if (minMax._1.isEmpty && ndv.isEmpty) None
       else Some(c.name -> CatalogColumnStat(distinctCount = ndv,
         min = minMax._1, max = minMax._2, nullCount = nulls))
@@ -539,6 +570,27 @@ class LakeCatalog(val spark: SparkSession, val root: String,
       rollbackTransaction(); return empty
     }
     if (s0.toUpperCase.startsWith("MERGE INTO")) return executeMerge(s0)
+    // EXPLAIN [ANALYZE] <select> — the reference's conn.execute accepts
+    // it (DuckDB surface); plan TEXT is engine-specific by nature, so
+    // this returns Spark's formatted plan (with executed metrics under
+    // ANALYZE) as one row per line. Spec-pinned, not oracle-compared.
+    val ExplainRe = """(?is)^EXPLAIN(\s+ANALYZE)?\s+(.+)$""".r
+    s0 match {
+      case ExplainRe(analyze, body) =>
+        val df = sql(body.trim)
+        val text =
+          if (analyze != null) {
+            df.count() // execute so the plan carries real metrics
+            df.queryExecution.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("cost"))
+          } else df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val rows = text.linesIterator.map(l => Row(l)).toSeq
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1),
+          StructType(Seq(StructField("explain", StringType))))
+      case _ => ()
+    }
     val CreateTblPartRe =
       ("""(?is)^CREATE\s+TABLE\s+(\w+)\s*\((.+)\)""" +
         """\s+PARTITIONED\s+BY\s*\(([^)]*)\)\s*$""").r

@@ -2419,6 +2419,28 @@ class LakeSpec extends SparkSpec {
     assert(ex.getMessage.contains("vacuumed"))
   }
 
+  test("EXPLAIN [ANALYZE] through the SQL surface returns the plan (and static CBO stats)") {
+    import spark.implicits._
+    val cat = newLake()
+    cat.createTable("e", StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType))), primaryKey = Seq("id"))
+    cat.insert("e", spark.range(0, 1000).selectExpr("id", "id * 2 AS v"))
+    val plan = cat.execute("EXPLAIN SELECT v FROM e WHERE id < 10")
+      .as[String].collect().mkString("\n")
+    assert(plan.contains("Physical Plan"), plan.take(500))
+    assert(plan.toLowerCase.contains("scan"), plan.take(500))
+    // ANALYZE variant executes and returns the costed plan — the lake
+    // relation's manifest statistics (exact rowCount) must be visible
+    val costed = cat.execute("EXPLAIN ANALYZE SELECT count(*) AS n FROM e")
+      .as[String].collect().mkString("\n")
+    assert(costed.contains("rowCount=1.00E+3"), // exact manifest rowCount
+      costed.take(800))
+    // and EXPLAIN is read-only: no snapshot published
+    val v = cat.currentVersion
+    cat.execute("EXPLAIN SELECT * FROM e")
+    assert(cat.currentVersion === v)
+  }
+
   test("cross-PROCESS concurrent writers: the conditional put serializes across JVMs") {
     // l52 races threads inside one JVM; this spawns two SEPARATE JVMs
     // (own SparkSession, own catalog instance, own fs handles) racing

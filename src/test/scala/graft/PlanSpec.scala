@@ -556,6 +556,29 @@ class PlanSpec extends SparkSpec {
       "keyword + vector legs must be hash/merge equi-joins\n" + s.take(2000))
   }
 
+  test("manifest NDV/null sources: PK=rows, partition=value-set union, span bound, notNull=0") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val cat = new graft.lake.LakeCatalog(spark, tmpDir("cbondv"))
+    cat.createTable("t", StructType(Seq(
+      StructField("id", LongType), StructField("day", LongType),
+      StructField("g", LongType))),
+      primaryKey = Seq("id"), partitionBy = Seq("day"))
+    cat.insert("t", spark.range(0, 1000)
+      .selectExpr("id", "id % 7 AS day", "id % 3 AS g"))
+    val stats = cat.read("t").queryExecution.optimizedPlan
+      .collectLeaves().head.stats
+    val byName = stats.attributeStats.map { case (a, s) => a.name -> s }
+    assert(stats.rowCount.contains(BigInt(1000)))
+    // PK: unique by constraint -> ndv = rows exactly; notNull -> 0 nulls
+    assert(byName("id").distinctCount.contains(BigInt(1000)), byName("id"))
+    assert(byName("id").nullCount.contains(BigInt(0)))
+    // partition column: exact union of per-file value sets
+    assert(byName("day").distinctCount.contains(BigInt(7)), byName("day"))
+    // plain integral column: provable span bound min(rows, max-min+1)=3
+    assert(byName("g").distinctCount.contains(BigInt(3)), byName("g"))
+    assert(byName("g").nullCount.contains(BigInt(0))) // exact footer nulls
+  }
+
   test("lake manifest stats drive the INITIAL plan: selective filter broadcasts statically") {
     // the scale story this pins: at 100 TB a wrong initial join plan
     // materializes a huge shuffle before AQE can repair it. The manifest
