@@ -219,14 +219,18 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     }
     val fileParts = st.files.groupBy(e => (e.schemaVersion, e.dv.isDefined))
       .toSeq.map { case ((v, hasDv), entries) =>
-        val rawScan = sess.read.schema(structOf(st.columnsAt(v)))
-          .parquet(entries.map(e => absPath(e.path).toString): _*)
-        // graft the manifest's exact statistics onto the scan relation —
-        // zero-cost (metadata already in memory) and what lets Catalyst
-        // pick broadcast/ordering in the INITIAL plan (CBO), not via
-        // AQE repair after a wrong shuffle already materialized
-        val raw0 = org.apache.spark.sql.graftshim.RelationStats.attach(
-          rawScan, manifestCatalogStats(st, v, entries))
+        // manifest-backed scan: the FileIndex fabricates the file list
+        // from manifest metadata (zero store listing) and prunes files
+        // against pushed predicates via per-file min/max + partition
+        // value sets + bloom sidecars (GraftFileIndex); the attached
+        // CatalogTable carries exact statistics so CBO shapes the
+        // INITIAL plan instead of waiting for AQE repair
+        val index = new GraftFileIndex(
+          fs.makeQualified(new Path(root)), entries, st.columnsAt(v),
+          absPath, (rel, value) => loadBloom(rel).mightContainString(value))
+        val raw0 = org.apache.spark.sql.graftshim.RelationStats.manifestScan(
+          sess, index, structOf(st.columnsAt(v)),
+          manifestCatalogStats(st, v, entries))
         val raw = tagCol match {
           case Some(t) => raw0.withColumn(t, col("_metadata.file_path"))
           case None => raw0

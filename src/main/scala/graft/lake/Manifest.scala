@@ -362,6 +362,13 @@ object Stats {
       case None => true
     }
 
+  /** Safe typed comparison of two stat-encoded values: None when either
+    * side is outside the safely-ordered encoding (then callers must NOT
+    * prune). Sign of the result orders `a` against `b`. */
+  def cmpValues(c: ColumnDef, a: String, b: String): Option[Int] =
+    if (!safeValue(c, a) || !safeValue(c, b)) None
+    else Some(cmp(c, a, b))
+
   /** Smaller / larger of two stat values under the column's type order —
     * for folding per-file min/max into a table-level answer
     * (metadata-only aggregates). */

@@ -32,4 +32,29 @@ object RelationStats {
       case _ => df
     }
   }
+
+  /** Build a parquet scan over a caller-supplied [[FileIndex]] (the
+    * manifest-backed one) carrying catalog statistics — the combination
+    * `spark.read.parquet` cannot express: file listing AND file
+    * skipping come from lake metadata (no filesystem listing, pushed
+    * filters prune files at plan time), and the relation's stats come
+    * from the manifest (CBO shapes the initial plan). */
+  def manifestScan(spark: org.apache.spark.sql.SparkSession,
+      index: org.apache.spark.sql.execution.datasources.FileIndex,
+      schema: org.apache.spark.sql.types.StructType,
+      ct: CatalogTable): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      location = index,
+      partitionSchema = org.apache.spark.sql.types.StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(cs)
+    classic.Dataset.ofRows(cs, new LogicalRelation(
+      rel,
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
+      Some(ct), false, None))
+  }
 }
