@@ -102,6 +102,24 @@ final class GraftFileIndex(
     case GreaterThanOrEqual(a, l: Literal) => above(e, a, l.value)
     case LessThan(l: Literal, a) => above(e, a, l.value)
     case LessThanOrEqual(l: Literal, a) => above(e, a, l.value)
+    case StartsWith(a, Literal(p, _)) if p != null =>
+      colOf(a) match {
+        case Some(c) if c.typeJson == "\"string\"" =>
+          val pre = p.toString
+          // every string with this prefix sits in [pre, nextPrefix):
+          // bump the last non-￿ char and drop the tail — when the
+          // whole prefix is ￿ there is no upper bound (keep file)
+          val bound = {
+            val i = pre.lastIndexWhere(_ != '￿')
+            if (i < 0) None
+            else Some(pre.substring(0, i) + (pre.charAt(i) + 1).toChar)
+          }
+          bound match {
+            case Some(hi) => Stats.overlaps(e.stats.get(c.name), c, pre, hi)
+            case None => true
+          }
+        case _ => true
+      }
     case IsNull(a: AttributeReference) =>
       // prunable only when the null count is known-zero
       byName.get(a.name).isEmpty ||

@@ -574,6 +574,15 @@ class LakeCatalog(val spark: SparkSession, val root: String,
       rollbackTransaction(); return empty
     }
     if (s0.toUpperCase.startsWith("MERGE INTO")) return executeMerge(s0)
+    // introspection statements the reference's conn.execute accepts
+    // (DuckDB surface): DESCRIBE <table> and SHOW TABLES route to the
+    // existing metadata DataFrames (D10/D11)
+    val DescribeRe = """(?is)^DESC(?:RIBE)?\s+(\w+)$""".r
+    s0 match {
+      case DescribeRe(t) => return describe(t)
+      case _ if s0.matches("(?is)^SHOW\\s+TABLES$") => return listTables()
+      case _ => ()
+    }
     // EXPLAIN [ANALYZE] <select> — the reference's conn.execute accepts
     // it (DuckDB surface); plan TEXT is engine-specific by nature, so
     // this returns Spark's formatted plan (with executed metrics under

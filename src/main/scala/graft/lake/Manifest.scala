@@ -336,9 +336,17 @@ object Stats {
   private val SafeDate = java.util.regex.Pattern.compile("""\d{4}-\d{2}-\d{2}""")
 
   /** Is this stat/probe value safe to order-compare under the column's
-    * string encoding? (Non-date types: always — their cmp parses.) */
+    * string encoding? Dates must match the zero-padded ISO form.
+    * STRINGS must be surrogate-free: the harvest's min/max fold orders
+    * by UTF-8 bytes (Spark's UTF8String), while [[cmp]] uses UTF-16
+    * `compareTo` — the two agree on every BMP-only string but can
+    * DISAGREE when a supplementary character (surrogate pair) is
+    * involved, and pruning must never be wrong, so such values simply
+    * aren't compared (the file is kept). Numeric types always parse. */
   def safeValue(c: ColumnDef, v: String): Boolean = c.typeJson match {
     case "\"date\"" => SafeDate.matcher(v).matches()
+    case "\"string\"" =>
+      !v.exists(ch => ch >= '\uD800' && ch <= '\uDFFF')
     case _ => true
   }
 

@@ -1,12 +1,12 @@
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.classic
 import org.apache.spark.sql.catalyst.catalog.CatalogTable
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 
-/** Attach catalog-table STATISTICS (row count, size, per-column min/max/
-  * NDV) to the root `LogicalRelation` of a freshly-built scan DataFrame.
+/** Builder for the lake's scan relations, carrying catalog-table
+  * STATISTICS (row count, size, per-column min/max/NDV/nulls).
   *
   * Why a shim: a lake table's exact statistics live in the manifest, but
   * `spark.read.parquet` produces a `LogicalRelation` whose only statistic
@@ -14,25 +14,12 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   * lake tables ride AQE's RUNTIME repair (the first shuffle of a wrong
   * initial plan is already materialized by the time AQE converts it).
   * `LogicalRelation.computeStats` prefers `catalogTable.stats` when
-  * present; grafting a stats-bearing `CatalogTable` onto the relation
+  * present; building the relation with a stats-bearing `CatalogTable`
   * hands Catalyst the same numbers a Hive-metastore table would carry,
   * and the cost-based rules (FilterEstimation, JoinEstimation, join
   * reorder) then shape the INITIAL plan. `Dataset.ofRows` and the
-  * `LogicalRelation` constructor are `private[sql]`, hence this package.
-  *
-  * The transform is applied to the scan root ONLY (the DataFrame as
-  * handed in is a bare relation); anything else is returned unchanged —
-  * degrading to default size-only stats, never to wrong answers. */
+  * `LogicalRelation` constructor are `private[sql]`, hence this package. */
 object RelationStats {
-  def attach(df: DataFrame, ct: CatalogTable): DataFrame = {
-    val ds = df.asInstanceOf[classic.Dataset[Row]]
-    ds.queryExecution.analyzed match {
-      case lr: LogicalRelation =>
-        classic.Dataset.ofRows(ds.sparkSession, lr.copy(catalogTable = Some(ct)))
-      case _ => df
-    }
-  }
-
   /** Build a parquet scan over a caller-supplied [[FileIndex]] (the
     * manifest-backed one) carrying catalog statistics — the combination
     * `spark.read.parquet` cannot express: file listing AND file

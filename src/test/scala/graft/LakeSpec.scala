@@ -2419,6 +2419,21 @@ class LakeSpec extends SparkSpec {
     assert(ex.getMessage.contains("vacuumed"))
   }
 
+  test("DESCRIBE and SHOW TABLES route through the SQL surface") {
+    import spark.implicits._
+    val cat = newLake()
+    cat.execute("CREATE TABLE d1 (id BIGINT PRIMARY KEY, v DOUBLE)")
+    cat.execute("CREATE TABLE d2 (k VARCHAR)")
+    assert(cat.execute("SHOW TABLES").as[String].collect().sorted
+      === Array("d1", "d2"))
+    val desc = cat.execute("DESCRIBE d1")
+      .select("column_name", "column_type", "null").as[(String, String, String)]
+      .collect().toSeq
+    assert(desc === Seq(("id", "bigint", "NO"), ("v", "double", "YES")))
+    // short form too
+    assert(cat.execute("DESC d2").count() === 1L)
+  }
+
   test("EXPLAIN [ANALYZE] through the SQL surface returns the plan (and static CBO stats)") {
     import spark.implicits._
     val cat = newLake()
