@@ -88,6 +88,26 @@ final class GraftFileIndex(
     case Not(IsNotNull(a)) => keep(e, IsNull(a))
     case EqualTo(a, l: Literal) => point(e, a, l.value)
     case EqualTo(l: Literal, a) => point(e, a, l.value)
+    // a <=> v: a NULL literal matches only null rows; a non-null
+    // literal matches exactly the rows a = v does (nulls never match)
+    case EqualNullSafe(a, l: Literal) =>
+      if (l.value == null) mayHaveNull(e, a) else point(e, a, l.value)
+    case EqualNullSafe(l: Literal, a) =>
+      if (l.value == null) mayHaveNull(e, a) else point(e, a, l.value)
+    // NOT (a = v): skippable when the file is provably CONSTANT v
+    // (min == max == v) — null rows don't pass the filter either
+    // (NOT NULL is NULL), so the null count is irrelevant here
+    case Not(EqualTo(a, l: Literal)) => notPoint(e, a, l.value)
+    case Not(EqualTo(l: Literal, a)) => notPoint(e, a, l.value)
+    // NOT (a <=> v): null rows DO match a non-null v (false -> true),
+    // so skipping additionally needs a known-zero null count; with a
+    // NULL literal it matches every non-null row
+    case Not(EqualNullSafe(a, l: Literal)) =>
+      if (l.value == null) mayHaveNonNull(e, a)
+      else notPoint(e, a, l.value) || mayHaveNull(e, a)
+    case Not(EqualNullSafe(l: Literal, a)) =>
+      if (l.value == null) mayHaveNonNull(e, a)
+      else notPoint(e, a, l.value) || mayHaveNull(e, a)
     case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
       vs.exists(v => point(e, a, v.asInstanceOf[Literal].value))
     case i: InSet => i.child match {
@@ -120,16 +140,45 @@ final class GraftFileIndex(
           }
         case _ => true
       }
-    case IsNull(a: AttributeReference) =>
-      // prunable only when the null count is known-zero
-      byName.get(a.name).isEmpty ||
-        e.stats.get(a.name).flatMap(_.nulls).forall(_ > 0L)
-    case IsNotNull(a: AttributeReference) =>
-      // an all-null file (nulls == rows, known exactly) has no match
-      byName.get(a.name).isEmpty ||
-        e.stats.get(a.name).flatMap(_.nulls).forall(_ < e.rowCount)
+    case IsNull(a) => mayHaveNull(e, a)
+    case IsNotNull(a) => mayHaveNonNull(e, a)
     case _ => true
   }
+
+  /** May the file contain a NULL row of `attr`? Prunable only when the
+    * null count is known-zero; unknown shapes/columns keep the file. */
+  private def mayHaveNull(e: FileEntry, attr: Expression): Boolean =
+    attr match {
+      case a: AttributeReference =>
+        byName.get(a.name).isEmpty ||
+          e.stats.get(a.name).flatMap(_.nulls).forall(_ > 0L)
+      case _ => true
+    }
+
+  /** May the file contain a NON-null row of `attr`? An all-null file
+    * (nulls == rows, known exactly) has none. */
+  private def mayHaveNonNull(e: FileEntry, attr: Expression): Boolean =
+    attr match {
+      case a: AttributeReference =>
+        byName.get(a.name).isEmpty ||
+          e.stats.get(a.name).flatMap(_.nulls).forall(_ < e.rowCount)
+      case _ => true
+    }
+
+  /** NOT-equals keep test: the file survives unless it is provably
+    * CONSTANT at `value` (min == max == v under a safe typed compare —
+    * then no non-null row can differ from v). */
+  private def notPoint(e: FileEntry, attr: Expression, value: Any): Boolean =
+    colOf(attr) match {
+      case Some(c) =>
+        !(for {
+          v <- render(c, value)
+          st <- e.stats.get(c.name)
+          lo <- Stats.cmpValues(c, st.min, v)
+          hi <- Stats.cmpValues(c, st.max, v)
+        } yield lo == 0 && hi == 0).getOrElse(false)
+      case None => true
+    }
 
   /** Point predicate: range ∩ partition value set ∩ bloom sidecar —
     * the [[LakeCatalog.readPoint]] candidate test, per pushed filter. */

@@ -112,11 +112,19 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     val colStats = cols.iterator.flatMap { c =>
       val ranges = entries.map(_.stats.get(c.name))
       val covered = entries.nonEmpty && ranges.forall(_.isDefined)
+      // Legacy manifests (pre non-finite harvest guard) can still carry
+      // "NaN"/"Infinity" min/max in double columns; those don't parse as
+      // BigDecimal, and this fold runs on EVERY read — degrade that
+      // column's stats to none instead of making the table unreadable.
+      def dec(s: String): Option[BigDecimal] =
+        scala.util.Try(BigDecimal(s)).toOption
       val minMax =
         if (numeric(c) && covered) {
-          val mins = ranges.flatten.map(s => BigDecimal(s.min))
-          val maxs = ranges.flatten.map(s => BigDecimal(s.max))
-          (Some(mins.min.toString), Some(maxs.max.toString))
+          val mins = ranges.flatten.map(s => dec(s.min))
+          val maxs = ranges.flatten.map(s => dec(s.max))
+          if (mins.forall(_.isDefined) && maxs.forall(_.isDefined))
+            (Some(mins.flatten.min.toString), Some(maxs.flatten.max.toString))
+          else (None, None)
         } else (None, None)
       // exact null count only when EVERY file's harvest proved one —
       // a partial sum would misestimate IS NULL filters. NOT NULL
@@ -537,6 +545,11 @@ class LakeCatalog(val spark: SparkSession, val root: String,
     *    graft_table_info()/graft_files()/graft_table_changes(t, v1, v2)`
     *    metadata functions; occurrences inside string LITERALS are data,
     *    not syntax, and are never rewritten
+    *  - `CALL graft_vacuum(…) | graft_expire_snapshots(…) |
+    *    graft_compact(…) | graft_cluster(…) | graft_zorder(…) |
+    *    graft_restore(…) | graft_add_data_files(…)` — the maintenance
+    *    verbs (see [[executeCall]]); each returns one row of
+    *    deterministic after-facts
     *  - anything else runs as a query via [[sql]]
     *
     * Expressions (SET right-hand sides, WHERE conditions) are handed to
@@ -583,6 +596,16 @@ class LakeCatalog(val spark: SparkSession, val root: String,
       case _ if s0.matches("(?is)^SHOW\\s+TABLES$") => return listTables()
       case _ => ()
     }
+    // CALL graft_*(…) — maintenance verbs through the SQL surface (the
+    // reference's whole interface is conn.execute(sql); DuckLake exposes
+    // ducklake_expire_snapshots()-style procedure calls). Each returns a
+    // one-row ledger of deterministic after-facts.
+    val CallRe = """(?is)^CALL\s+(\w+)\s*\((.*)\)$""".r
+    s0 match {
+      case CallRe(fn, argStr) =>
+        return executeCall(fn.toLowerCase(java.util.Locale.ROOT), argStr)
+      case _ => ()
+    }
     // EXPLAIN [ANALYZE] <select> — the reference's conn.execute accepts
     // it (DuckDB surface); plan TEXT is engine-specific by nature, so
     // this returns Spark's formatted plan (with executed metrics under
@@ -593,9 +616,34 @@ class LakeCatalog(val spark: SparkSession, val root: String,
         val df = sql(body.trim)
         val text =
           if (analyze != null) {
-            df.count() // execute so the plan carries real metrics
-            df.queryExecution.explainString(
-              org.apache.spark.sql.execution.ExplainMode.fromString("cost"))
+            // Execute THIS DataFrame's own QueryExecution (df.count()
+            // would build a separate one whose metrics die with it),
+            // then render its formatted plan plus the runtime metrics
+            // walked off the executed tree — AQE wraps the final plan
+            // in AdaptiveSparkPlanExec/QueryStageExec leaf nodes, so
+            // the walk unwraps them explicitly.
+            import org.apache.spark.sql.execution.SparkPlan
+            import org.apache.spark.sql.execution.adaptive.{
+              AdaptiveSparkPlanExec, QueryStageExec}
+            val qe = df.queryExecution
+            qe.executedPlan.execute().count() // distributed; no row fetch
+            def metricLines(p: SparkPlan): Seq[String] = p match {
+              case a: AdaptiveSparkPlanExec => metricLines(a.executedPlan)
+              case q: QueryStageExec => metricLines(q.plan)
+              case _ =>
+                val own =
+                  if (p.metrics.isEmpty) Nil
+                  else Seq(s"${p.nodeName}: " + p.metrics.toSeq
+                    .sortBy(_._1)
+                    .map { case (k, m) => s"$k=${m.value}" }
+                    .mkString(", "))
+                own ++ p.children.flatMap(metricLines)
+            }
+            qe.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted")) +
+              "\n== Runtime Metrics ==\n" +
+              metricLines(qe.executedPlan).mkString("\n")
           } else df.queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
         val rows = text.linesIterator.map(l => Row(l)).toSeq
@@ -1834,6 +1882,80 @@ class LakeCatalog(val spark: SparkSession, val root: String,
   /** Deliberately re-point an existing tag — see [[Tx.replaceTag]]. */
   def replaceTag(name: String, version: Long): Unit =
     transaction(_.replaceTag(name, version))
+
+  /** `CALL graft_*(…)` dispatcher — the maintenance verbs routed through
+    * the SQL surface (the reference's whole interface is
+    * `conn.execute(sql)`; DuckLake exposes the same ops as
+    * `ducklake_expire_snapshots()`-style procedure calls). Arguments are
+    * positional: strings in single quotes (doubled quote escapes),
+    * numbers bare. Maintenance runs its own commits (vacuum also runs
+    * physical GC), so calls REFUSE inside an open interactive
+    * transaction rather than doom it to an OCC abort. Every verb returns
+    * ONE row of deterministic after-facts, so a pure-SQL maintenance
+    * lifecycle is ledger-able (l53). */
+  private def executeCall(fn: String, argStr: String): DataFrame = {
+    import LakeCatalog.splitTopLevel
+    require(!hasOpenTransaction,
+      s"$fn: maintenance procedures cannot run inside an open " +
+        "interactive transaction — COMMIT or ROLLBACK first")
+    val args = splitTopLevel(argStr, ',').map(_.trim).filter(_.nonEmpty)
+    def isStr(a: String) = a.length >= 2 && a.head == '\'' && a.last == '\''
+    def str(a: String): String = {
+      require(isStr(a), s"$fn: expected a quoted string argument, got: $a")
+      a.substring(1, a.length - 1).replace("''", "'")
+    }
+    def num(a: String): Long = {
+      require(a.matches("-?\\d+"), s"$fn: expected a numeric argument, got: $a")
+      a.toLong
+    }
+    def oneRow(fields: Seq[(String, DataType)], vals: Seq[Any]): DataFrame =
+      spark.createDataFrame(
+        java.util.Collections.singletonList(Row(vals: _*)),
+        StructType(fields.map { case (n, t) => StructField(n, t) }))
+    def tableFacts(t: String): DataFrame = {
+      require(current.tables.contains(t), s"no such table: $t")
+      tableInfo().filter(col("table_name") === t)
+        .select("table_name", "file_count", "row_count")
+    }
+    fn match {
+      case "graft_vacuum" | "graft_expire_snapshots" =>
+        val keep = if (args.nonEmpty) num(args(0)).toInt else 10
+        val grace = if (args.size > 1) num(args(1)) else 60L * 60 * 1000
+        vacuum(keep, grace)
+        oneRow(Seq("current_version" -> LongType,
+          "live_versions" -> LongType),
+          Seq(currentVersion, store.availableVersions().size.toLong))
+      case "graft_compact" =>
+        val t = str(args.head)
+        compact(t, if (args.size > 1) num(args(1)) else 128L << 20)
+        tableFacts(t)
+      case "graft_cluster" | "graft_zorder" =>
+        val t = str(args.head)
+        val (colArgs, numArgs) = args.tail.partition(isStr)
+        val cols = colArgs.map(str)
+        require(cols.nonEmpty, s"$fn: at least one column required")
+        val target = numArgs.headOption.map(num).getOrElse(128L << 20)
+        if (fn == "graft_cluster") cluster(t, cols, target)
+        else zorder(t, cols, target)
+        tableFacts(t)
+      case "graft_restore" =>
+        val t = str(args(0)); val v = num(args(1))
+        restoreTable(t, v)
+        oneRow(Seq("table_name" -> StringType, "restored_to" -> LongType,
+          "current_version" -> LongType), Seq(t, v, currentVersion))
+      case "graft_add_data_files" =>
+        val t = str(args(0))
+        val before = current.tables.get(t).map(_.files.size).getOrElse(0)
+        addDataFiles(t, str(args(1)))
+        oneRow(Seq("table_name" -> StringType, "files_added" -> LongType),
+          Seq(t, (current.tables(t).files.size - before).toLong))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown procedure: $other — supported: graft_vacuum / " +
+            "graft_expire_snapshots, graft_compact, graft_cluster, " +
+            "graft_zorder, graft_restore, graft_add_data_files")
+    }
+  }
 
   /** Compaction: fold a table's many small files into size-targeted ones —
     * the maintenance half of the small-file story (M8 — ref

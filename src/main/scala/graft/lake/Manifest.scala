@@ -342,11 +342,20 @@ object Stats {
     * `compareTo` — the two agree on every BMP-only string but can
     * DISAGREE when a supplementary character (surrogate pair) is
     * involved, and pruning must never be wrong, so such values simply
-    * aren't compared (the file is kept). Numeric types always parse. */
+    * aren't compared (the file is kept). FLOATING-POINT values must be
+    * finite: Spark's min/max order NaN as the LARGEST value, so a single
+    * NaN row makes a file's max the string "NaN", and "NaN"/"Infinity"
+    * don't parse as BigDecimal in the catalog-stats fold — one such
+    * harvested value must never make a table unplannable or a prune
+    * decision wrong. Non-finite extremes simply aren't recorded:
+    * pruning (and CBO stats) degrade to scanning, never to a throw. */
   def safeValue(c: ColumnDef, v: String): Boolean = c.typeJson match {
     case "\"date\"" => SafeDate.matcher(v).matches()
     case "\"string\"" =>
       !v.exists(ch => ch >= '\uD800' && ch <= '\uDFFF')
+    case "\"double\"" | "\"float\"" =>
+      try java.lang.Double.isFinite(java.lang.Double.parseDouble(v))
+      catch { case _: NumberFormatException => false }
     case _ => true
   }
 

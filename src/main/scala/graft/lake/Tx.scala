@@ -1529,11 +1529,15 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
           if (dropped.isEmpty) 0L else dropped.map(_.timestampMs).min)
       }
     // earliest dropped-header timestamp, folded monotonically; sticky
-    // "unknown" (0) when a pre-aggV2 engine already dropped headers
-    // without recording timestamps — timestamp time travel below the
-    // floor then stays refused (conservative, never wrong)
+    // "unknown" (0) when headers were already dropped WITHOUT recorded
+    // timestamps — a floor with no minDroppedTs means a pre-aggV2
+    // engine dropped them, and that unknown must survive every later
+    // commit (not just the upgrade commit: prior.aggV is already 2 one
+    // commit after the upgrade, but the unrecorded drops are still in
+    // the lineage). Timestamp time travel below the floor then stays
+    // refused (conservative, never wrong).
     val minDroppedTs =
-      if (prior.aggV < 2 && prior.historyFloor > 0L) 0L
+      if (prior.historyFloor > 0L && prior.minDroppedTsMs == 0L) 0L
       else if (droppedTs == 0L) prior.minDroppedTsMs
       else if (prior.minDroppedTsMs == 0L) droppedTs
       else math.min(prior.minDroppedTsMs, droppedTs)

@@ -92,7 +92,29 @@ object CatalogSync {
     * silently shift what the replicated columns mean). */
   def pass(srcCat: LakeCatalog, dstCat: LakeCatalog, tables: Seq[TableSync],
       streamId: String, maxTxnsPerPass: Int = 32,
-      anchorVersions: Map[String, Long] = Map.empty): Long = {
+      anchorVersions: Map[String, Long] = Map.empty): Long =
+    try passOnce(srcCat, dstCat, tables, streamId, maxTxnsPerPass,
+      anchorVersions)
+    catch { case AnchorShifted =>
+      // a concurrent first pass persisted a DIFFERENT anchor after this
+      // pass read none — restart so the diffs realign on the stored
+      // anchor. Each table's anchor transitions none->stored exactly
+      // once, so retries are bounded by the table count.
+      pass(srcCat, dstCat, tables, streamId, maxTxnsPerPass, anchorVersions)
+    }
+
+  /** Raised inside a destination transaction when the anchor persisted
+    * on a replica differs from the anchor this pass's window diffs were
+    * computed against (two concurrent FIRST passes of the same streamId
+    * read different source heads before either persisted). Applying the
+    * loser's remaining windows would shift window alignment by one pass
+    * — exactly what the persisted anchor exists to prevent — so the
+    * transaction aborts and the pass restarts on the winner's anchor. */
+  private object AnchorShifted extends Exception
+
+  private def passOnce(srcCat: LakeCatalog, dstCat: LakeCatalog,
+      tables: Seq[TableSync], streamId: String, maxTxnsPerPass: Int,
+      anchorVersions: Map[String, Long]): Long = {
     require(tables.nonEmpty, "nothing to sync")
     require(tables.map(_.dst).distinct.size == tables.size,
       "destination tables must be distinct")
@@ -162,11 +184,18 @@ object CatalogSync {
         stored.getOrElse(head.snapshotId))
     }.toMap
     // persist first-pass anchors for unpinned tables (no-op once stored;
-    // pinned tables stay caller-owned — an explicit pin is not sticky)
+    // pinned tables stay caller-owned — an explicit pin is not sticky).
+    // The stored anchor is re-read INSIDE the transaction: if a racing
+    // first pass persisted a different one since this pass's pre-txn
+    // read, applying diffs computed against OUR anchor would misalign —
+    // abort and let pass() restart on the winner's anchor.
     def persistAnchors(tx: graft.lake.Tx): Unit = tables.foreach { t =>
-      if (!anchorVersions.contains(t.src) &&
-          !tx.properties(t.dst).contains(anchorKey))
-        tx.setProperty(t.dst, anchorKey, anchors(t.src).toString)
+      if (!anchorVersions.contains(t.src)) {
+        val stored = tx.properties(t.dst).get(anchorKey).map(_.toLong)
+        if (stored.exists(_ != anchors(t.src))) throw AnchorShifted
+        if (stored.isEmpty)
+          tx.setProperty(t.dst, anchorKey, anchors(t.src).toString)
+      }
     }
     val headersByV = window.map(h => h.snapshotId -> h).toMap
     var committed = 0L

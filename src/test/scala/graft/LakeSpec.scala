@@ -1423,6 +1423,41 @@ class LakeSpec extends SparkSpec {
     assert(!r3.getBoolean(3) && r3.getLong(1) === 8L && r3.getLong(2) === 9L)
   }
 
+  test("non-finite doubles never poison stats: reads, CBO fold and pruning survive NaN/Infinity") {
+    val cat = newLake()
+    cat.createTable("m", StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType))),
+      primaryKey = Seq("id"))
+    // clears the 64-row harvest gate; Spark's min/max order NaN LARGEST,
+    // so one NaN row would fold the file's max to the string "NaN" — the
+    // harvest must drop the column's stats instead (safeValue), or the
+    // BigDecimal fold in manifestCatalogStats (every read!) throws
+    def rows = spark.range(0, 500).selectExpr("id",
+      """CASE WHEN id = 7 THEN double('NaN')
+              WHEN id = 8 THEN double('Infinity')
+              WHEN id = 9 THEN double('-Infinity')
+              ELSE CAST(id AS DOUBLE) END AS v""")
+    cat.insert("m", rows)
+    assert(cat.read("m").count() === 500) // the read IS the regression
+    // files whose extrema fold to NaN/Infinity drop the column's stats;
+    // all-finite files keep theirs — but no recorded value is non-finite
+    assert(cat.current.tables("m").files.forall(_.stats.get("v").forall(s =>
+      java.lang.Double.isFinite(s.min.toDouble) &&
+        java.lang.Double.isFinite(s.max.toDouble))),
+      "non-finite extrema must not be recorded")
+    // no stats -> no pruning on v, but never lost rows (expected counts
+    // from the same expressions over the unstored frame, so Spark's own
+    // NaN ordering is the arbiter)
+    assert(cat.read("m").filter(col("v") > 100.0).count() ===
+      rows.filter(col("v") > 100.0).count())
+    assert(cat.read("m").filter(isnan(col("v"))).count() === 1L)
+    // finite-valued commits in the same table keep their stats
+    cat.insert("m", spark.range(1000, 1500)
+      .selectExpr("id", "CAST(id AS DOUBLE) AS v"))
+    assert(cat.current.tables("m").files.exists(_.stats.contains("v")))
+    assert(cat.read("m").filter(col("v") >= 1000.0).count() === 500L)
+  }
+
   test("zero-copy clone: shared files, independent divergence, safe vacuum") {
     val cat = newLake()
     cat.createTableAs("t", spark.range(5000).selectExpr("id", "id AS v"))
@@ -2419,6 +2454,50 @@ class LakeSpec extends SparkSpec {
     assert(ex.getMessage.contains("vacuumed"))
   }
 
+  test("unknown dropped-header timestamps stay unknown one commit AFTER the aggV upgrade") {
+    val root = tmpDir("lakeaggup")
+    val cat = new LakeCatalog(spark, root)
+    cat.createTable("g", StructType(Seq(StructField("id", LongType)))) // v1
+    cat.insert("g", spark.range(0, 3).toDF("id")) // v2
+    cat.tag("keep", cat.currentVersion) // pins v2 live through vacuum
+    cat.insert("g", spark.range(3, 5).toDF("id")) // v3 — will be dropped
+    Thread.sleep(5)
+    val probe = System.currentTimeMillis() // true target: v3
+    Thread.sleep(5)
+    (1 to 300).foreach(i =>
+      cat.transaction(_.setProperty("g", "pad", i.toString)))
+    cat.vacuum(keepLast = 10, orphanGraceMs = 0L)
+    val head = cat.current
+    assert(head.historyFloor > 0 && head.minDroppedTsMs > 0L)
+    // forge the head document into the pre-aggV2 shape: headers were
+    // dropped, but no timestamp was recorded for them
+    val docPath = java.nio.file.Paths.get(root, "_manifest",
+      s"v${cat.currentVersion}.json")
+    val doc = new String(java.nio.file.Files.readAllBytes(docPath), "UTF-8")
+    val forged = doc
+      .replaceFirst(""""aggV"\s*:\s*\d+""", "\"aggV\":1")
+      .replaceFirst(""""minDroppedTsMs"\s*:\s*\d+""", "\"minDroppedTsMs\":0")
+    assert(forged != doc, "fixture: the doc must carry both fields")
+    java.nio.file.Files.write(docPath, forged.getBytes("UTF-8"))
+    // fresh catalog = upgrade path; churn until MORE headers drop, this
+    // time with recorded timestamps (all AFTER the probe)
+    val cat2 = new LakeCatalog(spark, root)
+    assert(cat2.current.minDroppedTsMs === 0L)
+    (1 to 300).foreach(i =>
+      cat2.transaction(_.setProperty("g", "pad2", i.toString)))
+    cat2.vacuum(keepLast = 10, orphanGraceMs = 0L)
+    val h2 = cat2.current
+    assert(h2.historyFloor > head.historyFloor, "fixture: new drops landed")
+    assert(h2.minDroppedTsMs === 0L,
+      "unknown must stay sticky — post-upgrade drops must not convert " +
+        "it to their own (later) timestamp")
+    // the probe's true target (v3) was dropped without a timestamp: a
+    // known-looking minDroppedTsMs would resolve this to the PINNED v2
+    // — the wrong older live snapshot — instead of refusing
+    val ex = intercept[NoSuchElementException](cat2.versionAsOf(probe))
+    assert(ex.getMessage.contains("vacuumed"))
+  }
+
   test("DESCRIBE and SHOW TABLES route through the SQL surface") {
     import spark.implicits._
     val cat = newLake()
@@ -2444,16 +2523,53 @@ class LakeSpec extends SparkSpec {
       .as[String].collect().mkString("\n")
     assert(plan.contains("Physical Plan"), plan.take(500))
     assert(plan.toLowerCase.contains("scan"), plan.take(500))
-    // ANALYZE variant executes and returns the costed plan — the lake
-    // relation's manifest statistics (exact rowCount) must be visible
-    val costed = cat.execute("EXPLAIN ANALYZE SELECT count(*) AS n FROM e")
-      .as[String].collect().mkString("\n")
+    // the lake relation's manifest statistics (exact rowCount) are
+    // visible in the cost-mode plan — static CBO, no execution needed
+    val costed = cat.sql("SELECT count(*) AS n FROM e").queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("cost"))
     assert(costed.contains("rowCount=1.00E+3"), // exact manifest rowCount
       costed.take(800))
+    // ANALYZE executes the statement's OWN plan and appends the runtime
+    // metrics walked off the executed tree (not a second execution of a
+    // derived count() whose metrics die with it)
+    val analyzed = cat.execute("EXPLAIN ANALYZE SELECT count(*) AS n FROM e")
+      .as[String].collect().mkString("\n")
+    assert(analyzed.contains("== Runtime Metrics =="), analyzed.take(800))
+    assert(analyzed.contains("numOutputRows="), analyzed.take(800))
+    assert(analyzed.contains("Scan parquet graft_lake_scan:"),
+      analyzed.take(800))
     // and EXPLAIN is read-only: no snapshot published
     val v = cat.currentVersion
     cat.execute("EXPLAIN SELECT * FROM e")
     assert(cat.currentVersion === v)
+  }
+
+  test("CALL graft_* routes maintenance verbs; refuses inside an open interactive txn") {
+    import spark.implicits._
+    val cat = newLake()
+    cat.execute("CREATE TABLE c1 (id BIGINT PRIMARY KEY, v BIGINT)")
+    (0 until 3).foreach(i => cat.execute(s"INSERT INTO c1 VALUES ($i, $i)"))
+    val r = cat.execute("CALL graft_compact('c1')").head()
+    assert(r.getString(0) === "c1" && r.getLong(1) === 1L &&
+      r.getLong(2) === 3L)
+    // unknown procedure and malformed args refuse loudly
+    assert(intercept[IllegalArgumentException](
+      cat.execute("CALL graft_frobnicate()"))
+      .getMessage.contains("unknown procedure"))
+    assert(intercept[IllegalArgumentException](
+      cat.execute("CALL graft_compact(42)"))
+      .getMessage.contains("quoted string"))
+    // maintenance never runs inside an open interactive transaction
+    cat.execute("BEGIN")
+    assert(intercept[IllegalArgumentException](
+      cat.execute("CALL graft_vacuum(2)"))
+      .getMessage.contains("interactive"))
+    cat.execute("ROLLBACK")
+    // vacuum's after-facts come from the statement itself
+    val v = cat.execute("CALL graft_vacuum(10, 0)").head()
+    assert(v.getLong(0) === cat.currentVersion)
+    assert(v.getLong(1) >= 1L)
   }
 
   test("cross-PROCESS concurrent writers: the conditional put serializes across JVMs") {

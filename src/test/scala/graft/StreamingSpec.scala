@@ -771,4 +771,43 @@ class StreamingSpec extends SparkSpec {
       .union(cat.read("s").select("id", "v").exceptAll(cat.read("rs")))
       .isEmpty)
   }
+
+  test("a lost first-pass anchor race aborts in-transaction and realigns on the winner's anchor") {
+    import graft.streaming.{CatalogSync, TableSync}
+    val root = tmpDir("catsyncrace")
+    val cat = new graft.lake.LakeCatalog(spark, root)
+    val s = spark.range(1, 6).selectExpr("id", "id * 10 AS v")
+    cat.createTable("s", s.schema, primaryKey = Seq("id"))
+    cat.createTable("rs", s.schema)
+    cat.insert("s", s)
+    val maps = Seq(TableSync("s", "rs", Seq("id")))
+    // the destination view a racing LOSER holds: captured BEFORE the
+    // winner persisted its anchor (no offset tag, no stored anchor)
+    val staleDst = cat.current
+    // winner: a genuine first pass persists its anchor and offset
+    assert(CatalogSync.pass(cat, cat, maps, "race") >= 1L)
+    val anchorA = cat.current.tables("rs").props("catsync.race.anchor").toLong
+    // the source evolves AND grows past the winner's window, so the
+    // loser has real work left whose diff depends on the anchor schema
+    cat.execute("ALTER TABLE s ADD COLUMN w BIGINT DEFAULT 7")
+    cat.insert("s", spark.range(6, 9).selectExpr("id", "id * 10 AS v"))
+    // loser: same streamId, but its PRE-transaction reads (lastOffset +
+    // the anchors read) see the stale head, so it would anchor at the
+    // current post-evolution source head; transactions read fresh state
+    var staleReads = 2
+    val loserDst = new graft.lake.LakeCatalog(spark, root) {
+      override def current: graft.lake.Snapshot =
+        if (staleReads > 0) { staleReads -= 1; staleDst }
+        else super.current
+    }
+    assert(CatalogSync.pass(cat, loserDst, maps, "race") >= 1L)
+    // the winner's anchor survived, and the loser's window was applied
+    // diffed against IT: post-evolution columns stay projected away
+    assert(cat.current.tables("rs").props("catsync.race.anchor").toLong
+      === anchorA, "the loser must not overwrite or bypass the anchor")
+    assert(!cat.read("rs").columns.contains("w"))
+    assert(cat.read("rs").exceptAll(cat.read("s").select("id", "v"))
+      .union(cat.read("s").select("id", "v").exceptAll(cat.read("rs")))
+      .isEmpty)
+  }
 }

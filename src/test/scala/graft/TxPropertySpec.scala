@@ -501,7 +501,7 @@ class TxPropertySpec extends SparkSpec {
     // predicate generator: random column x op x value (in- and
     // out-of-range on purpose), combined 1-3 deep with AND/OR/NOT
     val leafGen: Gen[org.apache.spark.sql.Column] = for {
-      pick <- Gen.choose(0, 10)
+      pick <- Gen.choose(0, 15)
       idV <- Gen.choose(-100L, 10000L)
       dayV <- Gen.choose(-2L, 13L)
       catV <- Gen.choose(-3, 26)
@@ -518,7 +518,15 @@ class TxPropertySpec extends SparkSpec {
       case 7 => col("v").isNotNull
       case 8 => col("d") <= date_add(lit(java.sql.Date.valueOf("2024-01-01")), dOff)
       case 9 => col("d") > date_add(lit(java.sql.Date.valueOf("2024-01-01")), dOff)
-      case _ => col("cat").startsWith(s"c${math.abs(catV) % 3}")
+      case 10 => col("cat").startsWith(s"c${math.abs(catV) % 3}")
+      // null-safe equality and NOT-equals: prunable arms in
+      // GraftFileIndex.keep (EqualNullSafe / Not(EqualTo) /
+      // Not(EqualNullSafe)), including the NULL-literal forms
+      case 11 => col("cat") <=> s"c$catV"
+      case 12 => col("cat") <=> lit(null).cast("string")
+      case 13 => col("day") =!= dayV
+      case 14 => !(col("cat") <=> s"c$catV")
+      case _ => !(col("v") <=> lit(null).cast("double"))
     }
     val predGen: Gen[org.apache.spark.sql.Column] = for {
       a <- leafGen; b <- leafGen; c <- leafGen
