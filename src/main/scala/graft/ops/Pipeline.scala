@@ -194,6 +194,42 @@ object Pipeline {
     "list_sum(list_transform(range(0, 8), j -> CASE WHEN " +
       "v[t.band * 16 + j + 1] >= 0 THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS bv "
 
+  /** CORPUS-SIZED LSH band key (dd5's candidate generator — the 100-TB
+    * sizing rule measured by [[graft.tools.Dd5ScaleProbe]]): 8 bands of
+    * `bits` sign bits over band-permuted dims (offset 29·band, stride 5,
+    * both coprime with the 64-dim space, so each band reads `bits`
+    * DISTINCT dims in a band-specific order). Bucket count per band is
+    * 2^bits with bits = clamp(ceil(log2(N/24)), 8, 13), so expected
+    * occupancy (hence candidate fan-out) stays ~constant as the corpus
+    * grows — the fixed-width 4×8-bit key saturates its 256 buckets/band
+    * and goes quadratic once N outgrows them (probe: 39.8 s vs 4.6 s at
+    * sf3, comparable recall). [[scaledBandDuck]] is the DuckDB twin. */
+  private[graft] def scaledBandExpr(bits: Int, alias: String): String =
+    "explode(transform(sequence(0, 7), b -> struct(b AS band, " +
+      s"aggregate(sequence(0, ${bits - 1}), 0L, (acc, j) -> acc + " +
+      "IF(element_at(v, ((b * 29 + j * 5) % 64) + 1) >= cast(0 AS double), " +
+      s"shiftleft(1L, j), 0L)) AS bv))) AS $alias"
+
+  /** DuckDB twin of [[scaledBandExpr]] — same bucket key, with `bits`
+    * computed IN SQL from the corpus count (CTE `params p`), against a
+    * `FROM e, (SELECT unnest(range(0, 8)) AS band) t, params p`
+    * lateral; both engines count the same parquet, so the key widths
+    * agree at every SF. */
+  private val scaledBandDuck =
+    "list_sum(list_transform(range(0, p.bits), j -> CASE WHEN " +
+      "v[((t.band * 29 + j * 5) % 64) + 1] >= 0 THEN (1::BIGINT << j) " +
+      "ELSE 0 END))::BIGINT AS bv "
+
+  private val scaledBitsDuck =
+    "params AS (SELECT greatest(8, least(13, " +
+      "CAST(ceil(log2(count(*) / 24.0)) AS INT))) AS bits FROM embeddings) "
+
+  /** Spark-side width of the corpus-sized band key — must mirror
+    * [[scaledBitsDuck]] exactly (same clamp, same log base). */
+  private[graft] def scaledBits(n: Long): Int =
+    math.max(8, math.min(13,
+      math.ceil(math.log(n / 24.0) / math.log(2)).toInt))
+
   /** 4-bit scalar quantizer v -> clamp(floor(v*16), -8, 7), shared by the
     * SQ shortlist queries (ss4/ss6/ss7); [[sqQuantDuck]] is its twin. */
   private val sqQuantSpark =
@@ -967,16 +1003,22 @@ object Pipeline {
         "AND a.doc_id < b.doc_id " +
         "WHERE bit_count(xor(a.sim, b.sim)) <= 3 ORDER BY d1, d2")),
 
-    // DD5 embedding-cosine near-dup: 4 independent sign-hyperplane bands
-    // (8 sign bits over dims 1-8, 17-24, 33-40, 49-56) — candidate pairs
-    // share ANY band, exact cosine >= 0.45 verifies. Candidates are
-    // band-bucket-local, so the join never goes all-pairs; more bands =
-    // more recall, same plan shape (the SimHash-for-vectors trick).
+    // DD5 embedding-cosine near-dup, CORPUS-SIZED band key: candidate
+    // pairs share any of 8 sign-hyperplane bands whose width tracks the
+    // corpus (bits = clamp(ceil(log2(N/24)), 8, 13) — ~24 vectors per
+    // bucket at EVERY scale), exact cosine >= 0.45 verifies. The
+    // fixed-width 4×8-bit key this replaces saturates its 256
+    // buckets/band once N outgrows them and candidate generation goes
+    // quadratic (Dd5ScaleProbe, BASELINE.md); bucket count ∝ N is the
+    // textbook LSH sizing rule and the 100-TB deployment shape. The
+    // corpus count is parquet-footer metadata, not a data scan; both
+    // engines compute the same width from the same files.
     QDef("dd5_embed_neardup",
       (s, d) => {
         val e = embNorm(s, d)
+        val bits = scaledBits(T.embeddings(s, d).count())
         val bands = e.selectExpr("vec_id", "v", "nrm",
-          signBandExpr("e"))
+          scaledBandExpr(bits, "e"))
           .selectExpr("vec_id", "v", "nrm", "e.band AS band", "e.bv AS bv")
         val cand = bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
@@ -991,9 +1033,10 @@ object Pipeline {
           .orderBy("id1", "id2")
       },
       Some(s"WITH e AS ($embNormD), " +
+        scaledBitsDuck + ", " +
         "bands AS (SELECT vec_id, t.band, " +
-        signBandDuck +
-        "FROM e, (SELECT unnest(range(0, 4)) AS band) t), " +
+        scaledBandDuck +
+        "FROM e, (SELECT unnest(range(0, 8)) AS band) t, params p), " +
         "cand AS (SELECT DISTINCT x.vec_id id1, y.vec_id id2 " +
         "FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv " +
         "AND x.vec_id < y.vec_id) " +

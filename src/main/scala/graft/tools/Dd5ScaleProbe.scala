@@ -96,7 +96,10 @@ object Dd5ScaleProbe {
           .count()
         println(f"""{"probe":"dd5_at_0.9","leg":"$name","sf":"$d","rows":$n,"bands":$nBands,"bits":$bits,"pairs":$pairs,"planted_recovered":$planted,"planted_total":$plantedTotal,"sec":$wall%.3f}""")
       }
-      leg("fixed_key", 4, 8, perm = false) // the judged dd5's band key
+      // fixed_key = the band key the judged dd5 ran through round 16
+      // (kept as the superlinear control); scaled_key = the corpus-sized
+      // key the judged dd5 runs since round 17 (Pipeline.scaledBandExpr)
+      leg("fixed_key", 4, 8, perm = false)
       leg("scaled_key", 8, scaledBits, perm = true)
       all.unpersist(blocking = false)
     }
