@@ -64,6 +64,22 @@ object FileIndexProbe {
         (System.nanoTime() - t0) / 1e6
       }.min
       require(parsed.size == n)
+      // multi-blob cold load: a long-lived table's entries arrive in
+      // many per-commit blobs and Manifest.load parses uncached blobs
+      // in PARALLEL — this leg is that shape (64 blobs, global EC)
+      val blobJsons = es.grouped(math.max(1, n / 64)).toSeq
+        .map(org.json4s.jackson.Serialization.write(_))
+      val parMs = (1 to 3).map { _ =>
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val t0 = System.nanoTime()
+        val total = Await.result(Future.sequence(blobJsons.map(j =>
+          Future(org.json4s.jackson.JsonMethods.parse(j)
+            .extract[Seq[FileEntry]].size))), Duration.Inf).sum
+        require(total == n)
+        (System.nanoTime() - t0) / 1e6
+      }.min
       val fi = new GraftFileIndex(new Path("/lake/t"), es, cols,
         p => new Path("/lake/t/" + p), (_, _) => true)
       val mid = n / 2 * 1000L
@@ -84,7 +100,7 @@ object FileIndexProbe {
           kept = fi.listFiles(Nil, ps).map(_.files.size.toLong).sum
           (System.nanoTime() - t0) / 1e6
         }.min
-        println(f"""{"probe":"file_index","entries":$n,"leg":"$name","list_ms":$ms%.2f,"kept":$kept,"blob_load_ms":$loadMs%.1f,"json_mb":${json.length / 1e6}%.1f}""")
+        println(f"""{"probe":"file_index","entries":$n,"leg":"$name","list_ms":$ms%.2f,"kept":$kept,"blob_load_ms":$loadMs%.1f,"par64_load_ms":$parMs%.1f,"json_mb":${json.length / 1e6}%.1f}""")
       }
     }
   }
