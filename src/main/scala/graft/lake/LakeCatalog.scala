@@ -1784,13 +1784,34 @@ class LakeCatalog(val spark: SparkSession, val root: String,
       // an empty net change is a deterministic no-op: skip the commit
       // entirely (idempotent without a batch tag) — also what keeps a
       // consumer writing into the SAME catalog from generating commits
-      // for batches its own sink traffic triggered
-      if (latest.isEmpty) return false
+      // for batches its own sink traffic triggered. The count doubles as
+      // the write-width gate below and is one cached-scan job (latest is
+      // persisted), replacing what isEmpty would have cost.
+      val net = latest.count()
+      if (net == 0L) return false
+      // Net changes keep the key window's shuffle partitioning (one
+      // partition per shuffle slot). A typical micro-batch is TINY
+      // relative to the table, and writing it at shuffle width litters
+      // the sink with one near-empty file per slot per batch — scans of
+      // a long-running replica then pay a per-file task constant for
+      // thousands of files that hold a few rows each. Collapse small
+      // batches to one file (and one broadcastable delete-key partition);
+      // large backfill batches keep their full write parallelism.
+      val keyed =
+        if (net <= graft.streaming.ChangeFeed.SmallNetRows) latest.coalesce(1)
+        else latest
       transaction { tx =>
         if (tx.streamBatchApplied(tag)) throw AlreadyApplied // no empty snapshot
-        tx.delete(table, latest.select(keyCols.map(col): _*), keyCols)
-        tx.insert(table, latest.filter(col(TypeCol) =!= "delete")
-          .drop(TypeCol, VersionCol))
+        // ONE copy-on-write pass applies the whole net change: the carried
+        // change_type routes each source row (delete rows remove their
+        // target match and insert nothing; a delete for an absent key is a
+        // no-op, as in the delete+insert pair this replaces — which
+        // rewrote the same affected files TWICE)
+        tx.mergeClauses(table, keyed.drop(VersionCol), keyCols, MergeClauses(
+          matchedDelete = Some(s"s.$TypeCol = 'delete'"),
+          matchedUpdate = Some(s"s.$TypeCol <> 'delete'"),
+          notMatchedInsert = Some(s"$TypeCol <> 'delete'")),
+          carry = Seq(TypeCol))
         tx.markStreamBatchMonotone(tag)
         true
       }

@@ -856,33 +856,45 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
     * any target row may be deleted, so the whole table rewrites (the
     * clause is inherently O(table), exactly as in Delta). The source must
     * be key-unique (SQL MERGE cardinality rule) and is aligned to the
-    * table schema first (missing columns fill DEFAULT then NULL). */
+    * table schema first (missing columns fill DEFAULT then NULL).
+    *
+    * `carry` names source columns that are NOT target columns but stay
+    * visible to the clause predicates (e.g. a CDC `change_type` marker
+    * routing each source row to delete/update/insert) — they are dropped
+    * before anything is written. This is what lets a net-change batch
+    * apply as ONE copy-on-write rewrite instead of a delete+insert pair
+    * rewriting the same affected files twice. */
   def mergeClauses(table: String, source: DataFrame, keys: Seq[String],
-      cl: MergeClauses): Unit = {
+      cl: MergeClauses, carry: Seq[String] = Nil): Unit = {
     flushInlined(table)
     val st = state(table)
     require(keys.nonEmpty, "merge requires at least one key column")
     keys.foreach(k =>
       require(st.columns.exists(_.name == k), s"no such column: $k"))
-    val src = alignToSchema(source, st)
+    carry.foreach(c => require(
+      !st.columns.exists(_.name == c) && source.columns.contains(c),
+      s"carry column '$c' must exist in the source and not in the target"))
+    val src =
+      if (carry.isEmpty) alignToSchema(source, st)
+      else alignToSchema(source, st, carry)
     // source key-uniqueness (SQL MERGE cardinality rule) rides the same
     // single validation aggregate instead of its own scan
     validate(table, st, src, checkPkAgainstExisting = false,
       uniqueOn = keys)
     val keyCols = keys.map(col)
     // WHEN NOT MATCHED [AND cond] THEN INSERT — cond over bare src columns
-    def insertRows(cur: DataFrame): DataFrame = cl.notMatchedInsert match {
+    // (carry columns visible to the condition, dropped from the output)
+    def insertRows(cur: DataFrame): DataFrame = (cl.notMatchedInsert match {
       case None => src.limit(0)
       case Some(c) =>
         src.join(cur.select(keyCols: _*), keys, "left_anti").filter(expr(c))
-    }
+    }).drop(carry: _*)
     if (st.files.isEmpty) {
       val out = insertRows(src.limit(0))
       val written =
         writeFiles(table, applyPartitionLayout(st, out), st.schemaVersion)
       tables(table) = st.copy(files = st.files ++ written)
     } else {
-      val cur = cat.readState(st)
       val affected =
         if (cl.bySourceDelete.isDefined) st.files
         else {
@@ -916,7 +928,15 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
           when(mUpd, col(s"s.${c.name}"))
             .otherwise(col(s"t.${c.name}")).as(c.name)
         }: _*)
-      val out = rewritten.unionByName(insertRows(cur))
+      // NOT MATCHED is decidable against the AFFECTED files alone: every
+      // source key present in the table lives in an affected file by
+      // construction (affectedPaths is the semi-join of the full file-
+      // tagged state against the source keys, and flushInlined put every
+      // row in a file) — so the anti-join probes O(affected), never the
+      // O(table) full state. At 100 TB that is the difference between a
+      // merge reading the files it touches and re-scanning the table per
+      // batch.
+      val out = rewritten.unionByName(insertRows(tgt))
       // merging on non-PK keys can collide with rows in kept files
       if (st.primaryKey.nonEmpty && st.primaryKey != keys && kept.nonEmpty) {
         val pk = st.primaryKey.map(col)
@@ -1131,13 +1151,14 @@ class Tx private[lake] (cat: LakeCatalog, base: Snapshot) {
 
   /** Align an incoming DataFrame to the table schema: by-name matching,
     * casts to declared types, missing columns filled from DEFAULT then NULL. */
-  private def alignToSchema(df: DataFrame, st: TableState): DataFrame = {
+  private def alignToSchema(df: DataFrame, st: TableState,
+      carry: Seq[String] = Nil): DataFrame = {
     val in = df.columns.toSet
     df.select(st.columns.map { c =>
       val t = DataType.fromJson(c.typeJson)
       if (in.contains(c.name)) col(c.name).cast(t).as(c.name)
       else expr(c.default.getOrElse("NULL")).cast(t).as(c.name)
-    }: _*)
+    } ++ carry.map(col): _*)
   }
 
   /** Write-side constraint enforcement (Spark has no declarative

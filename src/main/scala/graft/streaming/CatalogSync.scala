@@ -236,17 +236,27 @@ object CatalogSync {
                 "sync window — net-effect apply requires row-identifying " +
                 "keys")
         }
-        val nonEmpty = changes.filter { case (_, chg) => !chg.isEmpty }
+        // count doubles as the write-width gate (cheap: chg is persisted):
+        // small windows collapse to one file per apply instead of littering
+        // the replica with a near-empty file per shuffle slot per sync point
+        val nonEmpty = changes
+          .map { case (t, chg) => (t, chg, chg.count()) }
+          .collect { case (t, chg, n) if n > 0 =>
+            (t, if (n <= ChangeFeed.SmallNetRows) chg.coalesce(1) else chg) }
         if (nonEmpty.nonEmpty) {
           try {
             dstCat.transaction { tx =>
               if (tx.streamBatchApplied(tag)) throw AlreadyApplied
               persistAnchors(tx)
               nonEmpty.foreach { case (t, chg) =>
-                tx.delete(t.dst, chg.select(t.keys.map(col): _*), t.keys)
-                tx.insert(t.dst,
-                  chg.filter(col(ChangeFeed.TypeCol) =!= "delete")
-                    .drop(ChangeFeed.TypeCol))
+                // one CoW pass per table: the carried change_type routes
+                // each net row (same fused apply as
+                // LakeCatalog.applyChangesStreamBatch)
+                tx.mergeClauses(t.dst, chg, t.keys, graft.lake.MergeClauses(
+                  matchedDelete = Some(s"s.${ChangeFeed.TypeCol} = 'delete'"),
+                  matchedUpdate = Some(s"s.${ChangeFeed.TypeCol} <> 'delete'"),
+                  notMatchedInsert = Some(s"${ChangeFeed.TypeCol} <> 'delete'")),
+                  carry = Seq(ChangeFeed.TypeCol))
               }
               // catsync tags are monotone per streamId (source snapshot
               // versions) — high-water ledger, O(streams) state

@@ -55,6 +55,14 @@ object ChangeFeed {
   val TypeCol = "change_type"
   val VersionCol = "_commit_version"
 
+  /** Net-change batches at or under this row count are written as ONE
+    * file (and one broadcastable delete-key partition) instead of at
+    * shuffle width: a steady stream of small batches otherwise litters
+    * the sink with a near-empty file per shuffle slot per batch, and
+    * every later scan of the replica pays a per-file task constant.
+    * Backfill-sized batches above it keep their write parallelism. */
+  private[graft] val SmallNetRows = 100000L
+
   /** Commit kinds that can change a table's LOGICAL rows. Layout-only
     * kinds (`tables_compacted`, `tables_clustered`) and pure DDL
     * (`tables_altered`, `tables_renamed`) are excluded: their logical

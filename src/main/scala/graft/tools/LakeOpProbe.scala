@@ -112,6 +112,23 @@ object LakeOpProbe {
           cat.update(t, col("id") < 200, Map("v" -> (col("v") + 1L))))
         op(s"feed read $tag")(
           cat.tableChanges(t, v0, cat.currentVersion, Seq("id")).count())
+        // O(affected) merge receipt: the SAME 300-row net-change batch
+        // (100 deletes + 100 updates + 100 inserts, carried change_type
+        // routing — the fused CDC apply shape) against the small and the
+        // full-size base. Jobs and wall must be ~flat in base size: the
+        // NOT-MATCHED anti-join probes the AFFECTED files only, never
+        // the full table.
+        op(s"net merge 300 $tag") {
+          val net = spark.range(0, 300).selectExpr(
+            "id * 2 AS id", "id % 20 AS k", "id AS v",
+            "CASE WHEN id < 100 THEN 'delete' ELSE 'insert' END AS change_type")
+          cat.transaction(_.mergeClauses(t, net, Seq("id"),
+            graft.lake.MergeClauses(
+              matchedDelete = Some("s.change_type = 'delete'"),
+              matchedUpdate = Some("s.change_type <> 'delete'"),
+              notMatchedInsert = Some("change_type <> 'delete'")),
+            carry = Seq("change_type")))
+        }
     }
     // CONCURRENT-WRITER throughput ledger (the reference's "1000x more
     // concurrent writers" claim, README.md:244): K racing writers x M
