@@ -59,15 +59,24 @@ object Tables {
     * cache bucketed on l_orderkey that exchange never exists. This is the
     * local-mode analog of CLUSTERED BY bucketing / Iceberg-style write
     * distribution, the standard co-location strategy at 100 TB. Tables
-    * whose hot keys vary (events: ts windows vs user_id; documents: joins
-    * are on minhash bands, not doc_id) keep round-robin — a wrong bucket
-    * key is pure cost, an absent one is neutral. */
+    * whose hot keys vary (events: ts windows vs user_id) keep
+    * round-robin — a wrong bucket key is pure cost, an absent one is
+    * neutral. documents joined the bucketed set in r17: with the
+    * shingle/bigram extraction now computed in-task (docShinglesXRaw —
+    * no window exchange establishing hash(doc_id) as a side effect),
+    * doc_id clustering is what lets DISTINCT (doc_id, s) and every
+    * per-doc aggregate (dd3/dd4 signatures, x25 novelty counts) satisfy
+    * their ClusteredDistribution from the cache — zero exchanges until
+    * the first cross-doc key (band/shingle) — measured: dd4 ideal32
+    * 0.59 s (unbucketed, in-task extraction) -> at or below its 0.12 s
+    * window-form baseline. */
   private val bucketKey: Map[String, String] = Map(
-    "lineitem" -> "l_orderkey",
-    "orders"   -> "o_orderkey",
-    "customer" -> "c_custkey",
-    "part"     -> "p_partkey",
-    "supplier" -> "s_suppkey")
+    "lineitem"  -> "l_orderkey",
+    "orders"    -> "o_orderkey",
+    "customer"  -> "c_custkey",
+    "part"      -> "p_partkey",
+    "supplier"  -> "s_suppkey",
+    "documents" -> "doc_id")
 
   /** Within-partition sort column for the bucketed layout. Hashing by join
     * key destroys the file's natural date clustering, which the in-memory
@@ -77,8 +86,12 @@ object Tables {
     * without touching the hash distribution (sort preserves partitioning)
     * — the cache analog of "CLUSTERED BY key SORTED BY date". */
   private val sortCol: Map[String, String] = Map(
-    "lineitem" -> "l_shipdate",
-    "orders"   -> "o_orderdate")
+    "lineitem"  -> "l_shipdate",
+    "orders"    -> "o_orderdate",
+    // restores in-cache batch min/max pruning for the doc_id slice
+    // predicates (x13's % 97 split reads both sides, but x14/x8-class
+    // range scans prune) that hash distribution would otherwise smear
+    "documents" -> "doc_id")
 
   /** Rows-per-partition target by table. The 65k default is tuned for
     * narrow relational rows; a documents row is ~350 chars of text whose

@@ -52,25 +52,32 @@ object Pipeline {
     T.documents(s, d)
       .selectExpr("doc_id", "lang", "source", "text", s"$toksS AS toks")
 
-  /** DISTINCT (doc_id, shingle) pairs via posexplode + window lead —
-    * native codegen'd operators end to end. The equivalent higher-order
-    * `transform(sequence(...))` formulation evaluates interpreted lambdas
-    * per element (~100x slower on a wide corpus) — measured, not guessed:
-    * the HOF version of the dd* queries took 30-300s at sf0.1, this shape
-    * takes seconds. Docs with <3 tokens yield no shingles (as in the
-    * array formulation). */
-  private[ops] def docShinglesX(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
+  /** NON-distinct (doc_id, shingle, extra...) pairs computed entirely
+    * inside the scan task: zip three shifted slices of the token array
+    * and explode — native codegen'd expressions end to end, ZERO
+    * exchange (r17; the previous posexplode + window-lead form paid a
+    * full exchange of every token by doc_id plus a sort before the
+    * first shingle existed — measured 2-4.7 s of task time per query at
+    * sf0.1). The higher-order `transform(sequence(...))` formulation
+    * stays banned: interpreted lambdas per element measured ~100x
+    * slower. Docs with <3 tokens yield no shingles (empty slices). */
+  private[ops] def docShinglesXRaw(s: SparkSession, d: String,
+      keep: Seq[String] = Nil): DataFrame =
     T.documents(s, d)
-      .select(col("doc_id"),
-        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("tok"),
-        lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("s"))
-      .distinct()
-  }
+      .select(col("doc_id") +: keep.map(col) :+
+        split(trim(col("text")), "\\s+").as("toks"): _*)
+      .select(col("doc_id") +: keep.map(col) :+
+        expr("explode(arrays_zip(" +
+          "slice(toks, 1, greatest(size(toks) - 2, 0)), " +
+          "slice(toks, 2, greatest(size(toks) - 2, 0)), " +
+          "slice(toks, 3, greatest(size(toks) - 2, 0)))) AS g"): _*)
+      .select(col("doc_id") +: keep.map(col) :+
+        concat_ws(" ", col("g.0"), col("g.1"), col("g.2")).as("s"): _*)
+
+  /** DISTINCT (doc_id, shingle) pairs — one exchange (the distinct);
+    * extraction itself is exchange-free via docShinglesXRaw. */
+  private[ops] def docShinglesX(s: SparkSession, d: String): DataFrame =
+    docShinglesXRaw(s, d).distinct()
 
   private val docShinglesD =
     s"SELECT doc_id, $shD AS sh FROM (SELECT doc_id, $toksD AS toks FROM documents)"
@@ -518,13 +525,17 @@ object Pipeline {
     // one broadcast-ish join back; everything else is window math.
     QDef("x17_bigram_logprob",
       (s, d) => {
-        val w = Window.partitionBy("doc_id").orderBy("pos")
+        // r17: bigrams from two shifted slices zipped in-task (the
+        // docShinglesXRaw shape) — the posexplode + window-lead form
+        // paid an exchange of every token by doc_id plus a sort before
+        // the first bigram existed. Same bigram multiset, same results.
         val bg = T.documents(s, d)
-          .select(col("source"), col("doc_id"),
-            posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "w1")))
-          .withColumn("w2", lead("w1", 1).over(w))
-          .filter(col("w2").isNotNull)
-          .select(col("source"), col("w1"), col("w2"))
+          .select(col("source"), split(trim(col("text")), "\\s+").as("toks"))
+          .select(col("source"),
+            expr("explode(arrays_zip(" +
+              "slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+              "slice(toks, 2, greatest(size(toks) - 1, 0)))) AS g"))
+          .select(col("source"), col("g.0").as("w1"), col("g.1").as("w2"))
           .transform(Cached.track)
         val cnt2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
           .withColumn("c1", sum("c2").over(Window.partitionBy("w1")))
@@ -775,16 +786,26 @@ object Pipeline {
     // coefficients.
     QDef("x21_cross_source_overlap",
       (s, d) => {
-        val ss = docShinglesX(s, d)
-          .join(T.documents(s, d).select("doc_id", "source"), Seq("doc_id"))
-          .select(col("source"), col("s")).distinct()
-          .withColumn("nsrc", count(lit(1)).over(Window.partitionBy("s")))
-          .filter(col("nsrc") <= 8).drop("nsrc")
+        // r17 single-big-exchange form: ONE groupBy(s) with
+        // collect_set(source) replaces [distinct (source,s) exchange +
+        // count window over s + shingle-keyed self-join] — the set IS
+        // the distinct source list per shingle, its size IS the nsrc
+        // cap, and the src_a < src_b pairs expand IN-TASK from the
+        // sorted array (<= 8 sources -> <= 28 pairs per shingle, the
+        // same cap^2 fan-out bound as the join form). Semantics are
+        // set-exact: results byte-identical to the join form (oracle
+        // unchanged). The self-join's 9 s of probe task time at sf0.1
+        // becomes a per-key array expansion.
+        val ss = docShinglesXRaw(s, d, keep = Seq("source"))
+          .groupBy("s").agg(sort_array(collect_set(col("source"))).as("srcs"))
+          .filter(size(col("srcs")) <= 8)
           .transform(Cached.track)
-        val totals = ss.groupBy("source").agg(count(lit(1)).as("n"))
-        ss.as("a").join(ss.as("b"),
-            col("a.s") === col("b.s") && col("a.source") < col("b.source"))
-          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        val totals = ss.select(explode(col("srcs")).as("source"))
+          .groupBy("source").agg(count(lit(1)).as("n"))
+        ss.select(posexplode(col("srcs")).as(Seq("i", "src_a")), col("srcs"))
+          .select(col("src_a"),
+            explode(expr("slice(srcs, i + 2, size(srcs))")).as("src_b"))
+          .groupBy("src_a", "src_b")
           .agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") >= 2)
           .join(broadcast(totals).withColumnRenamed("source", "src_a")
@@ -878,22 +899,30 @@ object Pipeline {
     // >= 0.8 over the CAPPED shingle sets (consistent on both engines).
     QDef("dd2_ngram_jaccard",
       (s, d) => {
-        // df cap as ONE window over the shingle shuffle (no second scan of
-        // the extraction), then persist the capped inverted index: it
-        // feeds three consumers (both self-join sides + per-doc counts) —
-        // without the persist the posexplode+window extraction recomputes
-        // per branch. ContextCleaner reclaims the blocks once the frame
-        // is unreachable.
-        val shd = docShinglesX(s, d)
-          .withColumn("df",
-            count(lit(1)).over(Window.partitionBy("s")))
-          .filter(col("df") <= 64).drop("df")
+        // r17 single-big-exchange inverted index: ONE groupBy(s) with
+        // collect_set(doc_id) replaces [distinct (doc_id,s) exchange +
+        // df-count window over s + shingle-keyed self-join] — the set
+        // IS the distinct posting list, its size IS the df cap, and the
+        // d1 < d2 candidate pairs expand IN-TASK from the sorted array
+        // (df <= 64 -> <= 2016 pairs per shingle: the same sum(df^2)
+        // bound as the join form, which burned 13.9 s of probe task
+        // time at sf0.1). Set semantics keep results byte-identical
+        // (oracle unchanged). Memory shape is unchanged too: the window
+        // form buffered each shingle's rows per key group; the set
+        // holds the same df-bounded group, and ObjectHashAggregate
+        // falls back to sort-based aggregation under pressure. Persist:
+        // the capped index feeds the pair expansion AND per-doc counts.
+        val inv = docShinglesXRaw(s, d)
+          .groupBy("s").agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+          .filter(size(col("docs")) <= 64)
           .transform(Cached.track)
-        val cnt = shd.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val pairs = shd.as("a").join(shd.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .agg(count(lit(1)).as("common"))
+        val cnt = inv.select(explode(col("docs")).as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val pairs = inv
+          .select(posexplode(col("docs")).as(Seq("i", "d1")), col("docs"))
+          .select(col("d1"),
+            explode(expr("slice(docs, i + 2, size(docs))")).as("d2"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("common"))
         pairs
           .join(cnt.as("ca"), col("d1") === col("ca.doc_id"))
           .join(cnt.as("cb"), col("d2") === col("cb.doc_id"))
