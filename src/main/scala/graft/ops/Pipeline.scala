@@ -61,7 +61,7 @@ object Pipeline {
     * sf0.1). The higher-order `transform(sequence(...))` formulation
     * stays banned: interpreted lambdas per element measured ~100x
     * slower. Docs with <3 tokens yield no shingles (empty slices). */
-  private[ops] def docShinglesXRaw(s: SparkSession, d: String,
+  private[graft] def docShinglesXRaw(s: SparkSession, d: String,
       keep: Seq[String] = Nil): DataFrame =
     T.documents(s, d)
       .select(col("doc_id") +: keep.map(col) :+

@@ -29,6 +29,30 @@ class PipelineSpec extends SparkSpec {
     assert((jac & sh).nonEmpty)
   }
 
+  test("in-task zip shingle extraction equals the window-lead formulation") {
+    // r17 pins the rewrite: arrays_zip of shifted slices must produce the
+    // exact (doc_id, shingle) MULTISET the posexplode + window-lead form
+    // produced (the dd*/x* family's shared input). Compared as grouped
+    // counts diffed both ways — order-free, dup-exact.
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, d)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val legacy = docs
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("tok"),
+        lead("tok", 1).over(w).as("t1"), lead("tok", 2).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("s"))
+      .groupBy("doc_id", "s").count()
+    val zip = ops.Pipeline.docShinglesXRaw(spark, d)
+      .groupBy("doc_id", "s").count()
+    assert(zip.except(legacy).isEmpty && legacy.except(zip).isEmpty,
+      "zip extraction must equal the window-lead multiset")
+    assert(zip.count() > 0, "extraction must produce shingles")
+  }
+
   test("dedup clustering groups every verified near-dup pair transitively") {
     import spark.implicits._
     val clusters = run("dd6_dedup_clusters").collect()

@@ -517,7 +517,28 @@ class PlanSpec extends SparkSpec {
     val s = planString("x21_cross_source_overlap")
     assert(!s.contains("CartesianProduct") &&
       !s.contains("BroadcastNestedLoopJoin"),
-      "pair generation must be an equi-join on the shingle\n" + s.take(2000))
+      "pair generation must stay bounded by the shingle cap\n" + s.take(2000))
+  }
+
+  test("shingle extraction runs in-task: no window exchange, posting-array pairs") {
+    // r17 shape pin: the extraction is explode(arrays_zip(slices)) inside
+    // the scan task — no WindowExec (the old lead-over-tokens form) may
+    // reappear anywhere in dd2/dd3/dd4/x21 (none of them needs any other
+    // window), and dd2/x21 generate candidate pairs from collect_set
+    // posting arrays (Generate over the sorted set), not a self-join.
+    Seq("dd2_ngram_jaccard", "dd3_minhash_lsh", "dd4_simhash",
+      "x21_cross_source_overlap").foreach { q =>
+      val s = planString(q)
+      assert(!s.contains("Window"),
+        s"$q must not pay the window-lead extraction exchange\n" + s.take(2000))
+    }
+    Seq("dd2_ngram_jaccard", "x21_cross_source_overlap").foreach { q =>
+      val s = planString(q)
+      assert(s.contains("collect_set"),
+        s"$q pairs must come from the posting-list aggregate\n" + s.take(2000))
+      assert(s.contains("Generate"),
+        s"$q pairs must expand in-task from the posting array\n" + s.take(2000))
+    }
   }
 
   test("quality buckets: tercile window partitions by source, no global sort") {
