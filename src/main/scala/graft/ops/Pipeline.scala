@@ -795,7 +795,13 @@ object Pipeline {
         // same cap^2 fan-out bound as the join form). Semantics are
         // set-exact: results byte-identical to the join form (oracle
         // unchanged). The self-join's 9 s of probe task time at sf0.1
-        // becomes a per-key array expansion.
+        // becomes a per-key array expansion. Aggregation state is
+        // bounded by the SOURCE DOMAIN (<= 8 distinct sources), so the
+        // post-agg cap is scale-safe here — unlike dd2's doc_id posting
+        // lists, which need the two-pass df cap. source is never NULL
+        // (fixture invariant; the oracle's HAVING count(*) counts rows
+        // while collect_set drops NULLs — the non-null invariant keeps
+        // the two cap semantics equal).
         val ss = docShinglesXRaw(s, d, keep = Seq("source"))
           .groupBy("s").agg(sort_array(collect_set(col("source"))).as("srcs"))
           .filter(size(col("srcs")) <= 8)
@@ -899,22 +905,36 @@ object Pipeline {
     // >= 0.8 over the CAPPED shingle sets (consistent on both engines).
     QDef("dd2_ngram_jaccard",
       (s, d) => {
-        // r17 single-big-exchange inverted index: ONE groupBy(s) with
-        // collect_set(doc_id) replaces [distinct (doc_id,s) exchange +
-        // df-count window over s + shingle-keyed self-join] — the set
-        // IS the distinct posting list, its size IS the df cap, and the
-        // d1 < d2 candidate pairs expand IN-TASK from the sorted array
-        // (df <= 64 -> <= 2016 pairs per shingle: the same sum(df^2)
-        // bound as the join form, which burned 13.9 s of probe task
-        // time at sf0.1). Set semantics keep results byte-identical
-        // (oracle unchanged). Memory shape is unchanged too: the window
-        // form buffered each shingle's rows per key group; the set
-        // holds the same df-bounded group, and ObjectHashAggregate
-        // falls back to sort-based aggregation under pressure. Persist:
-        // the capped index feeds the pair expansion AND per-doc counts.
-        val inv = docShinglesXRaw(s, d)
+        // r17 built the inverted index as ONE groupBy(s).collect_set with
+        // the df cap applied AFTER aggregation (filter size(docs) <= 64).
+        // That shape has UNBOUNDED per-key aggregation state: a stop-word
+        // shingle's posting set materializes in full (at 100 TB, ~every
+        // doc_id in the corpus inside one aggregation buffer) before the
+        // cap discards it — collect_set cannot spill within a key.
+        // r18 (verdict item 3): two-pass df cap. ONE explicit exchange on
+        // the shingle establishes hash(s) clustering; both branches reuse
+        // it (identical exchange subtree -> ReuseExchange). The df
+        // pre-pass is counts only — constant per-key state at any corpus
+        // size — and collect_set runs strictly AFTER the df <= 64
+        // semi-join, so its per-key buffer is bounded at 64 entries.
+        // Downstream is unchanged: the d1 < d2 candidate pairs expand
+        // IN-TASK from the sorted posting array (df <= 64 -> <= 2016
+        // pairs per shingle, the same sum(df^2) bound as the join form).
+        // Set semantics keep results byte-identical (oracle unchanged —
+        // its HAVING count(*) <= 64 counts the same distinct pairs).
+        // doc_id is never NULL (parquet fixture PK; the oracle's
+        // count(*) cap counts rows, collect_set drops NULLs — the
+        // non-null invariant is what keeps the two cap semantics equal).
+        val byS = docShinglesXRaw(s, d).repartition(col("s"))
+        // dropDuplicates + count, both satisfied by hash(s): no further
+        // exchange, per-key state is a single counter
+        val keep = byS.dropDuplicates("s", "doc_id")
+          .groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 64)
+          .select("s")
+        // Persist: the capped index feeds pair expansion AND per-doc counts.
+        val inv = byS.join(keep, Seq("s"), "left_semi")
           .groupBy("s").agg(sort_array(collect_set(col("doc_id"))).as("docs"))
-          .filter(size(col("docs")) <= 64)
           .transform(Cached.track)
         val cnt = inv.select(explode(col("docs")).as("doc_id"))
           .groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -520,6 +520,20 @@ class PlanSpec extends SparkSpec {
       "pair generation must stay bounded by the shingle cap\n" + s.take(2000))
   }
 
+  /** Physical-plan OPERATOR names, walked from the plan tree itself (not
+    * substring-matched on the formatted string, where an expression or
+    * column name containing "Window"/"Generate" would false-match). */
+  private def planNodeNames(name: String): Seq[String] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def walk(x: SparkPlan): Seq[SparkPlan] = x match {
+      case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+      case o => o +: o.children.flatMap(walk)
+    }
+    walk(SparkEntry.queries(name)(spark, d).queryExecution.executedPlan)
+      .map(_.nodeName)
+  }
+
   test("shingle extraction runs in-task: no window exchange, posting-array pairs") {
     // r17 shape pin: the extraction is explode(arrays_zip(slices)) inside
     // the scan task — no WindowExec (the old lead-over-tokens form) may
@@ -528,17 +542,29 @@ class PlanSpec extends SparkSpec {
     // posting arrays (Generate over the sorted set), not a self-join.
     Seq("dd2_ngram_jaccard", "dd3_minhash_lsh", "dd4_simhash",
       "x21_cross_source_overlap").foreach { q =>
-      val s = planString(q)
-      assert(!s.contains("Window"),
-        s"$q must not pay the window-lead extraction exchange\n" + s.take(2000))
+      val nodes = planNodeNames(q)
+      assert(!nodes.exists(_.startsWith("Window")),
+        s"$q must not pay the window-lead extraction exchange, got: " +
+          nodes.distinct.mkString(", "))
     }
     Seq("dd2_ngram_jaccard", "x21_cross_source_overlap").foreach { q =>
       val s = planString(q)
+      val nodes = planNodeNames(q)
       assert(s.contains("collect_set"),
         s"$q pairs must come from the posting-list aggregate\n" + s.take(2000))
-      assert(s.contains("Generate"),
-        s"$q pairs must expand in-task from the posting array\n" + s.take(2000))
+      assert(nodes.contains("Generate"),
+        s"$q pairs must expand in-task from the posting array, got: " +
+          nodes.distinct.mkString(", "))
     }
+    // r18 scale-safety pin (verdict item 3): dd2's df cap must run BEFORE
+    // the posting-list collect_set — a count aggregate (constant per-key
+    // state) feeding a semi-join, so no aggregation buffer ever holds an
+    // uncapped posting set. The shape is: some aggregate computes the df
+    // count, and the collect_set aggregate sits above a semi join.
+    val dd2 = planString("dd2_ngram_jaccard")
+    assert(dd2.contains("LeftSemi"),
+      "dd2's df<=64 cap must pre-filter shingles via a semi-join " +
+        "BEFORE collect_set materializes posting lists\n" + dd2.take(2000))
   }
 
   test("quality buckets: tercile window partitions by source, no global sort") {

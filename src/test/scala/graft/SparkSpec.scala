@@ -31,7 +31,12 @@ object SparkSpec {
 }
 
 abstract class SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
-  lazy val spark: SparkSession = SparkSpec.spark
+  /** Per-suite CHILD session: shared SparkContext/executor, but isolated
+    * SQLConf, temp views and UDF registry — suites run concurrently
+    * (build.sbt `Test / testForkedParallel`), and several mutate session
+    * confs (AQE toggles, broadcast thresholds, codegen flags) that must
+    * not leak into a concurrently running suite's plans. */
+  lazy val spark: SparkSession = SparkSpec.spark.newSession()
   override def beforeAll(): Unit = {
     spark.sparkContext.setLogLevel("ERROR")
     super.beforeAll()
